@@ -1,0 +1,44 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kafka_cassandra_plugin_spark.session import get_spark  # noqa: E402
+from kafka_cassandra_plugin_spark import oracle  # noqa: E402
+
+SMOKE_SF = os.environ.get("KCP_TEST_SF_DIR", "/root/testdata/sf0.001")
+ORACLE_SF = os.environ.get("KCP_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("kcp-tests", master="local[8]", overrides={"spark.sql.shuffle.partitions": "8"})
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SMOKE_SF
+
+
+@pytest.fixture(scope="session")
+def oracle_sf_dir():
+    return ORACLE_SF
+
+
+@pytest.fixture(scope="session")
+def duck(oracle_sf_dir):
+    con = oracle.duck_connect(oracle_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="session")
+def duck_smoke(sf_dir):
+    con = oracle.duck_connect(sf_dir)
+    yield con
+    con.close()
