@@ -1,0 +1,283 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five tiers, from exact to semantic (BASELINE.json north star; SURVEY.md
+§2.2 G54-G55):
+
+1. exact          - content-hash groupBy (sha256), deterministic survivor
+2. ngram-jaccard  - word-shingle overlap >= threshold (exact set math)
+3. minhash-LSH    - banded MinHash signatures -> bucket join -> verify
+4. simhash       - 64-bit simhash with hamming-radius candidate match
+5. embedding     - cosine near-dup over the embeddings table (see
+                   operators/similarity.py for the kNN machinery)
+
+Scale posture (the whole point of LSH/simhash tiers):
+- exact dedup is one shuffle on a 32-byte key: works at any scale.
+- ngram-jaccard joins docs *only* on shared shingles, never all-pairs;
+  frequency-capped shingles (stop-shingle removal) bound the join fanout.
+- minhash-LSH: candidate pairs come from equality joins on (band,
+  band-signature) - at 100 TB this is B small shuffles instead of a
+  quadratic cross join; rows are verified with exact jaccard afterwards.
+- All hashing is xxhash64/md5 with explicit seeds: deterministic across
+  runs, executors, and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .text import tokens
+
+
+# --------------------------------------------------------------------------
+# G54: exact dedup by content hash.
+# --------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, content_col: str = "text",
+                id_col: str = "doc_id", keep: str = "min") -> DataFrame:
+    """One survivor per distinct content (sha256): the row with the min
+    (default) or max id - deterministic, unlike dropDuplicates, whose
+    survivor is partition-order dependent."""
+    h = F.sha2(F.col(content_col), 256)
+    pick = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
+    w = Window.partitionBy(h.alias("__h")).orderBy(pick)
+    return (
+        df.withColumn("__rn", F.row_number().over(Window.partitionBy(h).orderBy(pick)))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def duplicate_groups(df: DataFrame, content_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate clusters: content hash -> sorted member ids +
+    cluster size (only clusters with >1 member)."""
+    h = F.sha2(F.col(content_col), 256).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.array_sort(F.collect_list(id_col)).alias("members"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# word shingles (shared substrate for jaccard / minhash)
+# --------------------------------------------------------------------------
+
+def shingles(text_col: str = "text", n: int = 3):
+    """Distinct word n-gram shingle array (lowercased).  Built with
+    transform over token index - JVM-side, no UDF."""
+    toks = F.transform(tokens(text_col), F.lower)
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.8,
+                        max_shingle_freq: int | None = None) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard >= threshold.
+
+    Plan shape (scale-critical): explode shingles -> optional stop-shingle
+    cap -> self-equi-join on shingle -> per-pair common count -> jaccard
+    against per-doc shingle counts.  Docs sharing no shingle never meet,
+    so the join is sparse rather than quadratic; ``max_shingle_freq``
+    drops ubiquitous shingles that would otherwise dominate fanout at
+    scale (the classic stop-shingle optimization).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("sh")
+    )
+    if max_shingle_freq is not None:
+        freq_ok = (
+            sh.groupBy("sh").count().filter(F.col("count") <= max_shingle_freq)
+        )
+        sh = sh.join(freq_ok.select("sh"), "sh", "left_semi")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ja = (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return ja
+
+
+# --------------------------------------------------------------------------
+# G55: MinHash + LSH banding.
+# --------------------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       num_hashes: int = 64) -> DataFrame:
+    """num_hashes MinHash values per doc: min over shingles of
+    xxhash64(shingle, seed=i).  One projection, no shuffle; deterministic
+    (seeded xxhash64 is stable across executors/runs)."""
+    sh = shingles(text_col, n)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
+                        rows_per_band: int = 4) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` slices of
+    ``rows_per_band`` values; docs agreeing on any whole band become a
+    candidate pair.  Implementation: explode to (band_idx, band_slice) and
+    self-join on equality - at scale this is an equi-shuffle on the band
+    hash, never an all-pairs comparison."""
+    b = signatures.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("signature", i * rows_per_band + 1, rows_per_band)
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "slice"),
+    ).withColumn("bucket", F.xxhash64(F.col("band"), F.col("slice")))
+    x, y = b.alias("x"), b.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", n: int = 3,
+                            num_hashes: int = 64, bands: int = 16,
+                            threshold: float = 0.8) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> banded candidate
+    pairs -> exact-jaccard verification of candidates only (estimated via
+    signature agreement, then exact on the shingle sets).  Returns
+    verified pairs with their exact jaccard."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
+    )
+    verified = (
+        cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+# --------------------------------------------------------------------------
+# SimHash (hamming-space near-dup).
+# --------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 64) -> DataFrame:
+    """64-bit SimHash over tokens: per-bit majority vote of token hashes.
+    Expressed as bit-arithmetic over xxhash64 values with aggregate() -
+    JVM-side, deterministic."""
+    toks = F.transform(tokens(text_col), F.lower)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_cols = []
+    for i in range(bits):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_cols.append(
+            F.when(votes > 0, F.lit(1).cast("bigint") * (2**i if i < 63 else -(2**63)))
+            .otherwise(F.lit(0).cast("bigint"))
+        )
+    sig = bit_cols[0]
+    for c in bit_cols[1:]:
+        sig = sig + c
+    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.  Candidate
+    generation: block on 4 x 16-bit chunks (pigeonhole: any pair within
+    hamming 3 agrees on >=1 chunk), then verify exact hamming via
+    bit_count(xor) - equi-joins only, no cross join."""
+    s = simhash(df, text_col, id_col)
+    chunks = s.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    x, y = chunks.alias("x"), chunks.alias("y")
+    cands = (
+        x.join(
+            y,
+            (F.col("x.chunk_idx") == F.col("y.chunk_idx"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

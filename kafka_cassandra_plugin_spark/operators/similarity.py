@@ -1,0 +1,270 @@
+"""Vector similarity search over embedding columns (array<float>).
+
+North-star operators (BASELINE.json; SURVEY.md §2.2 G59-G61):
+
+- :func:`cosine` / :func:`dot` - column expressions built from zip_with /
+  aggregate higher-order functions: JVM-side, codegen'd, no Python.
+- :func:`brute_force_topk` - exact top-k neighbors: query-set x corpus
+  join + per-query top-k window.  The *baseline* every approximate
+  method is recall-tested against.
+- :func:`rp_lsh_topk` - random-hyperplane LSH: sign-bit sketches ->
+  hamming-bucket candidate join -> exact re-rank of candidates only.
+- :func:`ivf_topk` - IVF: KMeans coarse quantizer (seeded), probe the
+  ``nprobe`` nearest lists, exact re-rank within probed lists.
+
+Scale posture: brute force is O(Q x N) - fine when Q is small (it's a
+broadcast of the query set, no shuffle of the corpus) but not for
+all-pairs at 100 TB.  The approximate paths turn the quadratic join into
+equi-joins on bucket keys (LSH) or a partition-pruned join on list ids
+(IVF), which is exactly how a 1000-executor cluster survives: candidates
+per query stay O(N / nlist * nprobe) regardless of total corpus size.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a, b) -> Column:
+    """Dot product of two array columns (double math via zip_with +
+    aggregate; elements cast once)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a, b) -> Column:
+    """Cosine similarity; 0.0 for zero-norm inputs (never NaN/null)."""
+    d = dot(a, b)
+    na, nb = norm(a), norm(b)
+    return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     metric: str = "cosine") -> DataFrame:
+    """Exact top-k neighbors of each query vector (excluding itself).
+
+    Plan: broadcast the (small) query set against the corpus - the corpus
+    never shuffles; each partition scores its rows against every query and
+    the per-query top-k window runs on the (Q x N) scored stream.  Output:
+    (query_id, neighbor_id, score, rank) with deterministic ties
+    (score desc, neighbor id asc).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    score = (
+        cosine(F.col("q_vec"), F.col("c_vec"))
+        if metric == "cosine"
+        else dot(F.col("q_vec"), F.col("c_vec"))
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", score)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH (approximate, scale path #1)
+# --------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (LCG - no numpy RNG
+    state, reproducible everywhere)."""
+    planes = []
+    state = seed & 0x7FFFFFFF
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) & 0x7FFFFFFF
+            v.append(state / 0x7FFFFFFF * 2 - 1)
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def rp_sketch(df: DataFrame, dim: int, n_planes: int = 16, seed: int = 42,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Sign-bit sketch: bit i = sign(v . plane_i), packed into a bigint
+    bucket key.  Pure column arithmetic - the hyperplane constants are
+    literals folded into codegen."""
+    bits = []
+    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        d = dot(F.col(vec_col), lit_plane)
+        bits.append(F.when(d >= 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), bucket.alias("bucket")
+    )
+
+
+def rp_lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
+                n_planes: int = 8, n_tables: int = 8, multiprobe: bool = True,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: union of ``n_tables`` independent sketch tables;
+    candidates = corpus rows sharing a bucket with the query in any table;
+    exact cosine re-rank of candidates only.  Equi-join on (table, bucket)
+    -> no cross join anywhere; recall grows with n_tables.
+
+    ``multiprobe`` additionally probes every bucket at hamming distance 1
+    from the query's bucket (classic multi-probe LSH): the query side -
+    tiny by assumption - fans out x(n_planes+1), while the corpus side
+    stays one row per table.  This is what makes sign-bit LSH usable on
+    weakly-clustered data without growing the corpus-side index."""
+    cand_frames = []
+    for t in range(n_tables):
+        cs = rp_sketch(corpus, dim, n_planes, seed=42 + t, id_col=id_col, vec_col=vec_col)
+        qs = rp_sketch(queries, dim, n_planes, seed=42 + t, id_col=id_col, vec_col=vec_col)
+        if multiprobe:
+            probes = F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(2**i).cast("bigint"))
+                    for i in range(n_planes)
+                ],
+            )
+            qs = qs.select(
+                "id", "vec", F.explode(probes).alias("bucket")
+            )
+        cand_frames.append(
+            qs.select(
+                F.col("id").alias("query_id"),
+                F.col("vec").alias("q_vec"),
+                "bucket",
+            ).join(
+                cs.select(
+                    F.col("id").alias("neighbor_id"),
+                    F.col("vec").alias("c_vec"),
+                    "bucket",
+                ),
+                "bucket",
+            )
+        )
+    cands = cand_frames[0]
+    for f in cand_frames[1:]:
+        cands = cands.unionByName(f)
+    cands = (
+        cands.filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF (approximate, scale path #2)
+# --------------------------------------------------------------------------
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             nlist: int = 16, nprobe: int = 4, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-flat: KMeans (seeded) coarse quantizer partitions the corpus
+    into ``nlist`` inverted lists; each query probes its ``nprobe``
+    nearest centroids and exact-scores only those lists.
+
+    Scale: the corpus is scored once against nlist centroids (map-side,
+    centroids broadcast), then the search join is an equi-join on list id
+    - candidates per query ~ N * nprobe / nlist.  At 100 TB the lists
+    become the partitioning key of the stored index (write once, probe
+    many)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    corpus_v = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    km = KMeans(k=nlist, seed=seed, maxIter=10)
+    model = km.fit(corpus_v.select("features"))
+    assigned = model.transform(corpus_v).select(
+        "neighbor_id", "c_vec", F.col("prediction").alias("list_id")
+    )
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(centroids, "list_id int, centroid array<double>")
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q_lists = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("c_score", cosine(F.col("q_vec"), F.col("centroid")))
+        .withColumn(
+            "c_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("c_score").desc(), F.col("list_id")
+                )
+            ),
+        )
+        .filter(F.col("c_rank") <= nprobe)
+        .select("query_id", "q_vec", "list_id")
+    )
+    scored = (
+        q_lists.join(assigned, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> float:
+    """Mean per-query recall@k of an approximate result vs the exact
+    brute-force result (the quality gate for LSH/IVF paths)."""
+    a = approx.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    e = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    hits = a.join(e, ["query_id", "neighbor_id"], "inner").groupBy("query_id").count()
+    denom = e.groupBy("query_id").count().withColumnRenamed("count", "n_exact")
+    per_q = denom.join(hits, "query_id", "left").fillna(0, ["count"])
+    row = per_q.agg(
+        F.avg(F.col("count") / F.col("n_exact")).alias("recall")
+    ).collect()[0]
+    return float(row["recall"])

@@ -1,0 +1,153 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+North-star operators (BASELINE.json): language-ID, quality scoring, token
+counting, document fingerprinting - all expressed with built-in
+``pyspark.sql.functions`` so the hot path stays JVM-side /
+whole-stage-codegen'd (no Python UDFs; SURVEY.md §2.2 G56-G58).
+
+Scale posture: each operator is a narrow projection over ``documents`` -
+no shuffle at all until an aggregation is requested, so they pipeline with
+the parquet scan at any data size.  At 100 TB these run as pure map
+stages; the only state is per-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword-ratio
+# language-ID heuristic.  Deliberately small + deterministic (this is a
+# heuristic operator, not a model); real deployments swap in fastText etc.
+# via the same column signature.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por"],
+    "fr": ["le", "la", "les", "des", "une", "est", "dans", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "zh": ["de5", "shi4", "bu4", "wo3", "le5", "zai4", "ren2", "you3"],
+}
+
+
+def tokens(text_col="text") -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def token_count(text_col="text") -> Column:
+    """Whitespace token count - the cheap len() every pipeline needs."""
+    return F.size(tokens(text_col))
+
+
+def bpe_ish_token_count(text_col="text") -> Column:
+    """BPE-ish token estimate: count of maximal runs of word chars,
+    digits, or single punctuation marks (a regex proxy for subword
+    tokenizer output length; deterministic, JVM-side)."""
+    pieces = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"([A-Za-z]+|[0-9]|[^A-Za-z0-9\s])"), 1
+    )
+    return F.size(pieces)
+
+
+def char_count(text_col="text") -> Column:
+    return F.length(F.col(text_col))
+
+
+def punct_ratio(text_col="text") -> Column:
+    """Fraction of characters that are neither word chars nor spaces."""
+    stripped = F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", "")
+    return F.when(
+        F.length(text_col) > 0, F.length(stripped) / F.length(text_col)
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text_col="text", lang: str = "en") -> Column:
+    """Fraction of tokens that are in the language's stopword set."""
+    toks = tokens(text_col)
+    stop = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
+    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text_col="text") -> Column:
+    """Composite [0,1] quality heuristic: rewards mid-length docs, mean
+    word length in natural range, low punctuation density.  Deterministic
+    arithmetic only (portable to the SQL oracle)."""
+    n_tok = token_count(text_col)
+    n_chr = char_count(text_col)
+    mean_word = F.when(n_tok > 0, n_chr / n_tok).otherwise(F.lit(0.0))
+    len_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    word_term = F.when((mean_word >= 3) & (mean_word <= 10), 1.0).otherwise(0.5)
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text_col) * 5, F.lit(1.0))
+    return (len_term + word_term + punct_term) / 3
+
+
+def lang_scores(text_col="text") -> dict[str, Column]:
+    """Per-language marker-hit counts (the n-gram language-ID heuristic's
+    evidence vector)."""
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        stop = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    return out
+
+
+def lang_id(text_col="text") -> Column:
+    """Predicted language = argmax of marker hits (ties -> lexicographically
+    first language; 'und' when no marker hits at all)."""
+    scores = lang_scores(text_col)
+    pairs = F.array(
+        *[
+            F.struct(c.alias("score"), F.lit(lang).alias("lang"))
+            for lang, c in sorted(scores.items())
+        ]
+    )
+    # array_max on struct: lexicographic (score, lang); ties -> max lang,
+    # so negate via sort: pick max score then min lang among maxima.
+    best = F.aggregate(
+        pairs,
+        F.struct(F.lit(-1).alias("score"), F.lit("").alias("lang")),
+        lambda acc, x: F.when(
+            (x["score"] > acc["score"]),
+            x,
+        ).otherwise(acc),
+    )
+    return F.when(best["score"] <= 0, "und").otherwise(best["lang"])
+
+
+def fingerprint(text_col="text") -> Column:
+    """Document fingerprint: md5 over the sorted distinct token bag.
+    Word-order-insensitive (bag semantics), so trivially reshuffled
+    near-copies collide - the cheap first-pass dedup key."""
+    bag = F.array_sort(F.array_distinct(F.transform(tokens(text_col), F.lower)))
+    return F.md5(F.array_join(bag, " "))
+
+
+def rolling_hash(text_col="text", mod: int = 1_000_000_007, base: int = 31) -> Column:
+    """Order-sensitive polynomial rolling hash over token lengths+first
+    chars (portable arithmetic: identical in the SQL oracle).  Cheap
+    order-aware companion to :func:`fingerprint`."""
+    toks = tokens(text_col)
+    contrib = F.transform(
+        toks, lambda t: (F.length(t) * 131 + F.ascii(F.substring(t, 1, 1)))
+    )
+    return F.aggregate(
+        contrib,
+        F.lit(0).cast("bigint"),
+        lambda acc, v: (acc * base + v) % mod,
+    )
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All per-document text stats in one projection (single scan)."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+        punct_ratio(text_col).alias("punct_ratio"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fp"),
+        rolling_hash(text_col).alias("rhash"),
+    )

@@ -1,1 +1,453 @@
-"""Placeholder; filled in as operators land."""
+"""LLM-data-pipeline declared queries (SURVEY.md §2.2 G54-G62): text
+analysis, dedup (exact / jaccard / minhash-LSH / simhash), similarity
+search (brute-force, LSH-ANN, IVF-ANN).
+
+Oracle design notes:
+- Per-row double arithmetic (quality scores, cosines) is emitted RAW: the
+  Spark and DuckDB formulations perform the same IEEE ops in the same
+  order, so the doubles are bit-identical - rounding would only add
+  round-rule drift.
+- The synthetic documents table has no natural duplicates, so dedup
+  queries *plant* duplicates in-query (UNION ALL of id-shifted copies /
+  first-token-dropped copies) - reproducible in SQL on the same views.
+- MinHash/simhash use Spark's xxhash64 (no DuckDB equivalent): those are
+  rows-only declared queries whose quality is pinned by planted-duplicate
+  recall tests in tests/test_llm_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as T
+from . import register
+
+
+# --------------------------------------------------------------------------
+# G56: per-document text stats (token counts, punctuation, quality,
+# fingerprints) - single projection, no shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "text_stats",
+    sql=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(regexp_extract_all(text, '([A-Za-z]+|[0-9]|[^A-Za-z0-9\s])', 1))
+             AS n_bpe_tokens,
+           length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+             / length(text) AS punct_ratio,
+           (least(len(toks) / 100.0, 1.0)
+            + CASE WHEN length(text) / len(toks) >= 3
+                       AND length(text) / len(toks) <= 10
+                   THEN 1.0 ELSE 0.5 END
+            + 1.0 - least(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                          / length(text) * 5, 1.0)) / 3 AS quality,
+           md5(array_to_string(list_sort(list_distinct(
+             list_transform(toks, t -> lower(t)))), ' ')) AS fp,
+           list_reduce(
+             list_transform(toks, t -> cast(length(t) * 131 + ascii(substring(t,1,1)) AS bigint)),
+             (a, b) -> (a * 31 + b) % 1000000007) AS rhash
+    FROM t
+    ORDER BY doc_id
+    """,
+    tags=("G56", "G39", "G47", "G48"),
+    doc="token_count, BPE-ish token estimate, punct ratio, composite "
+    "quality score, bag fingerprint (md5 of sorted distinct tokens), "
+    "order-sensitive rolling hash - all built-ins, one scan, no shuffle.",
+)
+def text_stats(spark, sf_dir):
+    d = Catalog(spark, sf_dir).documents
+    return (
+        d.select(
+            "doc_id",
+            T.token_count().alias("n_tokens"),
+            T.bpe_ish_token_count().alias("n_bpe_tokens"),
+            T.punct_ratio().alias("punct_ratio"),
+            T.quality_score().alias("quality"),
+            T.fingerprint().alias("fp"),
+            T.rolling_hash().alias("rhash"),
+        ).orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# G58 + language-ID: actual vs predicted language breakdown.
+# --------------------------------------------------------------------------
+_LANGS = sorted(T.LANG_MARKERS)
+_SCORE_SQL = {
+    lang: (
+        "len(list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'),"
+        f" t -> lower(t)), t -> list_contains({T.LANG_MARKERS[lang]!r}, t)))"
+    )
+    for lang in _LANGS
+}
+_G = "greatest(" + ", ".join(f"s_{lang}" for lang in _LANGS) + ")"
+_PRED_CASE = (
+    "CASE WHEN " + _G + " <= 0 THEN 'und' "
+    + " ".join(f"WHEN s_{lang} = {_G} THEN '{lang}'" for lang in _LANGS)
+    + " END"
+)
+
+
+@register(
+    "lang_breakdown",
+    sql=f"""
+    WITH scored AS (
+      SELECT lang, source,
+             {', '.join(f'{_SCORE_SQL[lang]} AS s_{lang}' for lang in _LANGS)}
+      FROM documents
+    )
+    SELECT lang, {_PRED_CASE} AS lang_pred, count(*) AS n
+    FROM scored
+    GROUP BY lang, lang_pred
+    ORDER BY lang, lang_pred
+    """,
+    tags=("G58", "G20", "G48"),
+    doc="n-gram/stopword language-ID heuristic (argmax of per-language "
+    "marker hits, lexicographic tie-break, 'und' when no evidence) "
+    "crossed against the labeled lang column.",
+)
+def lang_breakdown(spark, sf_dir):
+    d = Catalog(spark, sf_dir).documents
+    return (
+        d.select("lang", T.lang_id().alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+# --------------------------------------------------------------------------
+# G57: term-frequency table (explode -> count -> top-k).
+# --------------------------------------------------------------------------
+@register(
+    "term_frequency_topk",
+    sql=r"""
+    WITH toks AS (
+      SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS token
+      FROM documents
+    )
+    SELECT token, count(*) AS tf
+    FROM toks
+    WHERE length(token) > 0
+    GROUP BY token
+    ORDER BY tf DESC, token
+    LIMIT 100
+    """,
+    tags=("G57", "G56", "G33"),
+    doc="Corpus term-frequency top-100: explode(split) -> partial+final "
+    "count -> TakeOrdered. The shuffle carries only (token, partial "
+    "count) pairs, never raw text.",
+)
+def term_frequency_topk(spark, sf_dir):
+    d = Catalog(spark, sf_dir).documents
+    return (
+        d.select(F.explode(T.tokens()).alias("token"))
+        .select(F.lower("token").alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# G54: exact dedup over a corpus with planted duplicates.
+# --------------------------------------------------------------------------
+_PLANTED_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+@register(
+    "dedup_exact",
+    sql=f"""
+    WITH corpus AS ({_PLANTED_SQL}),
+    hashed AS (
+      SELECT doc_id, sha256(text) AS content_hash,
+             row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      FROM corpus
+    )
+    SELECT doc_id, content_hash FROM hashed WHERE rn = 1
+    ORDER BY doc_id
+    """,
+    tags=("G54", "G47", "G38"),
+    doc="exact_dedup: sha256 content hash, deterministic min-id survivor "
+    "per hash, over a corpus with planted exact duplicates (id-shifted "
+    "copies of every 3rd doc). One shuffle on the 32-byte hash.",
+)
+def dedup_exact(spark, sf_dir):
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    planted = d.unionByName(
+        d.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return (
+        D.exact_dedup(planted, "text", "doc_id")
+        .select("doc_id", F.sha2("text", 256).alias("content_hash"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_exact_groups",
+    sql=f"""
+    WITH corpus AS ({_PLANTED_SQL})
+    SELECT sha256(text) AS content_hash,
+           count(*) AS n_dups,
+           list_sort(list(doc_id)) AS members
+    FROM corpus
+    GROUP BY sha256(text)
+    HAVING count(*) > 1
+    ORDER BY content_hash
+    """,
+    tags=("G54", "G23"),
+    doc="duplicate_groups: clusters of identical content with sorted "
+    "member lists (only real clusters).",
+)
+def dedup_exact_groups(spark, sf_dir):
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    planted = d.unionByName(
+        d.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return D.duplicate_groups(planted, "text", "doc_id").orderBy("content_hash")
+
+
+# --------------------------------------------------------------------------
+# G55 (exact-math tier): n-gram Jaccard near-dup pairs.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    sql=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             substring(text, strpos(text, ' ') + 1)
+      FROM documents
+      WHERE doc_id % 4 = 0 AND strpos(text, ' ') > 0
+    ),
+    toks AS (
+      SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                    t -> lower(t)) AS t
+      FROM corpus
+    ),
+    ex AS (
+      SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS ord
+      FROM toks
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS sh
+      FROM ex
+      WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+      QUALIFY lead(tok, 2) OVER w IS NOT NULL
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.7
+    ORDER BY id_a, id_b
+    """,
+    tags=("G55", "G44", "G48"),
+    doc="ngram_jaccard_pairs: word-3-gram shingle sets, pairs meet only "
+    "via shared shingles (sparse join, never quadratic), exact Jaccard "
+    ">= 0.7. Corpus has planted near-dups (first-token-dropped copies of "
+    "every 4th doc).",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    perturbed = (
+        d.filter((F.col("doc_id") % 4 == 0) & (F.instr("text", " ") > 0))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+    )
+    corpus = d.unionByName(perturbed)
+    return D.ngram_jaccard_pairs(corpus, "text", "doc_id", n=3, threshold=0.7).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# --------------------------------------------------------------------------
+# G55 (scale tier): MinHash-LSH and SimHash - xxhash64-based, rows-only
+# oracle; recall pinned by planted-duplicate tests.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_minhash_lsh",
+    sql=None,
+    tags=("G55",),
+    doc="minhash_lsh_dedup_pairs: 64 seeded-xxhash64 MinHashes, 16x4 LSH "
+    "bands, equi-join candidates, exact-jaccard verify >= 0.5 over the "
+    "planted near-dup corpus. Engine-specific hashing => rows-only check "
+    "here; recall-vs-jaccard pinned in tests/test_llm_ops.py.",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    perturbed = (
+        d.filter((F.col("doc_id") % 4 == 0) & (F.instr("text", " ") > 0))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+    )
+    corpus = d.unionByName(perturbed)
+    return D.minhash_lsh_dedup_pairs(
+        corpus, "text", "doc_id", n=3, num_hashes=64, bands=16, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_simhash",
+    sql=None,
+    tags=("G55", "G47"),
+    doc="simhash_near_pairs: 64-bit token simhash, 4x16-bit chunk "
+    "blocking (pigeonhole exactness for hamming<=3), bit_count(xor) "
+    "verify. Rows-only (xxhash64); planted-copy recall in tests.",
+)
+def dedup_simhash(spark, sf_dir):
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    planted = d.unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return D.simhash_near_pairs(planted, "text", "doc_id", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# --------------------------------------------------------------------------
+# G59/G60: exact cosine top-k (the ANN baseline).
+# --------------------------------------------------------------------------
+_COS_SQL = """
+      list_reduce(list_transform(range(1, len(qv)+1),
+                                 i -> cast(qv[i] AS double) * cv[i]),
+                  (a, b) -> a + b)
+      / (sqrt(list_reduce(list_transform(qv, x -> cast(x AS double) * x),
+                          (a, b) -> a + b))
+         * sqrt(list_reduce(list_transform(cv, x -> cast(x AS double) * x),
+                            (a, b) -> a + b)))
+"""
+
+
+@register(
+    "sim_topk_bruteforce",
+    sql=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id % 10 = 0),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, {_COS_SQL} AS score
+      FROM q CROSS JOIN c
+      WHERE query_id != neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score, rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    tags=("G59", "G60", "G19", "G34", "G48"),
+    doc="brute_force_topk: exact cosine top-10 for a query subset; query "
+    "set broadcast against the corpus (corpus never shuffles), per-query "
+    "top-k window. Raw double scores - both engines run the identical "
+    "left-fold dot/norm, so values match bit-for-bit.",
+)
+def sim_topk_bruteforce(spark, sf_dir):
+    e = Catalog(spark, sf_dir).embeddings
+    queries = e.filter(F.col("vec_id") % 10 == 0)
+    return S.brute_force_topk(e, queries, k=10).orderBy("query_id", "rank")
+
+
+@register(
+    "sim_top_pairs",
+    sql=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+    scored AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_COS_SQL.replace('qv', 'a.embedding').replace('cv', 'b.embedding')} AS score
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, score
+    FROM scored
+    ORDER BY score DESC, id_a, id_b
+    LIMIT 20
+    """,
+    tags=("G59", "G19", "G33"),
+    doc="Embedding near-dup report: 20 most-similar pairs in a corpus "
+    "subset (the cosine near-dup dedup primitive ranked instead of "
+    "thresholded, so the result is non-trivial on any data).",
+)
+def sim_top_pairs(spark, sf_dir):
+    e = Catalog(spark, sf_dir).embeddings.filter(F.col("vec_id") % 5 == 0)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", S.cosine(F.col("va"), F.col("vb")).alias("score"))
+        .orderBy(F.col("score").desc(), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# G61: approximate NN - LSH and IVF scale paths (rows-only; recall gates
+# in tests/test_llm_ops.py).
+# --------------------------------------------------------------------------
+@register(
+    "sim_lsh_ann",
+    sql=None,
+    tags=("G61",),
+    doc="rp_lsh_topk: 8 random-hyperplane sketch tables (8 bits) with "
+    "hamming-1 multi-probe on the query side, bucket equi-join "
+    "candidates, exact re-rank. Recall@10 vs brute force pinned >= 0.5 "
+    "in tests.",
+)
+def sim_lsh_ann(spark, sf_dir):
+    e = Catalog(spark, sf_dir).embeddings
+    queries = e.filter(F.col("vec_id") % 10 == 0)
+    return S.rp_lsh_topk(e, queries, dim=64, k=10).orderBy("query_id", "rank")
+
+
+@register(
+    "sim_ivf_ann",
+    sql=None,
+    tags=("G61",),
+    doc="ivf_topk: seeded-KMeans coarse quantizer (nlist=16), probe 4 "
+    "lists, exact re-rank within probed lists. Rows-only (KMeans is "
+    "iterative); recall gate in tests.",
+)
+def sim_ivf_ann(spark, sf_dir):
+    e = Catalog(spark, sf_dir).embeddings
+    queries = e.filter(F.col("vec_id") % 10 == 0)
+    return S.ivf_topk(e, queries, k=10, nlist=16, nprobe=4).orderBy(
+        "query_id", "rank"
+    )
