@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every declared query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query is materialized through the noop sink (full plan execution,
+no driver collect, no disk write) - the honest "how fast does the plan
+run" number.  A warmup query amortizes JVM/codegen startup so per-query
+numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kafka_cassandra_plugin_spark.queries import load_all
+from kafka_cassandra_plugin_spark.session import get_spark
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "").strip() or "32"
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    registry = load_all()
+
+    spark = get_spark(
+        "kcp-bench",
+        master=f"local[{cpus}]",
+        overrides={"spark.sql.shuffle.partitions": str(2 * int(cpus))},
+    )
+
+    # warmup: touch every table + run the flagship once (JVM JIT, codegen,
+    # parquet footer cache)
+    registry["agg_pricing_summary"].build(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in sorted(registry):
+        q = registry[name]
+        t0 = time.perf_counter()
+        materialize(q.build(spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_set_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

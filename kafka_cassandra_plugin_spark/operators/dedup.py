@@ -136,16 +136,26 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 3,
                        num_hashes: int = 64) -> DataFrame:
     """num_hashes MinHash values per doc: min over shingles of
-    xxhash64(shingle, seed=i).  One projection, no shuffle; deterministic
-    (seeded xxhash64 is stable across executors/runs)."""
-    sh = shingles(text_col, n)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+    xxhash64(shingle, seed=i).  Deterministic (seeded xxhash64 is stable
+    across executors/runs/cluster sizes).
+
+    Shape: explode shingles once, then num_hashes ``min`` aggregates over
+    the exploded rows (one shuffle by doc id).  The naive alternative - a
+    single projection with num_hashes copies of the shingle-building
+    expression - recomputes tokenization per hash and is ~100x slower at
+    sf0.1; partial aggregation also makes this the formulation that
+    scales (map-side combine leaves one row per doc per partition)."""
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("sh")
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+    aggs = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    per_doc = exploded.groupBy("id").agg(*aggs)
+    return per_doc.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
@@ -217,26 +227,33 @@ def minhash_lsh_dedup_pairs(df: DataFrame, text_col: str = "text",
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 64) -> DataFrame:
     """64-bit SimHash over tokens: per-bit majority vote of token hashes.
-    Expressed as bit-arithmetic over xxhash64 values with aggregate() -
-    JVM-side, deterministic."""
-    toks = F.transform(tokens(text_col), F.lower)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bit_cols = []
-    for i in range(bits):
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        bit_cols.append(
-            F.when(votes > 0, F.lit(1).cast("bigint") * (2**i if i < 63 else -(2**63)))
-            .otherwise(F.lit(0).cast("bigint"))
-        )
+
+    Shape: explode tokens once, hash each token once, then ``bits``
+    conditional-sum aggregates (map-side combined) - one shuffle by doc
+    id, no repeated tokenization (same scale rationale as
+    :func:`minhash_signatures`)."""
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.transform(tokens(text_col), F.lower)).alias("tok"),
+    ).select("id", F.xxhash64("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    per_doc = exploded.groupBy("id").agg(*votes)
+    bit_cols = [
+        F.when(
+            F.col(f"v{i}") > 0,
+            F.lit(1).cast("bigint") * (2**i if i < 63 else -(2**63)),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for i in range(bits)
+    ]
     sig = bit_cols[0]
     for c in bit_cols[1:]:
         sig = sig + c
-    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+    return per_doc.select("id", sig.alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",

@@ -36,20 +36,26 @@ _ORDERS_KV_SQL = (
 # --------------------------------------------------------------------------
 @register(
     "kv_point_lookup",
-    sql=f"""
-    WITH kv AS ({_ORDERS_KV_SQL})
-    SELECT key, value FROM kv
-    WHERE key IN ('1', '500', '1500', '29000', '999999')
+    sql="""
+    SELECT cast(o_orderkey AS varchar) AS key, o_orderstatus AS value
+    FROM orders
+    WHERE o_orderkey IN (1, 500, 1500, 29000, 999999)
     ORDER BY key
     """,
     tags=("R1", "R3", "G8"),
-    doc="kv_get over a derived KV table - SELECT value FROM kv WHERE key=? "
-    "(CassandraListenerRegistry.scala:27) generalized to a key list; the "
-    "IN filter pushes to the scan.",
+    doc="kv_get over a kv view of orders - SELECT value FROM kv WHERE "
+    "key=? (CassandraListenerRegistry.scala:27) generalized to a key "
+    "list. The lookup runs on the NATIVE key column so the IN predicate "
+    "reaches the parquet scan (a string-cast key would block pushdown - "
+    "pinned by tests/test_plans.py); the text kv shape is projected "
+    "after the filter.",
 )
 def kv_point_lookup(spark, sf_dir):
-    kv = _orders_kv(spark, sf_dir)
-    return KV.kv_get(kv, ["1", "500", "1500", "29000", "999999"]).orderBy("key")
+    o = Catalog(spark, sf_dir).orders
+    kv_native = o.select(F.col("o_orderkey").alias("key"),
+                         F.col("o_orderstatus").alias("value"))
+    hits = KV.kv_get(kv_native, [1, 500, 1500, 29000, 999999])
+    return hits.select(F.col("key").cast("string").alias("key"), "value").orderBy("key")
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,115 @@
+"""Stateful streaming watcher (S8/S10) - the ValueWatcher's true twin.
+
+``watch_value_changes`` maintains last-seen value per key in Spark's
+state store (``applyInPandasWithState``), emitting a change row exactly
+when a freshly observed value differs from the cached one - the same
+compare-and-fire as ``ValueWatcher.run()``
+(CacheListenerRegistry.scala:43-61), with the cache promoted from an
+in-process HashMap to partitioned, checkpointed state.
+
+``ListenerHub`` is the foreachBatch fan-out (R13,
+CassandraLeaderElection.scala:129-134): registered Python callbacks get
+each micro-batch of change events.  Unlike the reference's synchronized
+multicast (best-effort, in-process), delivery here is per-micro-batch
+with checkpointed source offsets: replayable, at-least-once.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+
+def watch_value_changes(stream: DataFrame, key_col: str = "key",
+                        value_col: str = "value",
+                        ts_col: str = "poll_ts") -> DataFrame:
+    """Emit (key, poll_ts, old_value, new_value) whenever a key's value
+    differs from the last observed value (state = last value per key;
+    first observation fires with old_value=null, like the watcher's
+    initial None cache).
+
+    Scale: state is partitioned by key across executors and persisted in
+    the checkpoint; within a micro-batch rows are folded in ts order, so
+    a batch containing several flips emits each transition (stronger than
+    the reference's poll coalescing, which loses intermediate values)."""
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("poll_ts", TimestampNTZType()),
+            StructField("old_value", StringType()),
+            StructField("new_value", StringType()),
+        ]
+    )
+    state_schema = StructType([StructField("last", StringType())])
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        last = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            for t, v in zip(pdf[ts_col], pdf[value_col]):
+                if v != last:
+                    rows.append((key[0], t, last, v))
+                    last = v
+        state.update((last,))
+        yield pd.DataFrame(
+            rows, columns=["key", "poll_ts", "old_value", "new_value"]
+        )
+
+    renamed = stream.selectExpr(
+        f"{key_col} AS key", f"{value_col} AS value", f"{ts_col} AS poll_ts"
+    )
+    return (
+        renamed.groupBy("key")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+class ListenerHub:
+    """foreachBatch listener fan-out (R13): registered callbacks receive
+    each micro-batch of change events as a pandas DataFrame.  Use:
+
+        hub = ListenerHub()
+        hub.add_listener(lambda pdf: ...)
+        changes = watch_value_changes(stream)
+        q = changes.writeStream.foreachBatch(hub) \\
+             .option("checkpointLocation", ckpt).start()
+
+    Mirrors addValueChangeListener / removeValueChangeListener refcounting
+    (CacheListenerRegistry.scala:130-172) minus the poll-task lifecycle,
+    which Spark's query lifecycle owns (start/stop the StreamingQuery).
+    """
+
+    def __init__(self) -> None:
+        self._listeners: list[Callable[[pd.DataFrame], None]] = []
+
+    def add_listener(self, fn: Callable[[pd.DataFrame], None]) -> None:
+        self._listeners.append(fn)
+
+    def remove_listener(self, fn: Callable[[pd.DataFrame], None]) -> None:
+        self._listeners.remove(fn)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if not self._listeners:
+            return
+        pdf = batch_df.toPandas()
+        if pdf.empty:
+            return
+        for fn in list(self._listeners):
+            fn(pdf)

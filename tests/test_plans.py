@@ -1,0 +1,83 @@
+"""Plan-shape regression tests: pin the physical-plan properties that
+matter at 100 TB (pushdown, pruning, broadcast, shuffle budgets) for
+representative declared queries.  A silent plan regression (lost
+pushdown, a new shuffle) fails here even though answers stay right."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_cassandra_plugin_spark import plans as P
+from kafka_cassandra_plugin_spark.queries import load_all
+
+REG = load_all()
+
+
+@pytest.fixture(scope="module")
+def q(spark, oracle_sf_dir):
+    def build(name):
+        return REG[name].build(spark, oracle_sf_dir)
+
+    return build
+
+
+class TestPushdown:
+    def test_shipdate_filter_reaches_scan(self, q):
+        P.assert_filter_pushed(q("agg_pricing_summary"), "l_shipdate")
+
+    def test_predicates_reach_scan(self, q):
+        P.assert_filter_pushed(q("filter_predicates"), "o_totalprice")
+
+    def test_point_lookup_in_filter_pushed(self, q):
+        # kv lookup: the IN list must reach the parquet scan (R1 pushdown,
+        # the Spark analog of Cassandra PK-restricted SELECT)
+        P.assert_filter_pushed(q("kv_point_lookup"), "o_orderkey")
+
+
+class TestPruning:
+    def test_q1_reads_only_needed_columns(self, q):
+        # lineitem has 11 columns; Q1 needs 7
+        P.assert_column_pruned(q("agg_pricing_summary"), table_cols=11, max_cols=7)
+
+    def test_topk_reads_three_columns(self, q):
+        P.assert_column_pruned(q("sort_topk_orders"), table_cols=6, max_cols=3)
+
+
+class TestJoinStrategy:
+    def test_star_join_broadcasts_dims(self, q):
+        # customer/nation/region must broadcast; only lineitem<->orders may shuffle
+        df = q("join_star_revenue")
+        P.assert_broadcast(df, at_least=3)
+
+    def test_range_bands_is_broadcast_nlj(self, q):
+        df = q("join_range_bands")
+        assert P.count_broadcast_joins(df) >= 1
+        # the part table itself must not shuffle for the join (agg may)
+        P.assert_max_shuffles(df, budget=2)
+
+    def test_topk_is_take_ordered(self, q):
+        assert "TakeOrderedAndProject" in P.formatted_plan(q("sort_topk_orders"))
+
+
+class TestShuffleBudgets:
+    @pytest.mark.parametrize(
+        "name,budget",
+        [
+            ("agg_pricing_summary", 1),   # one agg shuffle (+ sort collapses into TakeOrdered/AQE)
+            ("window_lag_change", 1),     # one shuffle by user_id
+            ("dedup_latest_per_key", 1),  # one shuffle by custkey
+            ("term_frequency_topk", 1),   # explode is map-side; one count shuffle
+            ("text_stats", 0),            # pure projection: NO shuffle at all
+        ],
+    )
+    def test_shuffle_budget(self, q, name, budget):
+        df = q(name)
+        # +1 tolerance for the final global orderBy (range exchange) the
+        # oracle protocol demands; the operator itself must fit `budget`.
+        P.assert_max_shuffles(df, budget=budget + 1)
+
+
+class TestCodegen:
+    def test_hot_queries_are_codegened(self, q):
+        for name in ["agg_pricing_summary", "join_star_revenue", "fn_string"]:
+            assert P.wholestage_codegen_ids(q(name)), f"{name} lost codegen"

@@ -1,0 +1,192 @@
+"""Batch<->stream equivalence tests (SURVEY.md §2.3 harness): run the
+same rows through a bounded file-source stream (availableNow) and compare
+the final output against the batch formulation of the same query.
+
+Covers: S1 (trigger cadence - availableNow stands in for processing-time
+in bounded tests), S4 tumbling, S5 sliding, S6 session windows, S7
+streaming dedup, S8 stateful value-watch vs the G29 lag formulation, S10
+foreachBatch listener fan-out, S11 checkpointed parquet sink round-trip.
+Plus the Kafka/Cassandra option-builder plumbing (G3/G4) that needs no
+infrastructure.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_cassandra_plugin_spark import sources
+from kafka_cassandra_plugin_spark import streaming as ST
+from kafka_cassandra_plugin_spark.catalog import Catalog
+from kafka_cassandra_plugin_spark.operators import changes as C
+
+
+@pytest.fixture(scope="module")
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="kcp_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return Catalog(spark, sf_dir).events
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, events, tmpdir):
+    return ST.replay_stream(spark, events, f"{tmpdir}/events_replay")
+
+
+def canon(df, *order):
+    return [tuple(str(x) for x in r) for r in df.orderBy(*order).collect()]
+
+
+class TestWindowEquivalence:
+    def test_tumbling(self, spark, events, events_stream):
+        batch = ST.tumbling_window_agg(events, "6 hours", group_cols=("event_type",))
+        stream = ST.tumbling_window_agg(events_stream, "6 hours", group_cols=("event_type",))
+        # complete mode: append would withhold the final windows (the
+        # watermark never passes them before the bounded stream ends)
+        out = ST.run_to_memory(stream, output_mode="complete")
+        assert canon(out, "w_start", "event_type") == canon(
+            batch, "w_start", "event_type"
+        )
+
+    def test_sliding(self, spark, events, events_stream):
+        batch = ST.sliding_window_agg(events, "12 hours", "6 hours")
+        out = ST.run_to_memory(
+            ST.sliding_window_agg(events_stream, "12 hours", "6 hours"),
+            output_mode="complete",
+        )
+        assert canon(out, "w_start") == canon(batch, "w_start")
+
+    def test_session(self, spark, events, events_stream):
+        batch = ST.session_window_agg(events, "2 hours")
+        out = ST.run_to_memory(
+            ST.session_window_agg(events_stream, "2 hours"), output_mode="complete"
+        )
+        assert canon(out, "user_id", "s_start") == canon(batch, "user_id", "s_start")
+
+
+class TestDedupEquivalence:
+    def test_streaming_dedup_keys(self, spark, events, events_stream):
+        keys = ["user_id", "event_type"]
+        batch_keys = {
+            tuple(r) for r in events.select(*keys).distinct().collect()
+        }
+        out = ST.run_to_memory(
+            ST.streaming_dedup(events_stream, keys), output_mode="append"
+        )
+        stream_keys = {tuple(r) for r in out.select(*keys).collect()}
+        # streaming dedup keeps exactly one row per live key
+        assert stream_keys == batch_keys
+        assert out.groupBy(*keys).count().filter("count > 1").count() == 0
+
+
+class TestValueWatch:
+    def test_stateful_watch_matches_lag_formulation(self, spark, events, events_stream):
+        # stream: stateful last-value watcher; batch: the G29 lag window
+        snapshots = events.select(
+            F.col("user_id").cast("string").alias("key"),
+            F.col("event_type").alias("value"),
+            F.col("ts").alias("poll_ts"),
+        )
+        batch = C.value_changes(snapshots, ["key"], "value", "poll_ts")
+        stream_src = events_stream.select(
+            F.col("user_id").cast("string").alias("key"),
+            F.col("event_type").alias("value"),
+            F.col("ts").alias("poll_ts"),
+        )
+        out = ST.run_to_memory(
+            ST.watch_value_changes(stream_src), output_mode="append"
+        )
+        assert canon(out, "key", "poll_ts") == canon(batch, "key", "poll_ts")
+
+
+class TestListenerFanout:
+    def test_foreach_batch_multicast(self, spark, events_stream, tmpdir):
+        hub = ST.ListenerHub()
+        seen_a, seen_b = [], []
+        hub.add_listener(lambda pdf: seen_a.append(len(pdf)))
+        hub.add_listener(lambda pdf: seen_b.append(len(pdf)))
+        changes = ST.watch_value_changes(
+            events_stream.select(
+                F.col("user_id").cast("string").alias("key"),
+                F.col("event_type").alias("value"),
+                F.col("ts").alias("poll_ts"),
+            )
+        )
+        q = (
+            changes.writeStream.foreachBatch(hub)
+            .option("checkpointLocation", f"{tmpdir}/ckpt_hub")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert sum(seen_a) > 0
+        assert seen_a == seen_b  # every listener saw every batch (R13)
+
+
+class TestCheckpointedSink:
+    def test_parquet_sink_roundtrip(self, spark, events, events_stream, tmpdir):
+        out_dir = f"{tmpdir}/sink_out"
+        q = (
+            events_stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{tmpdir}/ckpt_sink")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        back = spark.read.parquet(out_dir)
+        assert back.count() == events.count()
+        assert canon(back, "event_id") == canon(events, "event_id")
+
+
+class TestStreamStaticJoin:
+    def test_enrich_with_dim(self, spark, events, events_stream):
+        dim = events.sparkSession.createDataFrame(
+            [("purchase", 1), ("error", 2)], "event_type string, weight int"
+        )
+        batch = ST.stream_static_join(events, dim, "event_type")
+        out = ST.run_to_memory(
+            ST.stream_static_join(events_stream, dim, "event_type"),
+            output_mode="append",
+        )
+        assert out.count() == batch.count()
+
+
+class TestEndpointPlumbing:
+    def test_kafka_source_plumbing_no_broker(self, spark):
+        # The option builder must produce a streaming DF with the standard
+        # kafka projection; starting the query would need a broker.
+        try:
+            df = sources.kafka_stream(
+                spark, "localhost:9092", "events", value_schema="k int"
+            )
+        except Exception as ex:
+            pytest.skip(f"kafka connector not on classpath: {ex}")
+        assert df.isStreaming
+        assert {"key", "value", "topic", "partition", "offset"} <= set(df.columns)
+
+    def test_cassandra_lwt_statements(self):
+        sink = sources.CassandraLwtForeachBatch(
+            ["c1"], "ks", "leader_election", "insert_if_not_exists"
+        )
+        assert (
+            sink.build_statement(["resource", "owner", "sup_data"])
+            == "INSERT INTO ks.leader_election (resource, owner, sup_data) "
+            "VALUES (?, ?, ?) IF NOT EXISTS"
+        )
+        upd = sources.CassandraLwtForeachBatch(
+            ["c1"], "ks", "leader_election", "update_if_guard", guard_col="owner"
+        )
+        assert (
+            upd.build_statement(["resource", "owner", "sup_data"])
+            == "UPDATE ks.leader_election SET owner = ?, sup_data = ? "
+            "WHERE resource = ? IF owner = ?"
+        )
