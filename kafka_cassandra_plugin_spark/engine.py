@@ -1,0 +1,86 @@
+"""User-facing engine facade.
+
+The reference's entry point is ``CassandraPluginLocator.startup(config)``
+returning module handles (getLeaderElection / getListenerRegistry,
+CassandraPluginLocator.scala:32-53).  The Spark-native equivalent: an
+``Engine`` constructed over a SparkSession + table directory, exposing
+
+- the relational surface (``table`` / ``sql`` - Catalyst does the rest),
+- the reference-semantics library (kv/cas/lease/cdc) bound to DataFrames,
+- the LLM-pipeline operators (dedup / similarity / text / multimodal),
+- streaming pipelines (watch -> foreachBatch fan-out / sinks).
+
+    from kafka_cassandra_plugin_spark import Engine
+    eng = Engine.start(sf_dir="/data/tables")
+    eng.sql("SELECT count(*) FROM lineitem").show()
+    live = eng.lease_view(leases, now="2024-01-30 00:00:00", ttl_seconds=2)
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import Catalog
+from .operators import changes as _changes
+from .operators import dedup as _dedup
+from .operators import kv as _kv
+from .operators import similarity as _similarity
+from .operators import text as _text
+from .session import get_spark
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.catalog = Catalog(spark, sf_dir)
+
+    @classmethod
+    def start(cls, sf_dir: str, app_name: str = "kcp-engine",
+              master: str | None = None,
+              overrides: dict[str, str] | None = None) -> "Engine":
+        """startup() analog (CassandraPluginLocator.scala:32): build the
+        session with engine defaults and register every table as a view
+        so ``sql()`` works immediately."""
+        eng = cls(get_spark(app_name, master, overrides), sf_dir)
+        eng.catalog.register_views()
+        return eng
+
+    # -- relational surface -------------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        return self.catalog.table(name)
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    # -- KV / CAS / lease (operators/kv.py) ---------------------------------
+    def kv_get(self, kv: DataFrame, keys: Iterable, key_col: str = "key"):
+        return _kv.kv_get(kv, keys, key_col)
+
+    kv_put = staticmethod(_kv.kv_put)
+    kv_update = staticmethod(_kv.kv_update)
+    cas_insert = staticmethod(_kv.cas_insert)
+    cas_update = staticmethod(_kv.cas_update)
+    cas_delete = staticmethod(_kv.cas_delete)
+    lease_view = staticmethod(_kv.lease_view)
+    current_leaders = staticmethod(_kv.current_leaders)
+    leader_timeline = staticmethod(_kv.leader_timeline)
+
+    # -- CDC (operators/changes.py) -----------------------------------------
+    value_changes = staticmethod(_changes.value_changes)
+    keyset_changes = staticmethod(_changes.keyset_changes)
+    snapshot_diff = staticmethod(_changes.snapshot_diff)
+    latest_snapshot = staticmethod(_changes.latest_snapshot)
+    replay = staticmethod(_changes.replay)
+
+    # -- LLM pipeline ops ----------------------------------------------------
+    exact_dedup = staticmethod(_dedup.exact_dedup)
+    duplicate_groups = staticmethod(_dedup.duplicate_groups)
+    ngram_jaccard_pairs = staticmethod(_dedup.ngram_jaccard_pairs)
+    minhash_lsh_dedup_pairs = staticmethod(_dedup.minhash_lsh_dedup_pairs)
+    simhash_near_pairs = staticmethod(_dedup.simhash_near_pairs)
+    brute_force_topk = staticmethod(_similarity.brute_force_topk)
+    rp_lsh_topk = staticmethod(_similarity.rp_lsh_topk)
+    ivf_topk = staticmethod(_similarity.ivf_topk)
+    text_profile = staticmethod(_text.text_profile)

@@ -53,5 +53,6 @@ def load_all() -> dict[str, Query]:
     from . import scalar_fns  # noqa: F401
     from . import reference_ops  # noqa: F401
     from . import llm_ops  # noqa: F401
+    from . import coverage  # noqa: F401
 
     return REGISTRY
