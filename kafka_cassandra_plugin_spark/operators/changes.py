@@ -102,12 +102,19 @@ def latest_snapshot(snapshots: DataFrame, key_cols: Sequence[str],
 def replay(changelog: DataFrame, key_cols: Sequence[str],
            ts_col: str = "poll_ts") -> DataFrame:
     """Reconstruct the final snapshot from a :func:`value_changes` log:
-    apply the last change per key.  Property (tested): for any snapshot
-    history H, ``replay(value_changes(H)) == latest_snapshot(H)`` - the
-    completeness contract of poll-based CDC."""
+    apply the last change per key, dropping keys whose final value is
+    null - in the KV model a null value IS absence (the watcher's
+    Option.None cache state), so a trailing null change is a deletion.
+
+    Property (hypothesis-tested): for any snapshot history H,
+    ``replay(value_changes(H)) == latest_snapshot(H) where value is not
+    null`` - the completeness contract of poll-based CDC.  (Found by the
+    property test: a key only ever observed as null must NOT appear in
+    the replayed snapshot.)"""
     w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).desc())
     return (
         changelog.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
+        .filter(F.col("new_value").isNotNull())
         .select(*key_cols, F.col("new_value").alias("value"), F.col(ts_col))
     )

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from . import ensure_min_parallelism
 from .text import tokens
 
 
@@ -72,14 +73,33 @@ def duplicate_groups(df: DataFrame, content_col: str = "text",
 # --------------------------------------------------------------------------
 
 def shingles(text_col: str = "text", n: int = 3):
-    """Distinct word n-gram shingle array (lowercased).  Built with
-    transform over token index - JVM-side, no UDF."""
+    """Distinct word n-gram shingle array (lowercased) as a single column
+    expression.  WARNING: the tokenization sits inside the transform
+    lambda, so engines may re-evaluate it per shingle index - use
+    :func:`with_shingles` in operators (it stages the token array in its
+    own projection, evaluated once per row; measured ~8x faster at
+    sf0.1)."""
     toks = F.transform(tokens(text_col), F.lower)
+    return _shingles_of(toks, n)
+
+
+def _shingles_of(toks, n: int):
     k = F.size(toks) - (n - 1)
     idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     )
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
+                  out: str = "sh") -> DataFrame:
+    """``df`` plus a distinct-shingle array column.  Two staged
+    projections: the token array is materialized first, so the per-index
+    slice lambda references a computed column instead of re-tokenizing
+    the text per shingle (Catalyst keeps the stage split because the
+    token expression is non-cheap and multiply referenced)."""
+    df = df.withColumn("__toks", F.transform(tokens(text_col), F.lower))
+    return df.withColumn(out, _shingles_of(F.col("__toks"), n)).drop("__toks")
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
@@ -95,8 +115,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     drops ubiquitous shingles that would otherwise dominate fanout at
     scale (the classic stop-shingle optimization).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("sh")
+    sh = with_shingles(ensure_min_parallelism(df), text_col, n, out="__sh").select(
+        F.col(id_col).alias("id"), F.explode("__sh").alias("sh")
     )
     if max_shingle_freq is not None:
         freq_ok = (
@@ -111,9 +131,19 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # per-doc sizes scale with #docs, pairs with #shared-shingles; hint
+    # the doc-side broadcast so the (much larger) pair table never
+    # re-shuffles - AQE would eventually learn this, the hint makes it
+    # unconditional
     ja = (
-        common.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        common.join(
+            F.broadcast(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"})),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"})),
+            "id_b",
+        )
         .withColumn(
             "jaccard",
             F.round(
@@ -145,8 +175,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     expression - recomputes tokenization per hash and is ~100x slower at
     sf0.1; partial aggregation also makes this the formulation that
     scales (map-side combine leaves one row per doc per partition)."""
-    exploded = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("sh")
+    exploded = with_shingles(ensure_min_parallelism(df), text_col, n, out="__sh").select(
+        F.col(id_col).alias("id"), F.explode("__sh").alias("sh")
     )
     aggs = [
         F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
@@ -200,8 +230,8 @@ def minhash_lsh_dedup_pairs(df: DataFrame, text_col: str = "text",
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
+    sh = with_shingles(ensure_min_parallelism(df), text_col, n, out="sh").select(
+        F.col(id_col).alias("id"), "sh"
     )
     verified = (
         cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
@@ -232,7 +262,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     conditional-sum aggregates (map-side combined) - one shuffle by doc
     id, no repeated tokenization (same scale rationale as
     :func:`minhash_signatures`)."""
-    exploded = df.select(
+    exploded = ensure_min_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.transform(tokens(text_col), F.lower)).alias("tok"),
     ).select("id", F.xxhash64("tok").alias("h"))

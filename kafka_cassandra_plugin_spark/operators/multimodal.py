@@ -29,6 +29,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from . import ensure_min_parallelism
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -97,7 +99,8 @@ def decode_features(media: DataFrame, payload_col: str = "payload",
                 out[batch_note_col] = len(pdf)
             yield out
 
-    return media.select(id_col, payload_col).mapInPandas(kernel, schema)
+    media = ensure_min_parallelism(media.select(id_col, payload_col))
+    return media.mapInPandas(kernel, schema)
 
 
 def resize_plan(media: DataFrame, max_w: int = 224, max_h: int = 224) -> DataFrame:

@@ -28,6 +28,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from . import ensure_min_parallelism
+
 
 def dot(a, b) -> Column:
     """Dot product of two array columns (double math via zip_with +
@@ -70,7 +72,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    c = ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     score = (
@@ -117,6 +119,7 @@ def rp_sketch(df: DataFrame, dim: int, n_planes: int = 16, seed: int = 42,
     """Sign-bit sketch: bit i = sign(v . plane_i), packed into a bigint
     bucket key.  Pure column arithmetic - the hyperplane constants are
     literals folded into codegen."""
+    df = ensure_min_parallelism(df)
     bits = []
     for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
         lit_plane = F.array(*[F.lit(float(x)) for x in plane])
@@ -143,40 +146,82 @@ def rp_lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     tiny by assumption - fans out x(n_planes+1), while the corpus side
     stays one row per table.  This is what makes sign-bit LSH usable on
     weakly-clustered data without growing the corpus-side index."""
-    cand_frames = []
+    # Hyperplanes travel as a broadcast DATA table, not as literals: a
+    # literal formulation (n_tables x n_planes x dim = 4096 constants in
+    # the expression tree) produced megabyte codegen units whose
+    # compilation dominated wall time AND poisoned the JVM for subsequent
+    # queries.  Here the sketch is: broadcast-NLJ (vector x plane) ->
+    # sign bit -> one keyed aggregation packing bits into per-table
+    # bucket keys.  Tiny plan, and the shape every cluster size runs
+    # well: the only shuffle is the bit-packing agg keyed by vector id.
+    spark = corpus.sparkSession
+    plane_rows = []
     for t in range(n_tables):
-        cs = rp_sketch(corpus, dim, n_planes, seed=42 + t, id_col=id_col, vec_col=vec_col)
-        qs = rp_sketch(queries, dim, n_planes, seed=42 + t, id_col=id_col, vec_col=vec_col)
-        if multiprobe:
-            probes = F.array(
-                F.col("bucket"),
-                *[
-                    F.col("bucket").bitwiseXOR(F.lit(2**i).cast("bigint"))
-                    for i in range(n_planes)
-                ],
+        for i, plane in enumerate(_hyperplanes(dim, n_planes, seed=42 + t)):
+            plane_rows.append((t, i, [float(x) for x in plane]))
+    planes_df = spark.createDataFrame(
+        plane_rows, "tbl int, pidx int, plane array<double>"
+    )
+
+    def sketch(df: DataFrame) -> DataFrame:
+        base = ensure_min_parallelism(df).select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        )
+        bits = (
+            base.crossJoin(F.broadcast(planes_df))
+            .select(
+                "id", "tbl", "pidx",
+                dot(F.col("vec"), F.col("plane")).alias("d"),
             )
-            qs = qs.select(
-                "id", "vec", F.explode(probes).alias("bucket")
-            )
-        cand_frames.append(
-            qs.select(
-                F.col("id").alias("query_id"),
-                F.col("vec").alias("q_vec"),
-                "bucket",
-            ).join(
-                cs.select(
-                    F.col("id").alias("neighbor_id"),
-                    F.col("vec").alias("c_vec"),
-                    "bucket",
-                ),
-                "bucket",
+            .select(
+                "id",
+                "tbl",
+                F.expr(
+                    "CASE WHEN d >= 0 THEN shiftleft(CAST(1 AS BIGINT), pidx) "
+                    "ELSE CAST(0 AS BIGINT) END"
+                ).alias("bit"),
             )
         )
-    cands = cand_frames[0]
-    for f in cand_frames[1:]:
-        cands = cands.unionByName(f)
+        buckets = bits.groupBy("id").pivot("tbl", list(range(n_tables))).sum("bit")
+        vecs = base
+        return vecs.join(
+            buckets.select(
+                "id", *[F.col(str(t)).alias(f"__b{t}") for t in range(n_tables)]
+            ),
+            "id",
+        )
+
+    def explode_probes(df: DataFrame, probe: bool) -> DataFrame:
+        entries = []
+        for t in range(n_tables):
+            b = F.col(f"__b{t}")
+            if probe and multiprobe:
+                # hamming-1 multi-probe: the query also visits every
+                # bucket one bit-flip away (query side is tiny; corpus
+                # side stays one row per table)
+                for bb in [b] + [
+                    b.bitwiseXOR(F.lit(2**i).cast("bigint"))
+                    for i in range(n_planes)
+                ]:
+                    entries.append(F.struct(F.lit(t).alias("tbl"), bb.alias("bucket")))
+            else:
+                entries.append(F.struct(F.lit(t).alias("tbl"), b.alias("bucket")))
+        return df.select(
+            "id", "vec", F.explode(F.array(*entries)).alias("tb")
+        ).select("id", "vec", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+    def sketch_exploded(df: DataFrame, probe: bool) -> DataFrame:
+        return explode_probes(sketch(df), probe)
+
+    cs = sketch_exploded(corpus, probe=False).withColumnsRenamed(
+        {"id": "neighbor_id", "vec": "c_vec"}
+    )
+    qs = sketch_exploded(queries, probe=True).withColumnsRenamed(
+        {"id": "query_id", "vec": "q_vec"}
+    )
     cands = (
-        cands.filter(F.col("query_id") != F.col("neighbor_id"))
+        qs.join(cs, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "q_vec", "neighbor_id", "c_vec")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -210,7 +255,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    corpus_v = corpus.select(
+    corpus_v = ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),

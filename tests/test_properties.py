@@ -1,0 +1,137 @@
+"""Hypothesis property tests (SURVEY.md §5.2 item 4): invariants that
+must hold for ARBITRARY inputs, not just the synthetic tables.
+
+Example counts are kept small (each example is a Spark job); the
+properties are the point:
+- CDC completeness: replaying the change log reconstructs exactly the
+  latest snapshot (the precise contract poll-based CDC provides).
+- Dedup idempotence: dedup(dedup(x)) == dedup(x).
+- CAS insert: existing rows are never modified; new keys all land.
+- Lease safety: at any instant, at most one owner per resource, and
+  never an expired or future heartbeat.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kafka_cassandra_plugin_spark.operators import changes as C
+from kafka_cassandra_plugin_spark.operators import dedup as D
+from kafka_cassandra_plugin_spark.operators import kv as KV
+
+KEYS = st.sampled_from(["k1", "k2", "k3"])
+VALUES = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
+TS0 = dt.datetime(2024, 1, 1)
+
+snapshot_histories = st.lists(
+    st.tuples(KEYS, st.integers(0, 20), VALUES), min_size=0, max_size=25
+).map(
+    lambda rows: [
+        (k, TS0 + dt.timedelta(seconds=s), v) for k, s, v in rows
+    ]
+)
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+class TestCdcCompleteness:
+    @SLOW
+    @given(hist=snapshot_histories)
+    def test_replay_reconstructs_latest(self, spark, hist):
+        # one poll per (key, ts): keep the last value per poll instant
+        dedup_hist = {}
+        for k, t, v in hist:
+            dedup_hist[(k, t)] = v
+        rows = [(k, t, v) for (k, t), v in dedup_hist.items()]
+        if not rows:
+            return
+        df = spark.createDataFrame(
+            rows, "key string, poll_ts timestamp_ntz, value string"
+        )
+        replayed = {
+            (r.key, r.value)
+            for r in C.replay(C.value_changes(df, ["key"]), ["key"]).collect()
+        }
+        # null value == absent key (Option.None): the contract is
+        # "replay reconstructs the non-null portion of the snapshot"
+        latest = {
+            (r.key, r.value)
+            for r in C.latest_snapshot(df, ["key"]).collect()
+            if r.value is not None
+        }
+        assert replayed == latest
+
+
+class TestDedupIdempotence:
+    @SLOW
+    @given(
+        texts=st.lists(st.sampled_from(["x y z", "x y", "q r s", "q r"]),
+                       min_size=1, max_size=12)
+    )
+    def test_exact_dedup_idempotent(self, spark, texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        once = D.exact_dedup(df, "text", "doc_id")
+        twice = D.exact_dedup(once, "text", "doc_id")
+        a = sorted(tuple(r) for r in once.collect())
+        b = sorted(tuple(r) for r in twice.collect())
+        assert a == b
+        assert len(a) == len(set(texts))
+
+
+class TestCasInvariants:
+    @SLOW
+    @given(
+        cur=st.dictionaries(KEYS, st.sampled_from(["a", "b"]), max_size=3),
+        new=st.dictionaries(KEYS, st.sampled_from(["x", "y"]), max_size=3),
+    )
+    def test_cas_insert_never_mutates_existing(self, spark, cur, new):
+        cur_df = spark.createDataFrame(
+            list(cur.items()) or [("__none", "v")], "key string, value string"
+        )
+        new_df = spark.createDataFrame(
+            list(new.items()) or [("__none2", "v")], "key string, value string"
+        )
+        out = {r.key: r.value for r in KV.cas_insert(cur_df, new_df, ["key"]).collect()}
+        for k, v in (cur or {"__none": "v"}).items():
+            assert out[k] == v  # existing rows untouched
+        for k, v in (new or {"__none2": "v"}).items():
+            assert k in out  # every contended/new key present exactly once
+
+
+class TestLeaseSafety:
+    @SLOW
+    @given(
+        beats=st.lists(
+            st.tuples(
+                st.sampled_from(["r1", "r2"]),
+                st.sampled_from(["alice", "bob", "carol"]),
+                st.integers(0, 30),
+            ),
+            min_size=1,
+            max_size=20,
+        ),
+        now_s=st.integers(0, 35),
+        ttl=st.integers(1, 10),
+    )
+    def test_single_owner_within_ttl(self, spark, beats, now_s, ttl):
+        df = spark.createDataFrame(
+            [(r, o, TS0 + dt.timedelta(seconds=s)) for r, o, s in beats],
+            "resource string, owner string, write_ts timestamp_ntz",
+        )
+        now = TS0 + dt.timedelta(seconds=now_s)
+        leaders = KV.current_leaders(df, now, ttl).collect()
+        # at most one owner per resource
+        assert len({r.resource for r in leaders}) == len(leaders)
+        for r in leaders:
+            age = (now - r.write_ts).total_seconds()
+            assert 0 <= age < ttl  # in-window, never future, never expired
