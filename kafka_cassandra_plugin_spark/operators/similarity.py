@@ -182,14 +182,15 @@ def rp_lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
                 ).alias("bit"),
             )
         )
-        buckets = bits.groupBy("id").pivot("tbl", list(range(n_tables))).sum("bit")
-        vecs = base
-        return vecs.join(
-            buckets.select(
-                "id", *[F.col(str(t)).alias(f"__b{t}") for t in range(n_tables)]
-            ),
-            "id",
+        buckets = bits.groupBy("id").agg(
+            *[
+                F.sum(F.when(F.col("tbl") == t, F.col("bit")).otherwise(0)).alias(
+                    f"__b{t}"
+                )
+                for t in range(n_tables)
+            ]
         )
+        return base.join(buckets, "id")
 
     def explode_probes(df: DataFrame, probe: bool) -> DataFrame:
         entries = []
@@ -260,7 +261,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         F.col(vec_col).alias("c_vec"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    km = KMeans(k=nlist, seed=seed, maxIter=10)
+    km = KMeans(k=nlist, seed=seed, maxIter=5)
     model = km.fit(corpus_v.select("features"))
     assigned = model.transform(corpus_v).select(
         "neighbor_id", "c_vec", F.col("prediction").alias("list_id")

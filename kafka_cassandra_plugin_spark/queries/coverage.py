@@ -193,3 +193,116 @@ def media_decode_features(spark, sf_dir):
     return feats.select(
         "media_id", F.round(F.element_at("features", 1), 6).alias("f0")
     ).orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
+# G26 (exact tier): interpolated percentiles CAN be oracle-matched
+# (deterministic order statistics), unlike the approx sketches.
+# --------------------------------------------------------------------------
+@register(
+    "agg_percentiles_exact",
+    sql="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50_qty,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price,
+           quantile_cont(l_discount, 0.25) AS p25_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("G26", "G20"),
+    doc="Exact interpolated percentiles (Spark percentile == DuckDB "
+    "quantile_cont): deterministic order statistics, raw doubles.",
+)
+def agg_percentiles_exact(spark, sf_dir):
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+            F.expr("percentile(l_discount, 0.25)").alias("p25_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# G8+G20: TPC-H Q6 shape - the canonical scan-dominated filter+agg
+# (pure pushdown + map-side aggregation, zero-row shuffle).
+# --------------------------------------------------------------------------
+@register(
+    "agg_forecast_revenue",
+    sql="""
+    SELECT sum(cast(l_extendedprice AS decimal(18,4))
+             * cast(l_discount AS decimal(18,4))) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("G8", "G20", "G1"),
+    doc="TPC-H Q6 shape: every predicate parquet-pushable, single global "
+    "agg - the scan-bandwidth benchmark.",
+)
+def agg_forecast_revenue(spark, sf_dir):
+    li = Catalog(spark, sf_dir).lineitem
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * F.col("l_discount").cast("decimal(18,4)")
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# G53: a real Python UDTF (table function) - one input row -> many output
+# rows with computed columns.
+# --------------------------------------------------------------------------
+@register(
+    "udtf_token_table",
+    sql=r"""
+    WITH ex AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS token,
+             generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) - 1 AS pos
+      FROM documents WHERE doc_id % 50 = 0
+    )
+    SELECT doc_id, pos, token, length(token) AS token_len
+    FROM ex
+    ORDER BY doc_id, pos
+    """,
+    tags=("G53", "G49"),
+    doc="Python UDTF (@udtf): text -> (pos, token, token_len) rows; the "
+    "lateral-join table-function surface. Hot paths use explode(split) "
+    "instead (fn_explode) - this pins the UDTF API itself.",
+)
+def udtf_token_table(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string, token_len int")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for pos, tok in enumerate(text.strip().split()):
+                yield pos, tok, len(tok)
+
+    spark.udtf.register("kcp_tokenize", Tokenize)
+    Catalog(spark, sf_dir).register_views(("documents",))
+    return spark.sql(
+        """
+        SELECT doc_id, t.pos, t.token, t.token_len
+        FROM documents, LATERAL kcp_tokenize(text) AS t
+        WHERE doc_id % 50 = 0
+        ORDER BY doc_id, t.pos
+        """
+    )

@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Generate COVERAGE.md: SURVEY.md §2 operator inventory -> declared
+queries (registry tags) + streaming/test coverage.  Run after adding
+queries: python scripts/gen_coverage.py"""
+
+from __future__ import annotations
+
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kafka_cassandra_plugin_spark.queries import load_all
+
+# SURVEY §2 inventory: id -> short label (from the survey tables).
+INVENTORY = {
+    # Tier R
+    "R1": "point lookup + projection", "R2": "first-row materialization",
+    "R3": "point lookup (kv)", "R4": "full-table key scan -> set",
+    "R5": "conditional insert (CAS)", "R6": "conditional update (CAS)",
+    "R7": "conditional delete (CAS)", "R8": "linearizable read",
+    "R9": "value change detection", "R10": "key-set change detection",
+    "R11": "periodic trigger", "R12": "TTL lease expiry",
+    "R13": "listener fan-out", "R14": "watcher refcounting",
+    "R15": "leader-election state machine", "R16": "config load/override",
+    # Tier G
+    "G1": "parquet scan", "G2": "CSV/JSON scan", "G3": "Kafka source",
+    "G4": "Cassandra sink", "G5": "parquet sink", "G6": "temp view / SQL",
+    "G7": "projection", "G8": "filters", "G9": "boolean composition",
+    "G10": "null-safe equality", "G11": "inner equi-join",
+    "G12": "broadcast join", "G13": "outer joins", "G14": "left-semi join",
+    "G15": "left-anti join", "G16": "theta join", "G17": "range join",
+    "G18": "as-of join", "G19": "cross join", "G20": "hash aggregate",
+    "G21": "count distinct", "G22": "approx_count_distinct",
+    "G23": "collect_set/list", "G24": "rollup/cube", "G25": "min_by/max_by",
+    "G26": "stats aggregates", "G27": "filtered aggregation",
+    "G28": "ranking windows", "G29": "lag/lead", "G30": "frame specs",
+    "G31": "first/last over frame", "G32": "global sort", "G33": "limit/top-k",
+    "G34": "per-group top-k", "G35": "union", "G36": "intersect",
+    "G37": "except", "G38": "distinct/dedup-by-subset",
+    "G39": "string fns", "G40": "date/time fns", "G41": "math fns",
+    "G42": "conditional fns", "G43": "casts", "G44": "array fns",
+    "G45": "map fns", "G46": "JSON fns", "G47": "hash fns",
+    "G48": "higher-order fns", "G49": "Python UDF", "G50": "pandas UDF",
+    "G51": "grouped-map applyInPandas", "G52": "grouped-agg UDAF",
+    "G53": "UDTF/explode-style", "G54": "exact dedup", "G55": "near-dup dedup",
+    "G56": "tokenize/text stats", "G57": "term frequency",
+    "G58": "language/source breakdown", "G59": "cosine similarity",
+    "G60": "brute-force top-k NN", "G61": "approximate NN",
+    "G62": "multimodal columns",
+    # Tier S
+    "S1": "fixed-rate trigger", "S2": "Kafka schema-on-read",
+    "S3": "watermarks", "S4": "tumbling window", "S5": "sliding window",
+    "S6": "session window", "S7": "streaming dedup", "S8": "stateful op",
+    "S9": "stream-static join", "S10": "foreachBatch sink",
+    "S11": "checkpointed sink",
+}
+
+# coverage that lives in modules/tests rather than declared queries
+EXTRA = {
+    "R8": "n/a in Spark's model - documented as a Cassandra-sink consistency option (sources/__init__.py LWT sink; SURVEY §2.1)",
+    "R11": "streaming/ops.py DEFAULT_TRIGGER_MS=500 (reference cadence); availableNow in tests",
+    "R13": "streaming/watch.py ListenerHub; tests/test_streaming.py::TestListenerFanout",
+    "R14": "ListenerHub add/remove + StreamingQuery lifecycle (streaming/watch.py)",
+    "R16": "session.py ENGINE_DEFAULTS layering (defaults < env < overrides)",
+    "G3": "sources/kafka_stream option-builder; tests/test_streaming.py (skips without broker jar)",
+    "G4": "sources/write_cassandra + CassandraLwtForeachBatch; LWT statements unit-tested",
+    "S1": "streaming/ops.py trigger cadence; bounded tests use availableNow",
+    "S2": "sources/_project_kafka from_json(value); plumbing test",
+    "S3": "withWatermark in every streaming agg (streaming/ops.py)",
+    "S4": "tests/test_streaming.py::TestWindowEquivalence::test_tumbling",
+    "S5": "tests/test_streaming.py::TestWindowEquivalence::test_sliding",
+    "S6": "tests/test_streaming.py::TestWindowEquivalence::test_session",
+    "S7": "tests/test_streaming.py::TestDedupEquivalence",
+    "S8": "streaming/watch.py watch_value_changes; equivalence vs G29 lag",
+    "S9": "tests/test_streaming.py::TestStreamStaticJoin",
+    "S10": "ListenerHub foreachBatch; Cassandra LWT sink",
+    "S11": "tests/test_streaming.py::TestCheckpointedSink",
+    "G55": "also operators/dedup.py minhash/simhash + planted-dup recall tests (tests/test_llm_ops.py)",
+    "G61": "recall gates: tests/test_llm_ops.py::TestAnnRecall (LSH 0.61, IVF 0.78 @10)",
+    "G62": "also tests/test_multimodal.py (schema round-trip, Arrow batching, metadata plans)",
+}
+
+
+def main() -> None:
+    reg = load_all()
+    by_tag = defaultdict(list)
+    for name, q in sorted(reg.items()):
+        for t in q.tags:
+            by_tag[t].append(name + ("" if q.sql else " (rows-only)"))
+
+    lines = [
+        "# COVERAGE - SURVEY.md §2 inventory -> implementation",
+        "",
+        "Generated by scripts/gen_coverage.py from the declared-query",
+        "registry. 'queries' are entries in `__spark_entry__.queries()`;",
+        "rows marked (rows-only) have no DuckDB oracle (engine-specific",
+        "hashing / iterative algorithms) and are gated by property tests",
+        "instead.",
+        "",
+        "| id | operator | declared queries | notes / non-query coverage |",
+        "|---|---|---|---|",
+    ]
+    missing = []
+    for oid, label in INVENTORY.items():
+        qs = ", ".join(f"`{q}`" for q in by_tag.get(oid, []))
+        extra = EXTRA.get(oid, "")
+        if not qs and not extra:
+            missing.append(oid)
+        lines.append(f"| {oid} | {label} | {qs} | {extra} |")
+    lines.append("")
+    n_q = len(reg)
+    n_oracle = sum(1 for q in reg.values() if q.sql)
+    lines.append(
+        f"**Totals**: {n_q} declared queries ({n_oracle} oracle-matched, "
+        f"{n_q - n_oracle} rows-only); inventory rows uncovered: "
+        f"{missing or 'none'}."
+    )
+    with open(os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"{n_q} queries, {n_oracle} oracle; missing: {missing}")
+
+
+if __name__ == "__main__":
+    main()
