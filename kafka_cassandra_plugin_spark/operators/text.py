@@ -85,18 +85,29 @@ def quality_score(text_col="text") -> Column:
 def lang_scores(text_col="text") -> dict[str, Column]:
     """Per-language marker-hit counts (the n-gram language-ID heuristic's
     evidence vector)."""
-    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    return lang_scores_of(F.transform(tokens(text_col), lambda t: F.lower(t)))
+
+
+def lang_scores_of(ltoks) -> dict[str, Column]:
+    """Same, over an already-computed lowercase-token column (stage the
+    tokens once - expressions inside filter lambdas re-evaluate per
+    element, so passing a raw tokens() expression here re-tokenizes the
+    text per language)."""
     out = {}
     for lang, words in LANG_MARKERS.items():
         stop = F.array(*[F.lit(w) for w in words])
-        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+        out[lang] = F.size(F.filter(ltoks, lambda t: F.array_contains(stop, t)))
     return out
 
 
 def lang_id(text_col="text") -> Column:
     """Predicted language = argmax of marker hits (ties -> lexicographically
     first language; 'und' when no marker hits at all)."""
-    scores = lang_scores(text_col)
+    return lang_id_of(F.transform(tokens(text_col), lambda t: F.lower(t)))
+
+
+def lang_id_of(ltoks) -> Column:
+    scores = lang_scores_of(ltoks)
     pairs = F.array(
         *[
             F.struct(c.alias("score"), F.lit(lang).alias("lang"))
@@ -120,15 +131,21 @@ def fingerprint(text_col="text") -> Column:
     """Document fingerprint: md5 over the sorted distinct token bag.
     Word-order-insensitive (bag semantics), so trivially reshuffled
     near-copies collide - the cheap first-pass dedup key."""
-    bag = F.array_sort(F.array_distinct(F.transform(tokens(text_col), F.lower)))
-    return F.md5(F.array_join(bag, " "))
+    return fingerprint_of(F.transform(tokens(text_col), F.lower))
+
+
+def fingerprint_of(ltoks) -> Column:
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(ltoks)), " "))
 
 
 def rolling_hash(text_col="text", mod: int = 1_000_000_007, base: int = 31) -> Column:
     """Order-sensitive polynomial rolling hash over token lengths+first
     chars (portable arithmetic: identical in the SQL oracle).  Cheap
     order-aware companion to :func:`fingerprint`."""
-    toks = tokens(text_col)
+    return rolling_hash_of(tokens(text_col), mod, base)
+
+
+def rolling_hash_of(toks, mod: int = 1_000_000_007, base: int = 31) -> Column:
     contrib = F.transform(
         toks, lambda t: (F.length(t) * 131 + F.ascii(F.substring(t, 1, 1)))
     )
@@ -140,14 +157,29 @@ def rolling_hash(text_col="text", mod: int = 1_000_000_007, base: int = 31) -> C
 
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """All per-document text stats in one projection (single scan)."""
+    """All per-document text stats from ONE tokenization.
+
+    The token array is staged as its own projection; every stat column
+    references it.  Deriving each stat from ``tokens(text_col)`` directly
+    would re-split the text once per column (and once per element for
+    the in-lambda uses) - the single-scan-single-tokenize shape is what
+    survives a 100 TB corpus."""
+    df = df.withColumn("__toks", tokens(text_col)).withColumn(
+        "__ltoks", F.transform(F.col("__toks"), F.lower)
+    )
+    n_tok = F.size(F.col("__toks"))
+    n_chr = char_count(text_col)
+    mean_word = F.when(n_tok > 0, n_chr / n_tok).otherwise(F.lit(0.0))
+    len_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    word_term = F.when((mean_word >= 3) & (mean_word <= 10), 1.0).otherwise(0.5)
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text_col) * 5, F.lit(1.0))
     return df.select(
         "*",
-        token_count(text_col).alias("n_tokens"),
+        n_tok.alias("n_tokens"),
         bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
         punct_ratio(text_col).alias("punct_ratio"),
-        quality_score(text_col).alias("quality"),
-        lang_id(text_col).alias("lang_pred"),
-        fingerprint(text_col).alias("fp"),
-        rolling_hash(text_col).alias("rhash"),
-    )
+        ((len_term + word_term + punct_term) / 3).alias("quality"),
+        lang_id_of(F.col("__ltoks")).alias("lang_pred"),
+        fingerprint_of(F.col("__ltoks")).alias("fp"),
+        rolling_hash_of(F.col("__toks")).alias("rhash"),
+    ).drop("__toks", "__ltoks")

@@ -52,9 +52,12 @@ def read_schemas(df: DataFrame) -> list[str]:
 
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle exchanges in the plan (broadcast exchanges
-    excluded - those are the cheap kind)."""
+    excluded - those are the cheap kind).  Formatted mode lists nodes as
+    "(n) Exchange" with the partitioning in an Arguments line - matching
+    "Exchange hashpartitioning" (the simple-mode shape) counted zero and
+    made the shuffle-budget tests vacuous."""
     plan = formatted_plan(df)
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|\bExchange SinglePartition", plan))
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
 
 
 def count_broadcast_joins(df: DataFrame) -> int:

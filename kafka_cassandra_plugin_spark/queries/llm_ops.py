@@ -66,15 +66,12 @@ from . import register
 def text_stats(spark, sf_dir):
     d = Catalog(spark, sf_dir).documents
     return (
-        d.select(
-            "doc_id",
-            T.token_count().alias("n_tokens"),
-            T.bpe_ish_token_count().alias("n_bpe_tokens"),
-            T.punct_ratio().alias("punct_ratio"),
-            T.quality_score().alias("quality"),
-            T.fingerprint().alias("fp"),
-            T.rolling_hash().alias("rhash"),
-        ).orderBy("doc_id")
+        T.text_profile(d)
+        .select(
+            "doc_id", "n_tokens", "n_bpe_tokens", "punct_ratio", "quality",
+            "fp", "rhash",
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -117,8 +114,11 @@ _PRED_CASE = (
 )
 def lang_breakdown(spark, sf_dir):
     d = Catalog(spark, sf_dir).documents
+    staged = d.withColumn(
+        "__ltoks", F.transform(T.tokens(), F.lower)
+    )
     return (
-        d.select("lang", T.lang_id().alias("lang_pred"))
+        staged.select("lang", T.lang_id_of(F.col("__ltoks")).alias("lang_pred"))
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "lang_pred")

@@ -24,6 +24,7 @@ from .ops import (
     stream_static_join,
     tumbling_window_agg,
 )
+from .pipeline import Pipeline
 from .watch import ListenerHub, watch_value_changes
 
 __all__ = [
@@ -37,4 +38,5 @@ __all__ = [
     "stream_static_join",
     "watch_value_changes",
     "ListenerHub",
+    "Pipeline",
 ]

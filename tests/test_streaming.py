@@ -190,3 +190,45 @@ class TestEndpointPlumbing:
             == "UPDATE ks.leader_election SET owner = ?, sup_data = ? "
             "WHERE resource = ? IF owner = ?"
         )
+
+
+class TestPipeline:
+    def test_replay_watch_listeners_end_to_end(self, spark, events, tmpdir):
+        """Full pipeline: replay source -> projection -> stateful watch ->
+        listener fan-out; the north-star shape with the Kafka/Cassandra
+        endpoints swapped for their test substrates."""
+        from kafka_cassandra_plugin_spark.streaming import ListenerHub, Pipeline
+
+        hub = ListenerHub()
+        got = []
+        hub.add_listener(lambda pdf: got.append(pdf))
+        q = (
+            Pipeline.from_replay(spark, events, f"{tmpdir}/pipe_replay")
+            .select(
+                "CAST(user_id AS string) AS key",
+                "event_type AS value",
+                "ts AS poll_ts",
+            )
+            .watch()
+            .to_listeners(hub)
+            .start(checkpoint=f"{tmpdir}/pipe_ckpt", available_now=True)
+        )
+        q.awaitTermination(120)
+        assert got and sum(len(p) for p in got) > 0
+        pdf = got[0]
+        assert list(pdf.columns) == ["key", "poll_ts", "old_value", "new_value"]
+
+    def test_replay_window_to_parquet(self, spark, events, tmpdir):
+        from kafka_cassandra_plugin_spark.streaming import Pipeline
+
+        out = f"{tmpdir}/pipe_agg_out"
+        q = (
+            Pipeline.from_replay(spark, events, f"{tmpdir}/pipe_replay2")
+            .window_agg("6 hours", group_cols=("event_type",))
+            .to_parquet(out)
+            .start(checkpoint=f"{tmpdir}/pipe_ckpt2", available_now=True)
+        )
+        q.awaitTermination(120)
+        back = spark.read.parquet(out)
+        assert back.count() > 0
+        assert {"w_start", "w_end", "event_type", "n"} <= set(back.columns)
