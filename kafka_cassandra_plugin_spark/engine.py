@@ -28,12 +28,15 @@ from .operators import dedup as _dedup
 from .operators import kv as _kv
 from .operators import similarity as _similarity
 from .operators import text as _text
-from .session import get_spark
+from .session import ensure_engine_confs, get_spark
 
 
 class Engine:
     def __init__(self, spark: SparkSession, sf_dir: str):
-        self.spark = spark
+        # apply the runtime-settable engine confs even when handed an
+        # externally-built session (without nanosAsLong the events table
+        # is unreadable - caught by driving Engine() on a plain session)
+        self.spark = ensure_engine_confs(spark)
         self.catalog = Catalog(spark, sf_dir)
 
     @classmethod

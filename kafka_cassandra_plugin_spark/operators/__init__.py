@@ -24,3 +24,23 @@ def ensure_min_parallelism(df: DataFrame, target: int | None = None) -> DataFram
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def salted_join(big, right, on: str, how: str = "inner", salt: int = 8):
+    """Skew-resistant equi-join: salt the big side's key into ``salt``
+    sub-keys and replicate the right side once per salt value, so one hot
+    key spreads over ``salt`` reducers instead of one straggler task.
+
+    Use when AQE's skew-join splitting isn't available (e.g. the join
+    feeds an operator that disables it) or a key is so hot that even
+    split shuffle blocks overwhelm a single executor.  Result is
+    identical to ``big.join(right, on, how)`` (tested); cost is a
+    salt-fold replication of the (smaller) right side.
+    """
+    from pyspark.sql import functions as F
+
+    big_s = big.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)))
+    salts = big.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))
+    right_s = right.crossJoin(F.broadcast(salts))
+    joined = big_s.join(right_s, [on, "__salt"], how)
+    return joined.drop("__salt")

@@ -241,6 +241,75 @@ def rp_lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
 # IVF (approximate, scale path #2)
 # --------------------------------------------------------------------------
 
+class IvfIndex:
+    """Built IVF index: corpus rows assigned to inverted lists + the
+    centroid table.  Build ONCE, probe many - at 100 TB the assigned
+    lists are written out partitioned by list_id and every query batch
+    reuses them; rebuilding the quantizer per query would be the
+    mistake.  ``assigned`` is cached (it is the index)."""
+
+    def __init__(self, assigned: DataFrame, centroids: DataFrame):
+        self.assigned = assigned
+        self.centroids = centroids
+
+    @classmethod
+    def build(cls, corpus: DataFrame, nlist: int = 16, seed: int = 42,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> "IvfIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        corpus_v = ensure_min_parallelism(corpus).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+        )
+        model = KMeans(k=nlist, seed=seed, maxIter=5).fit(
+            corpus_v.select("features")
+        )
+        assigned = model.transform(corpus_v).select(
+            "neighbor_id", "c_vec", F.col("prediction").alias("list_id")
+        )
+        assigned = assigned.cache()
+        centroids = corpus.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            "list_id int, centroid array<double>",
+        )
+        return cls(assigned, centroids)
+
+    def topk(self, queries: DataFrame, k: int = 10, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+        q_lists = (
+            q.crossJoin(F.broadcast(self.centroids))
+            .withColumn("c_score", cosine(F.col("q_vec"), F.col("centroid")))
+            .withColumn(
+                "c_rank",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.col("c_score").desc(), F.col("list_id")
+                    )
+                ),
+            )
+            .filter(F.col("c_rank") <= nprobe)
+            .select("query_id", "q_vec", "list_id")
+        )
+        scored = (
+            q_lists.join(self.assigned, "list_id")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "score", "rank")
+        )
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              nlist: int = 16, nprobe: int = 4, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -252,54 +321,10 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     centroids broadcast), then the search join is an equi-join on list id
     - candidates per query ~ N * nprobe / nlist.  At 100 TB the lists
     become the partitioning key of the stored index (write once, probe
-    many)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    corpus_v = ensure_min_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-    )
-    km = KMeans(k=nlist, seed=seed, maxIter=5)
-    model = km.fit(corpus_v.select("features"))
-    assigned = model.transform(corpus_v).select(
-        "neighbor_id", "c_vec", F.col("prediction").alias("list_id")
-    )
-    centroids = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(centroids, "list_id int, centroid array<double>")
-
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    q_lists = (
-        q.crossJoin(F.broadcast(cent_df))
-        .withColumn("c_score", cosine(F.col("q_vec"), F.col("centroid")))
-        .withColumn(
-            "c_rank",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.col("c_score").desc(), F.col("list_id")
-                )
-            ),
-        )
-        .filter(F.col("c_rank") <= nprobe)
-        .select("query_id", "q_vec", "list_id")
-    )
-    scored = (
-        q_lists.join(assigned, "list_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score", "rank")
-    )
+    many - see :class:`IvfIndex` for the amortized build)."""
+    index = IvfIndex.build(corpus, nlist=nlist, seed=seed,
+                           id_col=id_col, vec_col=vec_col)
+    return index.topk(queries, k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col)
 
 
 def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> float:

@@ -25,7 +25,7 @@ from .ops import (
     tumbling_window_agg,
 )
 from .pipeline import Pipeline
-from .watch import ListenerHub, watch_value_changes
+from .watch import ListenerHub, leader_election_stream, watch_value_changes
 
 __all__ = [
     "DEFAULT_TRIGGER_MS",
@@ -39,4 +39,5 @@ __all__ = [
     "watch_value_changes",
     "ListenerHub",
     "Pipeline",
+    "leader_election_stream",
 ]

@@ -113,3 +113,71 @@ class ListenerHub:
             return
         for fn in list(self._listeners):
             fn(pdf)
+
+
+def leader_election_stream(heartbeats: DataFrame, ttl_seconds: float,
+                           resource_col: str = "resource",
+                           candidate_col: str = "candidate",
+                           ts_col: str = "ts") -> DataFrame:
+    """Streaming leader election - the setupLeaderWatchers loop
+    (CassandraLeaderElection.scala:111-137) as partitioned, checkpointed
+    state (SURVEY §7.2 names this the hard part: timeout-driven lease
+    expiry exactly mirroring TTL=2s).
+
+    State per resource: (owner, owner's last accepted heartbeat ts).
+    Each heartbeat folds exactly like the batch :func:`~..operators.kv.
+    leader_timeline` - acquire when no owner or the owner's lease aged
+    past the TTL *in event time*, renew when the owner beats, reject
+    otherwise.  Event-time expiry keeps the fold deterministic and
+    replayable (wall-clock ProcessingTimeTimeout would make tests and
+    backfills nondeterministic - the batch/stream equivalence test pins
+    stream == batch replay on the same history).
+    """
+    out_schema = StructType(
+        [
+            StructField("resource", StringType()),
+            StructField("candidate", StringType()),
+            StructField("ts", TimestampNTZType()),
+            StructField("owner", StringType()),
+            StructField("action", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("owner", StringType()),
+            StructField("owner_ts", TimestampNTZType()),
+        ]
+    )
+    ttl = float(ttl_seconds)
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        owner, owner_ts = (state.get if state.exists else (None, None))
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "candidate"], kind="mergesort")
+            for cand, t in zip(pdf["candidate"], pdf["ts"]):
+                expired = owner is None or (t - owner_ts).total_seconds() > ttl
+                if expired:
+                    owner, owner_ts, action = cand, t, "acquire"
+                elif cand == owner:
+                    owner_ts, action = t, "renew"
+                else:
+                    action = "reject"
+                rows.append((key[0], cand, t, owner, action))
+        state.update((owner, owner_ts))
+        yield pd.DataFrame(
+            rows, columns=["resource", "candidate", "ts", "owner", "action"]
+        )
+
+    renamed = heartbeats.selectExpr(
+        f"{resource_col} AS resource",
+        f"{candidate_col} AS candidate",
+        f"{ts_col} AS ts",
+    )
+    return renamed.groupBy("resource").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

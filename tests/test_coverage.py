@@ -49,3 +49,22 @@ class TestEngineFacade:
         assert eng.kv_get(kv, ["a"]).count() == 1
         docs = eng.table("documents")
         assert "quality" in eng.text_profile(docs).columns
+
+
+class TestSaltedJoin:
+    def test_equals_plain_join(self, spark, sf_dir):
+        from kafka_cassandra_plugin_spark.operators import salted_join
+        from kafka_cassandra_plugin_spark.catalog import Catalog
+
+        c = Catalog(spark, sf_dir)
+        li = c.lineitem.select("l_orderkey", "l_quantity")
+        o = c.orders.select("o_orderkey", "o_orderstatus").withColumnRenamed(
+            "o_orderkey", "l_orderkey"
+        )
+        plain = li.join(o, "l_orderkey").groupBy("o_orderstatus").count()
+        salted = salted_join(li, o, "l_orderkey", salt=4).groupBy(
+            "o_orderstatus"
+        ).count()
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        )

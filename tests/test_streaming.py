@@ -232,3 +232,30 @@ class TestPipeline:
         back = spark.read.parquet(out)
         assert back.count() > 0
         assert {"w_start", "w_end", "event_type", "n"} <= set(back.columns)
+
+
+class TestLeaderElectionEquivalence:
+    def test_stream_matches_batch_fold(self, spark, events, events_stream):
+        """The streaming lease state machine must equal the batch
+        leader_timeline replay on the same heartbeat history (R15/S8)."""
+        from kafka_cassandra_plugin_spark.operators import kv as KV
+        from kafka_cassandra_plugin_spark.streaming import leader_election_stream
+
+        hb_batch = events.select(
+            F.col("event_type").alias("resource"),
+            F.col("user_id").cast("string").alias("candidate"),
+            F.col("ts"),
+        )
+        batch = KV.leader_timeline(hb_batch, ttl_seconds=3600)
+        hb_stream = events_stream.select(
+            F.col("event_type").alias("resource"),
+            F.col("user_id").cast("string").alias("candidate"),
+            F.col("ts"),
+        )
+        out = ST.run_to_memory(
+            leader_election_stream(hb_stream, ttl_seconds=3600),
+            output_mode="append",
+        )
+        assert canon(out, "resource", "ts", "candidate") == canon(
+            batch, "resource", "ts", "candidate"
+        )
