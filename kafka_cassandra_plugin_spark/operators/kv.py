@@ -192,15 +192,23 @@ def current_leaders(heartbeats: DataFrame, now, ttl_seconds: float,
     """getLeader for every resource at instant ``now``
     (CassandraLeaderElection.scala:64-69 generalized from one key to all):
     the owner with the latest heartbeat still inside the TTL window; ties
-    broken by owner id (deterministic)."""
+    broken by owner id (deterministic).
+
+    Follows the *implementation's* interface, not the README spec
+    (SURVEY §2.1 interface-drift note): getLeader returns the owner AND
+    its supplemental data (``Option[(String, String)]``), so when the
+    heartbeat frame carries a ``sup_data`` column it rides along with
+    the winning row."""
     live = lease_view(heartbeats, now, ttl_seconds, ts_col)
-    return (
-        live.groupBy(resource_col)
-        .agg(
-            F.expr(f"max_by({owner_col}, struct({ts_col}, {owner_col}))").alias(owner_col),
-            F.max(ts_col).alias(ts_col),
+    aggs = [
+        F.expr(f"max_by({owner_col}, struct({ts_col}, {owner_col}))").alias(owner_col)
+    ]
+    if "sup_data" in heartbeats.columns:
+        aggs.append(
+            F.expr(f"max_by(sup_data, struct({ts_col}, {owner_col}))").alias("sup_data")
         )
-    )
+    aggs.append(F.max(ts_col).alias(ts_col))
+    return live.groupBy(resource_col).agg(*aggs)
 
 
 # --------------------------------------------------------------------------

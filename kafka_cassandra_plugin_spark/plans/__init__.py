@@ -60,6 +60,11 @@ def count_exchanges(df: DataFrame) -> int:
     return len(re.findall(r"\(\d+\) Exchange\b", plan))
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """PartitionFilters of every file scan (partition-pruning evidence)."""
+    return re.findall(r"PartitionFilters: \[([^\]]*)\]", formatted_plan(df))
+
+
 def count_broadcast_joins(df: DataFrame) -> int:
     return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", formatted_plan(df)))
 

@@ -306,3 +306,39 @@ def udtf_token_table(spark, sf_dir):
         ORDER BY doc_id, t.pos
         """
     )
+
+
+# --------------------------------------------------------------------------
+# G5 at scale: PARTITIONED parquet sink + partition-pruned re-read.
+# --------------------------------------------------------------------------
+@register(
+    "parquet_partitioned_roundtrip",
+    sql="""
+    SELECT o_orderkey, o_orderstatus, year(o_orderdate) AS y
+    FROM orders
+    WHERE year(o_orderdate) = 1997
+    ORDER BY o_orderkey
+    """,
+    tags=("G5", "G1", "G40"),
+    doc="orders written partitionBy(year) then re-read with a partition "
+    "predicate: the 100 TB layout pattern - the y=1997 filter prunes "
+    "directories, non-matching files are never opened (PartitionFilters "
+    "pinned in tests/test_plans.py).",
+)
+def parquet_partitioned_roundtrip(spark, sf_dir):
+    import os, tempfile
+
+    o = Catalog(spark, sf_dir).orders
+    path = os.path.join(tempfile.gettempdir(), "kcp_parquet_part_rt")
+    (
+        o.withColumn("y", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("y")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("y") == 1997)
+        .select("o_orderkey", "o_orderstatus", F.col("y").cast("bigint").alias("y"))
+        .orderBy("o_orderkey")
+    )

@@ -43,6 +43,15 @@ class TestPruning:
         P.assert_column_pruned(q("sort_topk_orders"), table_cols=6, max_cols=3)
 
 
+class TestPartitionPruning:
+    def test_partitioned_write_prunes_directories(self, q):
+        df = q("parquet_partitioned_roundtrip")
+        pf = P.partition_filters(df)
+        assert any("1997" in f for f in pf), (
+            f"expected a partition filter on y=1997, got {pf}"
+        )
+
+
 class TestJoinStrategy:
     def test_star_join_broadcasts_dims(self, q):
         # customer/nation/region must broadcast; only lineitem<->orders may shuffle

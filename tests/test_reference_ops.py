@@ -205,3 +205,20 @@ class TestCdc:
             ("c", "added", None, "3"),
             ("d", "removed", "4", None),
         ]
+
+
+class TestLeaderSupData:
+    def test_get_leader_returns_owner_and_sup_data(self, spark):
+        """Interface-drift note (SURVEY §2.1): getLeader ==
+        Option[(owner, sup_data)] per the implementation
+        (CassandraLeaderElection.scala:64), not the README's
+        Option[String]."""
+        hb = spark.createDataFrame(
+            [
+                ("r1", "alice", "meta-a", ts("2024-01-01 00:00:09")),
+                ("r1", "bob", "meta-b", ts("2024-01-01 00:00:10")),
+            ],
+            "resource string, owner string, sup_data string, write_ts timestamp_ntz",
+        )
+        out = rows(KV.current_leaders(hb, "2024-01-01 00:00:11", 5), "resource")
+        assert out == [("r1", "bob", "meta-b", ts("2024-01-01 00:00:10"))]
