@@ -842,3 +842,37 @@ def dedup_latest_per_key(spark, sf_dir):
         .select("o_custkey", "o_orderkey", "o_orderdate")
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "window_distribution",
+    sql="""
+    SELECT s_suppkey,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           nth_value(s_suppkey, 2) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_richest
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    ORDER BY s_suppkey
+    """,
+    tags=("G28", "G31"),
+    doc="Distribution analytics: percent_rank/cume_dist (rank ratios - "
+    "exact rationals, rounded identically) + nth_value over the full "
+    "frame.",
+)
+def window_distribution(spark, sf_dir):
+    s = Catalog(spark, sf_dir).supplier
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    full = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), "s_suppkey"
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        s.select(
+            "s_suppkey",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.nth_value("s_suppkey", 2).over(full).alias("second_richest"),
+        ).orderBy("s_suppkey")
+    )
