@@ -259,3 +259,58 @@ class TestLeaderElectionEquivalence:
         assert canon(out, "resource", "ts", "candidate") == canon(
             batch, "resource", "ts", "candidate"
         )
+
+
+class TestStreamingCasSink:
+    def test_foreach_batch_cas_merge_matches_batch(self, spark, events, tmpdir):
+        """R5 in the streaming tier without Cassandra: each micro-batch of
+        watched changes is cas_insert-merged into a parquet-backed KV
+        table (insert-if-not-exists => the FIRST observed value per key
+        wins and is never overwritten) - the exact contract the LWT sink
+        gives, exercised through foreachBatch on the batch-tier merge."""
+        from kafka_cassandra_plugin_spark.operators import kv as KV
+        from kafka_cassandra_plugin_spark.streaming import Pipeline
+
+        kv_path = f"{tmpdir}/cas_kv"
+        spark.createDataFrame(
+            [], "key string, poll_ts timestamp_ntz, value string"
+        ).write.mode("overwrite").parquet(kv_path)
+
+        def cas_merge(batch_df, batch_id):
+            cur = spark.read.parquet(kv_path)
+            # poll_ts leads the payload columns: cas_insert breaks
+            # same-batch contention by the remaining columns in order, so
+            # this pins "earliest observation wins" (then value) - the
+            # arrival order a serial LWT executor would see
+            new = batch_df.select(
+                "key", "poll_ts", F.col("new_value").alias("value")
+            )
+            merged = KV.cas_insert(cur, new, ["key"])
+            merged.write.mode("overwrite").parquet(f"{kv_path}_next")
+            spark.read.parquet(f"{kv_path}_next").write.mode("overwrite").parquet(kv_path)
+
+        q = (
+            Pipeline.from_replay(spark, events, f"{tmpdir}/cas_replay")
+            .select(
+                "CAST(user_id AS string) AS key",
+                "event_type AS value",
+                "ts AS poll_ts",
+            )
+            .watch()
+            .to_foreach_batch(cas_merge)
+            .start(checkpoint=f"{tmpdir}/cas_ckpt", available_now=True)
+        )
+        q.awaitTermination(120)
+
+        # batch formulation of the same contract: first value per key
+        expected = {
+            (r.key, r.value)
+            for r in events.selectExpr(
+                "CAST(user_id AS string) AS key", "event_type AS value", "ts"
+            )
+            .groupBy("key")
+            .agg(F.expr("min_by(value, struct(ts, value))").alias("value"))
+            .collect()
+        }  # first value per key, ties by value - mirrors the cas order
+        got = {(r.key, r.value) for r in spark.read.parquet(kv_path).collect()}
+        assert got == expected
