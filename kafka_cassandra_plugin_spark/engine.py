@@ -26,6 +26,7 @@ from .catalog import Catalog
 from .operators import changes as _changes
 from .operators import dedup as _dedup
 from .operators import kv as _kv
+from .operators import membership as _membership
 from .operators import similarity as _similarity
 from .operators import text as _text
 from .session import ensure_engine_confs, get_spark
@@ -69,6 +70,12 @@ class Engine:
     lease_view = staticmethod(_kv.lease_view)
     current_leaders = staticmethod(_kv.current_leaders)
     leader_timeline = staticmethod(_kv.leader_timeline)
+
+    # -- group membership (operators/membership.py) ---------------------------
+    join_group = staticmethod(_membership.join_group)
+    leave_group = staticmethod(_membership.leave_group)
+    group_snapshot = staticmethod(_membership.group_snapshot)
+    membership_changes = staticmethod(_membership.membership_changes)
 
     # -- CDC (operators/changes.py) -----------------------------------------
     value_changes = staticmethod(_changes.value_changes)

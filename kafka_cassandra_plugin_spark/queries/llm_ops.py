@@ -250,13 +250,17 @@ def dedup_exact_groups(spark, sf_dir):
       SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS ord
       FROM toks
     ),
-    sh AS (
+    sh_all AS (
       SELECT DISTINCT doc_id,
              tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS sh
       FROM ex
       WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
       QUALIFY lead(tok, 2) OVER w IS NOT NULL
     ),
+    freq_ok AS (
+      SELECT sh FROM sh_all GROUP BY sh HAVING count(*) <= 20
+    ),
+    sh AS (SELECT doc_id, sh FROM sh_all WHERE sh IN (SELECT sh FROM freq_ok)),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
@@ -273,9 +277,11 @@ def dedup_exact_groups(spark, sf_dir):
     """,
     tags=("G55", "G44", "G48"),
     doc="ngram_jaccard_pairs: word-3-gram shingle sets, pairs meet only "
-    "via shared shingles (sparse join, never quadratic), exact Jaccard "
-    ">= 0.7. Corpus has planted near-dups (first-token-dropped copies of "
-    "every 4th doc).",
+    "via shared shingles (sparse join, never quadratic), stop-shingles "
+    "(doc-frequency > 20) dropped before the join - at 100 TB the cap "
+    "is what bounds join fanout; jaccard then computed over the capped "
+    "sets, threshold 0.7. Corpus has planted near-dups (first-token-"
+    "dropped copies of every 4th doc).",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
@@ -287,9 +293,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
         )
     )
     corpus = d.unionByName(perturbed)
-    return D.ngram_jaccard_pairs(corpus, "text", "doc_id", n=3, threshold=0.7).orderBy(
-        "id_a", "id_b"
-    )
+    return D.ngram_jaccard_pairs(
+        corpus, "text", "doc_id", n=3, threshold=0.7, max_shingle_freq=20
+    ).orderBy("id_a", "id_b")
 
 
 # --------------------------------------------------------------------------
