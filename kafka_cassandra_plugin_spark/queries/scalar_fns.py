@@ -570,3 +570,98 @@ def udf_grouped_agg(spark, sf_dir):
         .agg(mean_bal("c_acctbal").alias("mean_bal"))
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "fn_string2",
+    sql="""
+    SELECT p_partkey,
+           array_to_string(list_transform(string_split(p_name, ' '),
+             w -> upper(w[1:1]) || lower(w[2:])), ' ') AS name_cap,
+           reverse(p_brand) AS brand_rev,
+           repeat(p_type[1:1], 3) AS first3,
+           left(p_name, 4) AS l4,
+           right(p_name, 4) AS r4,
+           strpos(p_name, ' ') AS sp_pos,
+           split_part(p_name, ' ', 1) AS first_part,
+           ltrim('  ' || p_name) AS lt,
+           rtrim(p_name || '  ') AS rt,
+           translate(p_brand, '#', '-') AS brand_t,
+           (p_name ILIKE '%A%') AS has_a_ci
+    FROM part
+    WHERE p_partkey % 3 = 0
+    ORDER BY p_partkey
+    """,
+    tags=("G39",),
+    doc="Second string batch: initcap/reverse/repeat/left/right/position/"
+    "split_part/ltrim/rtrim/translate/ilike. Dialect: DuckDB 1-based "
+    "slice s[1:1] == Spark substring(s,1,1); strpos == instr; DuckDB "
+    "has no initcap - emulated per word with upper(head)||lower(tail).",
+)
+def fn_string2(spark, sf_dir):
+    p = Catalog(spark, sf_dir).part
+    return (
+        p.filter(F.col("p_partkey") % 3 == 0)
+        .select(
+            "p_partkey",
+            F.initcap("p_name").alias("name_cap"),
+            F.reverse("p_brand").alias("brand_rev"),
+            F.repeat(F.substring("p_type", 1, 1), 3).alias("first3"),
+            F.substring("p_name", 1, 4).alias("l4"),
+            F.expr("right(p_name, 4)").alias("r4"),
+            F.instr("p_name", " ").alias("sp_pos"),
+            F.expr("split_part(p_name, ' ', 1)").alias("first_part"),
+            F.ltrim(F.concat(F.lit("  "), F.col("p_name"))).alias("lt"),
+            F.rtrim(F.concat(F.col("p_name"), F.lit("  "))).alias("rt"),
+            F.translate("p_brand", "#", "-").alias("brand_t"),
+            F.col("p_name").ilike("%A%").alias("has_a_ci"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "fn_datetime2",
+    sql="""
+    SELECT o_orderkey,
+           last_day(cast(o_orderdate AS date)) AS month_end,
+           cast(date_trunc('quarter', o_orderdate) AS date) AS q_start,
+           quarter(o_orderdate) AS q,
+           isodow(o_orderdate) - 1 AS weekday_mon0,
+           dayofyear(o_orderdate) AS doy,
+           cast(o_orderdate AS date) - INTERVAL 90 DAY AS minus90,
+           greatest(cast(o_orderdate AS date),
+                    DATE '1997-06-01') AS clamped,
+           datediff('month', DATE '1995-01-01',
+                    cast(o_orderdate AS date)) AS months_since
+    FROM orders
+    WHERE o_orderkey % 40 = 0
+    ORDER BY o_orderkey
+    """,
+    tags=("G40",),
+    doc="Second date batch: last_day / quarter trunc / weekday / "
+    "dayofyear / date-interval arithmetic / months_between-style diff. "
+    "Dialect: Spark weekday(0=Mon) == DuckDB isodow-1; Spark "
+    "months_between truncated == DuckDB datediff('month') only for "
+    "month-start anchors (exact-boundary semantics differ mid-month).",
+)
+def fn_datetime2(spark, sf_dir):
+    o = Catalog(spark, sf_dir).orders
+    d = F.col("o_orderdate").cast("date")
+    return (
+        o.filter(F.col("o_orderkey") % 40 == 0)
+        .select(
+            "o_orderkey",
+            F.last_day(d).alias("month_end"),
+            F.date_trunc("quarter", "o_orderdate").cast("date").alias("q_start"),
+            F.quarter("o_orderdate").alias("q"),
+            F.weekday("o_orderdate").alias("weekday_mon0"),
+            F.dayofyear("o_orderdate").alias("doy"),
+            F.date_sub(d, 90).cast("timestamp_ntz").alias("minus90"),
+            F.greatest(d, F.lit("1997-06-01").cast("date")).alias("clamped"),
+            (
+                (F.year(d) - F.lit(1995)) * 12 + (F.month(d) - F.lit(1))
+            ).cast("bigint").alias("months_since"),
+        )
+        .orderBy("o_orderkey")
+    )
