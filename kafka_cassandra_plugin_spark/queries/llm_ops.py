@@ -142,10 +142,12 @@ def lang_breakdown(spark, sf_dir):
     ORDER BY tf DESC, token
     LIMIT 100
     """,
-    tags=("G57", "G56", "G33"),
-    doc="Corpus term-frequency top-100: explode(split) -> partial+final "
-    "count -> TakeOrdered. The shuffle carries only (token, partial "
-    "count) pairs, never raw text.",
+    tags=("G57", "G56", "G53", "G32", "G33"),
+    doc="Corpus term-frequency top-100: explode(split) (the UDTF-shaped "
+    "built-in path) -> partial+final count -> global sort planned as "
+    "TakeOrderedAndProject (per-partition heaps + driver merge, never a "
+    "full sort). The shuffle carries only (token, partial count) pairs, "
+    "never raw text.",
 )
 def term_frequency_topk(spark, sf_dir):
     d = Catalog(spark, sf_dir).documents
@@ -178,14 +180,29 @@ _PLANTED_SQL = """
       SELECT doc_id, sha256(text) AS content_hash,
              row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
       FROM corpus
+    ),
+    surv AS (SELECT doc_id, content_hash FROM hashed WHERE rn = 1),
+    grp AS (
+      SELECT sha256(text) AS content_hash,
+             count(*) AS n_dups,
+             list_sort(list(doc_id)) AS members
+      FROM corpus
+      GROUP BY sha256(text)
+      HAVING count(*) > 1
     )
-    SELECT doc_id, content_hash FROM hashed WHERE rn = 1
-    ORDER BY doc_id
+    SELECT s.doc_id, s.content_hash,
+           coalesce(g.n_dups, 1) AS n_dups,
+           array_to_string(coalesce(g.members, [s.doc_id]), ',') AS members_csv
+    FROM surv s LEFT JOIN grp g ON s.content_hash = g.content_hash
+    ORDER BY s.doc_id
     """,
-    tags=("G54", "G47", "G38"),
-    doc="exact_dedup: sha256 content hash, deterministic min-id survivor "
-    "per hash, over a corpus with planted exact duplicates (id-shifted "
-    "copies of every 3rd doc). One shuffle on the 32-byte hash.",
+    tags=("G54", "G47", "G38", "G23"),
+    doc="exact_dedup + duplicate_groups in one result: sha256 content "
+    "hash, deterministic min-id survivor per hash, each survivor "
+    "annotated with its cluster size and sorted member list (serialized "
+    "to CSV - canonicalizer-safe), over a corpus with planted exact "
+    "duplicates (id-shifted copies of every 3rd doc). One shuffle on the "
+    "32-byte hash for each of the two library ops, joined on the hash.",
 )
 def dedup_exact(spark, sf_dir):
     d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
@@ -194,37 +211,26 @@ def dedup_exact(spark, sf_dir):
             (F.col("doc_id") + 1000000).alias("doc_id"), "text"
         )
     )
+    surv = D.exact_dedup(planted, "text", "doc_id").select(
+        "doc_id", F.sha2("text", 256).alias("content_hash")
+    )
+    grp = D.duplicate_groups(planted, "text", "doc_id")
     return (
-        D.exact_dedup(planted, "text", "doc_id")
-        .select("doc_id", F.sha2("text", 256).alias("content_hash"))
+        surv.join(grp, "content_hash", "left")
+        .select(
+            "doc_id",
+            "content_hash",
+            F.coalesce("n_dups", F.lit(1)).alias("n_dups"),
+            F.array_join(
+                F.transform(
+                    F.coalesce(F.col("members"), F.array(F.col("doc_id"))),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members_csv"),
+        )
         .orderBy("doc_id")
     )
-
-
-@register(
-    "dedup_exact_groups",
-    sql=f"""
-    WITH corpus AS ({_PLANTED_SQL})
-    SELECT sha256(text) AS content_hash,
-           count(*) AS n_dups,
-           list_sort(list(doc_id)) AS members
-    FROM corpus
-    GROUP BY sha256(text)
-    HAVING count(*) > 1
-    ORDER BY content_hash
-    """,
-    tags=("G54", "G23"),
-    doc="duplicate_groups: clusters of identical content with sorted "
-    "member lists (only real clusters).",
-)
-def dedup_exact_groups(spark, sf_dir):
-    d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
-    planted = d.unionByName(
-        d.filter(F.col("doc_id") % 3 == 0).select(
-            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-        )
-    )
-    return D.duplicate_groups(planted, "text", "doc_id").orderBy("content_hash")
 
 
 # --------------------------------------------------------------------------
@@ -391,37 +397,6 @@ def sim_topk_bruteforce(spark, sf_dir):
     e = Catalog(spark, sf_dir).embeddings
     queries = e.filter(F.col("vec_id") % 10 == 0)
     return S.brute_force_topk(e, queries, k=10).orderBy("query_id", "rank")
-
-
-@register(
-    "sim_top_pairs",
-    sql=f"""
-    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
-    scored AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             {_COS_SQL.replace('qv', 'a.embedding').replace('cv', 'b.embedding')} AS score
-      FROM e a JOIN e b ON a.vec_id < b.vec_id
-    )
-    SELECT id_a, id_b, score
-    FROM scored
-    ORDER BY score DESC, id_a, id_b
-    LIMIT 20
-    """,
-    tags=("G59", "G19", "G33"),
-    doc="Embedding near-dup report: 20 most-similar pairs in a corpus "
-    "subset (the cosine near-dup dedup primitive ranked instead of "
-    "thresholded, so the result is non-trivial on any data).",
-)
-def sim_top_pairs(spark, sf_dir):
-    e = Catalog(spark, sf_dir).embeddings.filter(F.col("vec_id") % 5 == 0)
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", S.cosine(F.col("va"), F.col("vb")).alias("score"))
-        .orderBy(F.col("score").desc(), "id_a", "id_b")
-        .limit(20)
-    )
 
 
 # --------------------------------------------------------------------------

@@ -10,6 +10,7 @@ oracle can reproduce them from the same parquet views.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import Catalog
 from ..operators import changes as C
@@ -24,11 +25,6 @@ def _orders_kv(spark, sf_dir):
         F.col("o_orderkey").cast("string").alias("key"),
         F.col("o_orderstatus").alias("value"),
     )
-
-
-_ORDERS_KV_SQL = (
-    "SELECT cast(o_orderkey AS varchar) AS key, o_orderstatus AS value FROM orders"
-)
 
 
 # --------------------------------------------------------------------------
@@ -59,27 +55,12 @@ def kv_point_lookup(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# R4: full-table key scan -> set (namespace watcher fetcher).
+# R5 + R6 + R7: the full CAS lifecycle as one sequential batch merge —
+# insert-if-not-exists, then guarded update, then guarded delete, exactly
+# the statement sequence a leader-election round issues.
 # --------------------------------------------------------------------------
 @register(
-    "keyset_scan",
-    sql="""
-    SELECT DISTINCT o_orderstatus AS key FROM orders ORDER BY key
-    """,
-    tags=("R4",),
-    doc="SELECT key FROM <namespace> materialized as a distinct set "
-    "(CassandraListenerRegistry.scala:50-58).",
-)
-def keyset_scan(spark, sf_dir):
-    o = Catalog(spark, sf_dir).orders
-    return o.select(F.col("o_orderstatus").alias("key")).distinct().orderBy("key")
-
-
-# --------------------------------------------------------------------------
-# R5: CAS insert-if-not-exists as a batch merge.
-# --------------------------------------------------------------------------
-@register(
-    "cas_insert_merge",
+    "cas_lifecycle",
     sql="""
     WITH cur AS (
       SELECT cast(o_orderkey AS varchar) AS key, o_orderstatus AS value
@@ -88,17 +69,32 @@ def keyset_scan(spark, sf_dir):
     new AS (
       SELECT cast(o_orderkey AS varchar) AS key, o_orderpriority AS value
       FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    ),
+    s1 AS (
+      SELECT key, value FROM cur
+      UNION ALL
+      SELECT key, value FROM new WHERE key NOT IN (SELECT key FROM cur)
+    ),
+    s2 AS (
+      SELECT key,
+             CASE WHEN cast(key AS bigint) % 3 = 0 AND value = 'O'
+                  THEN 'CLOSED' ELSE value END AS value
+      FROM s1
     )
-    SELECT key, value FROM cur
-    UNION ALL
-    SELECT key, value FROM new WHERE key NOT IN (SELECT key FROM cur)
+    SELECT key, value FROM s2
+    WHERE NOT (cast(key AS bigint) % 5 = 0 AND value = 'F')
     ORDER BY key
     """,
-    tags=("R5", "G15"),
-    doc="cas_insert: INSERT IF NOT EXISTS (CassandraLeaderElection.scala:"
-    "56-57) == left-anti merge; contended keys keep the current row.",
+    tags=("R5", "R6", "R7", "G13", "G15", "G42"),
+    doc="cas_insert -> cas_update -> cas_delete pipelined on one kv table: "
+    "INSERT IF NOT EXISTS (CassandraLeaderElection.scala:56-57, left-anti "
+    "merge; contended keys keep the current row), then UPDATE ... IF "
+    "owner=? (:59-60, guarded rewrite where the expected value matches), "
+    "then DELETE ... IF owner=? (:53-54, rows removed only when key AND "
+    "guard hold). Scale: three key-partitioned joins; the update/delete "
+    "delta sides broadcast when small.",
 )
-def cas_insert_merge(spark, sf_dir):
+def cas_lifecycle(spark, sf_dir):
     o = Catalog(spark, sf_dir).orders
     cut96 = F.lit("1996-01-01").cast("timestamp_ntz")
     cut97 = F.lit("1997-01-01").cast("timestamp_ntz")
@@ -110,103 +106,27 @@ def cas_insert_merge(spark, sf_dir):
         F.col("o_orderkey").cast("string").alias("key"),
         F.col("o_orderpriority").alias("value"),
     )
-    return KV.cas_insert(cur, new, ["key"]).orderBy("key")
-
-
-# --------------------------------------------------------------------------
-# R6: CAS conditional update.
-# --------------------------------------------------------------------------
-@register(
-    "cas_update_merge",
-    sql="""
-    WITH kv AS (SELECT cast(o_orderkey AS varchar) AS key, o_orderstatus AS value
-                FROM orders)
-    SELECT key,
-           CASE WHEN value = 'O' AND cast(key AS bigint) % 3 = 0
-                THEN 'CLOSED' ELSE value END AS value
-    FROM kv
-    ORDER BY key
-    """,
-    tags=("R6", "G13", "G42"),
-    doc="cas_update: UPDATE ... IF owner=? (CassandraLeaderElection.scala:"
-    "59-60): guarded rewrite where expected value matches, no-op rows "
-    "where the guard fails or no update exists.",
-)
-def cas_update_merge(spark, sf_dir):
-    kv = _orders_kv(spark, sf_dir)
+    s1 = KV.cas_insert(cur, new, ["key"])
     updates = KV.with_upd_marker(
-        kv.filter(F.col("key").cast("bigint") % 3 == 0).select(
+        s1.filter(F.col("key").cast("bigint") % 3 == 0).select(
             "key",
             F.lit("O").alias("expected_value"),
             F.lit("CLOSED").alias("new_value"),
         )
     )
-    return KV.cas_update(kv, updates, ["key"], ["value"]).orderBy("key")
-
-
-# --------------------------------------------------------------------------
-# R7: CAS conditional delete (resign).
-# --------------------------------------------------------------------------
-@register(
-    "cas_delete_merge",
-    sql="""
-    WITH kv AS (SELECT cast(o_orderkey AS varchar) AS key, o_orderstatus AS value
-                FROM orders)
-    SELECT key, value FROM kv
-    WHERE NOT (value = 'F' AND cast(key AS bigint) % 5 = 0)
-    ORDER BY key
-    """,
-    tags=("R7", "G13"),
-    doc="cas_delete: DELETE ... IF owner=? (CassandraLeaderElection.scala:"
-    "53-54): rows are removed only when both key matches and guard holds.",
-)
-def cas_delete_merge(spark, sf_dir):
-    kv = _orders_kv(spark, sf_dir)
+    s2 = KV.cas_update(s1, updates, ["key"], ["value"])
     deletes = KV.with_upd_marker(
-        kv.filter(F.col("key").cast("bigint") % 5 == 0).select(
+        s2.filter(F.col("key").cast("bigint") % 5 == 0).select(
             "key", F.lit("F").alias("expected_value")
         )
     )
-    return KV.cas_delete(kv, deletes, ["key"], ["value"]).orderBy("key")
+    return KV.cas_delete(s2, deletes, ["key"], ["value"]).orderBy("key")
 
 
 # --------------------------------------------------------------------------
-# R12: TTL lease view at an explicit `now`.
-# --------------------------------------------------------------------------
-@register(
-    "lease_live_view",
-    sql="""
-    WITH leases AS (
-      SELECT cast(user_id AS varchar) AS resource,
-             max(ts) AS write_ts
-      FROM events
-      WHERE ts <= TIMESTAMP '2024-01-30 00:00:00'
-      GROUP BY user_id
-    )
-    SELECT resource, write_ts FROM leases
-    WHERE write_ts >  TIMESTAMP '2024-01-30 00:00:00' - INTERVAL 24 HOUR
-      AND write_ts <= TIMESTAMP '2024-01-30 00:00:00'
-    ORDER BY resource
-    """,
-    tags=("R12", "G20", "G40"),
-    doc="lease_view(now): TTL expiry as an explicit write_ts range filter "
-    "(default_time_to_live=2 of README.md:314 made deterministic); here "
-    "each user's last heartbeat at-or-before now holds a 24h lease; "
-    "now=2024-01-30 splits live vs expired users.",
-)
-def lease_live_view(spark, sf_dir):
-    ev = Catalog(spark, sf_dir).events
-    now = "2024-01-30 00:00:00"
-    leases = (
-        ev.filter(F.col("ts") <= F.lit(now).cast("timestamp_ntz"))
-        .groupBy(F.col("user_id").cast("string").alias("resource"))
-        .agg(F.max("ts").alias("write_ts"))
-    )
-    return KV.lease_view(leases, now, ttl_seconds=24 * 3600).orderBy("resource")
-
-
-# --------------------------------------------------------------------------
-# R2 + R12: getLeader at an instant, all resources.
+# R1 + R2 + R12: getLeader at an instant, all resources — the TTL-lease
+# view (lease_view runs inside current_leaders) plus the deterministic
+# first-row pick.
 # --------------------------------------------------------------------------
 @register(
     "leader_at_instant",
@@ -223,10 +143,14 @@ def lease_live_view(spark, sf_dir):
     SELECT resource, owner, write_ts FROM live WHERE rn = 1
     ORDER BY resource
     """,
-    tags=("R1", "R2", "G25"),
+    tags=("R1", "R2", "R12", "G25"),
     doc="current_leaders(now): per resource, the owner with the freshest "
     "in-TTL heartbeat, deterministic tie-break on (ts, owner) - getLeader "
-    "(CassandraLeaderElection.scala:64-69) for every resource at once.",
+    "(CassandraLeaderElection.scala:64-69) for every resource at once. "
+    "TTL expiry (R12, table option default_time_to_live=2 of "
+    "README.md:314 made deterministic) is the lease_view write_ts range "
+    "filter this operator applies first; now is an explicit parameter, "
+    "never current_timestamp().",
 )
 def leader_at_instant(spark, sf_dir):
     ev = Catalog(spark, sf_dir).events
@@ -241,7 +165,7 @@ def leader_at_instant(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# R9: poll-and-diff change log from snapshot history.
+# R9: poll-and-diff change log from snapshot history (lag + lead).
 # --------------------------------------------------------------------------
 @register(
     "cdc_value_changes",
@@ -261,18 +185,25 @@ def leader_at_instant(spark, sf_dir):
       SELECT key, poll_ts, value,
              lag(value) OVER (PARTITION BY key ORDER BY poll_ts) AS old_value
       FROM snapshots
+    ),
+    changes AS (
+      SELECT key, cast(poll_ts AS timestamp) AS poll_ts, old_value,
+             value AS new_value
+      FROM diffed
+      WHERE old_value IS DISTINCT FROM value
     )
-    SELECT key, cast(poll_ts AS timestamp) AS poll_ts, old_value,
-           value AS new_value
-    FROM diffed
-    WHERE old_value IS DISTINCT FROM value
+    SELECT key, poll_ts, old_value, new_value,
+           lead(new_value) OVER (PARTITION BY key ORDER BY poll_ts)
+             AS next_value
+    FROM changes
     ORDER BY key, poll_ts
     """,
-    tags=("R9", "G25", "G29"),
+    tags=("R9", "G10", "G25", "G29"),
     doc="value_changes over a daily poll history (last event_type per user "
     "per day = the polled snapshot): emits only polls where the value "
-    "changed - ValueWatcher.run() (CacheListenerRegistry.scala:43-61) as "
-    "one lag window.",
+    "changed (null-safe compare - the watcher's Option cache), "
+    "ValueWatcher.run() (CacheListenerRegistry.scala:43-61) as one lag "
+    "window, plus a lead() peek at each key's following change.",
 )
 def cdc_value_changes(spark, sf_dir):
     ev = Catalog(spark, sf_dir).events
@@ -283,42 +214,18 @@ def cdc_value_changes(spark, sf_dir):
         )
         .agg(F.expr("max_by(event_type, struct(ts, event_id))").alias("value"))
     )
-    return C.value_changes(snapshots, ["key"]).orderBy("key", "poll_ts")
+    changes = C.value_changes(snapshots, ["key"])
+    w = Window.partitionBy("key").orderBy("poll_ts")
+    return (
+        changes.withColumn("next_value", F.lead("new_value").over(w))
+        .orderBy("key", "poll_ts")
+    )
 
 
 # --------------------------------------------------------------------------
-# R10: key-set diff between two snapshots.
-# --------------------------------------------------------------------------
-@register(
-    "cdc_keyset_changes",
-    sql="""
-    WITH d1 AS (SELECT DISTINCT user_id FROM events
-                WHERE ts < TIMESTAMP '2024-01-03 00:00:00'),
-         d2 AS (SELECT DISTINCT user_id FROM events
-                WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
-                  AND ts < TIMESTAMP '2024-01-05 00:00:00')
-    SELECT user_id, 'added' AS change FROM d2
-    WHERE user_id NOT IN (SELECT user_id FROM d1)
-    UNION ALL
-    SELECT user_id, 'removed' FROM d1
-    WHERE user_id NOT IN (SELECT user_id FROM d2)
-    ORDER BY user_id, change
-    """,
-    tags=("R10", "G37"),
-    doc="keyset_changes between two key snapshots: added/removed only "
-    "(KeySetWatcher, CacheListenerRegistry.scala:63-81).",
-)
-def cdc_keyset_changes(spark, sf_dir):
-    ev = Catalog(spark, sf_dir).events
-    c3 = F.lit("2024-01-03").cast("timestamp_ntz")
-    c5 = F.lit("2024-01-05").cast("timestamp_ntz")
-    d1 = ev.filter(F.col("ts") < c3).select("user_id")
-    d2 = ev.filter((F.col("ts") >= c3) & (F.col("ts") < c5)).select("user_id")
-    return C.keyset_changes(d1, d2, ["user_id"]).orderBy("user_id", "change")
-
-
-# --------------------------------------------------------------------------
-# R9+R10: full snapshot value diff.
+# R9 + R10: full snapshot value diff (added/removed/changed) — the
+# two-snapshot watcher poll, covering the KeySetWatcher set diff as the
+# added/removed subset (CacheListenerRegistry.scala:63-81).
 # --------------------------------------------------------------------------
 @register(
     "cdc_snapshot_diff",
@@ -348,7 +255,9 @@ def cdc_keyset_changes(spark, sf_dir):
     """,
     tags=("R9", "R10", "G13"),
     doc="snapshot_diff: added/removed/changed with old+new values between "
-    "two polled snapshots - one watcher poll against the previous cache.",
+    "two polled snapshots (full-outer join on key) - one watcher poll "
+    "against the previous cache; the added/removed subset IS the "
+    "KeySetWatcher diff (R10).",
 )
 def cdc_snapshot_diff(spark, sf_dir):
     ev = Catalog(spark, sf_dir).events

@@ -12,7 +12,7 @@ rely on partial+final hash agg, no driver-side loops.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -29,18 +29,27 @@ def _dec(col: str):
 # --------------------------------------------------------------------------
 # G20/G27/G32 + G7/G8: the M0 walking-skeleton query (TPC-H Q1 style).
 # --------------------------------------------------------------------------
+def _dbl(col: Column) -> Column:
+    """Final-projection convention (§2.4 + round-1 driver finding): decimal
+    aggregates are exact/order-independent *inside* the plan, but the
+    driver canonicalizer renders Spark Decimal and DuckDB decimal-as-float
+    differently — so every declared query emits aggregates as
+    round(cast(x AS double), 4) on BOTH engines."""
+    return F.round(col.cast("double"), 4)
+
+
 @register(
     "agg_pricing_summary",
     sql="""
     SELECT
       l_returnflag, l_linestatus,
-      sum(cast(l_quantity      AS decimal(18,4))) AS sum_qty,
-      sum(cast(l_extendedprice AS decimal(18,4))) AS sum_base_price,
-      sum(cast(l_extendedprice AS decimal(18,4))
-        * cast(1 - l_discount  AS decimal(18,4))) AS sum_disc_price,
-      sum(cast(l_extendedprice AS decimal(18,4))
+      round(cast(sum(cast(l_quantity      AS decimal(18,4))) AS double), 4) AS sum_qty,
+      round(cast(sum(cast(l_extendedprice AS decimal(18,4))) AS double), 4) AS sum_base_price,
+      round(cast(sum(cast(l_extendedprice AS decimal(18,4))
+        * cast(1 - l_discount  AS decimal(18,4))) AS double), 4) AS sum_disc_price,
+      round(cast(sum(cast(l_extendedprice AS decimal(18,4))
         * cast(1 - l_discount  AS decimal(18,4))
-        * cast(1 + l_tax       AS decimal(18,4))) AS sum_charge,
+        * cast(1 + l_tax       AS decimal(18,4))) AS double), 4) AS sum_charge,
       round(cast(sum(cast(l_quantity AS decimal(18,4))) AS double)
             / count(*), 4) AS avg_qty,
       count(*) AS count_order
@@ -52,7 +61,8 @@ def _dec(col: str):
     tags=("G1", "G7", "G8", "G20", "G32", "G41", "G43"),
     doc="Grouped pricing summary over lineitem (TPC-H Q1 shape). "
     "Scale: partial+final hash agg on 6 groups; shipdate filter pushed "
-    "to parquet scan; no join, one shuffle of 6 rows.",
+    "to parquet scan; no join, one shuffle of 6 rows. Sums are decimal "
+    "inside the agg (exact, order-independent), doubles in the output.",
 )
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).lineitem
@@ -64,10 +74,10 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(charge).alias("sum_charge"),
+            _dbl(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+            _dbl(F.sum(_dec("l_extendedprice"))).alias("sum_base_price"),
+            _dbl(F.sum(disc_price)).alias("sum_disc_price"),
+            _dbl(F.sum(charge)).alias("sum_charge"),
             F.round(
                 F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 4
             ).alias("avg_qty"),
@@ -84,7 +94,13 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_predicates",
     sql="""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
-           round(o_totalprice, 2) AS price2
+           round(o_totalprice, 2) AS price2,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS v,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END AS w,
+           ((CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END)
+            IS NOT DISTINCT FROM
+            (CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END))
+             AS nullsafe_same
     FROM orders
     WHERE o_totalprice BETWEEN 1000 AND 200000
       AND o_orderstatus IN ('O', 'F')
@@ -93,12 +109,16 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate IS NOT NULL
     ORDER BY o_orderkey
     """,
-    tags=("G7", "G8", "G9", "G41"),
-    doc="BETWEEN / IN / LIKE / IS NULL / AND-OR-NOT composition. Scale: "
-    "all predicates are Catalyst-pushable; parquet scan prunes to 5 cols.",
+    tags=("G7", "G8", "G9", "G10", "G41", "G42"),
+    doc="BETWEEN / IN / LIKE / IS NULL / AND-OR-NOT composition, plus a "
+    "null-safe <=> compare of two nullable derivations (the watcher's "
+    "Option[String] cache compare, CacheListenerRegistry.scala:49). "
+    "Scale: all predicates are Catalyst-pushable; scan prunes to 5 cols.",
 )
 def filter_predicates(spark, sf_dir):
     o = Catalog(spark, sf_dir).orders
+    v = F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(F.col("o_orderstatus"))
+    w = F.when(F.col("o_orderkey") % 5 == 0, None).otherwise(F.col("o_orderstatus"))
     return (
         o.filter(
             F.col("o_totalprice").between(1000, 200000)
@@ -113,49 +133,11 @@ def filter_predicates(spark, sf_dir):
             "o_orderstatus",
             "o_orderpriority",
             F.round("o_totalprice", 2).alias("price2"),
+            v.alias("v"),
+            w.alias("w"),
+            v.eqNullSafe(w).alias("nullsafe_same"),
         )
         .orderBy("o_orderkey")
-    )
-
-
-# --------------------------------------------------------------------------
-# G10: null-safe equality (the ValueWatcher Option[String] compare,
-# CacheListenerRegistry.scala:49).
-# --------------------------------------------------------------------------
-@register(
-    "nullsafe_compare",
-    sql="""
-    WITH prev AS (
-      SELECT o_custkey,
-             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS v,
-             CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END AS w
-      FROM orders
-    )
-    SELECT o_custkey, v, w, (v IS NOT DISTINCT FROM w) AS same
-    FROM prev
-    WHERE NOT (v IS NOT DISTINCT FROM w)
-    ORDER BY o_custkey, v NULLS FIRST, w NULLS FIRST
-    """,
-    tags=("G10", "G42"),
-    doc="Null-safe <=> compare of two nullable derivations; mirrors the "
-    "watcher's Option[String] cache compare.",
-)
-def nullsafe_compare(spark, sf_dir):
-    o = Catalog(spark, sf_dir).orders
-    d = o.select(
-        "o_custkey",
-        F.when(F.col("o_orderkey") % 7 == 0, None)
-        .otherwise(F.col("o_orderstatus"))
-        .alias("v"),
-        F.when(F.col("o_orderkey") % 5 == 0, None)
-        .otherwise(F.col("o_orderstatus"))
-        .alias("w"),
-    )
-    d = d.withColumn("same", F.col("v").eqNullSafe(F.col("w")))
-    return d.filter(~F.col("same")).orderBy(
-        "o_custkey",
-        F.col("v").asc_nulls_first(),
-        F.col("w").asc_nulls_first(),
     )
 
 
@@ -166,8 +148,8 @@ def nullsafe_compare(spark, sf_dir):
     "join_star_revenue",
     sql="""
     SELECT n_name,
-           sum(cast(l_extendedprice AS decimal(18,4))
-             * cast(1 - l_discount AS decimal(18,4))) AS revenue,
+           round(cast(sum(cast(l_extendedprice AS decimal(18,4))
+             * cast(1 - l_discount AS decimal(18,4))) AS double), 4) AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -201,7 +183,7 @@ def join_star_revenue(spark, sf_dir):
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
         .groupBy("n_name")
-        .agg(F.sum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .agg(_dbl(F.sum(rev)).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 
@@ -214,7 +196,8 @@ def join_star_revenue(spark, sf_dir):
     sql="""
     SELECT c_custkey, c_name,
            count(o_orderkey) AS n_orders,
-           coalesce(sum(cast(o_totalprice AS decimal(18,4))), 0) AS total_spend
+           round(cast(coalesce(sum(cast(o_totalprice AS decimal(18,4))), 0)
+                 AS double), 4) AS total_spend
     FROM customer
     LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_name
@@ -231,46 +214,11 @@ def join_outer_counts(spark, sf_dir):
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0).cast("decimal(18,4)")).alias(
-                "total_spend"
-            ),
+            _dbl(
+                F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0).cast("decimal(18,4)"))
+            ).alias("total_spend"),
         )
         .orderBy("c_custkey")
-    )
-
-
-@register(
-    "join_full_outer_diff",
-    sql="""
-    WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders
-               WHERE o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'),
-         b AS (SELECT DISTINCT o_custkey AS k FROM orders
-               WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
-    SELECT coalesce(a.k, b.k) AS custkey,
-           CASE WHEN a.k IS NULL THEN 'added'
-                WHEN b.k IS NULL THEN 'removed'
-                ELSE 'kept' END AS change
-    FROM a FULL OUTER JOIN b ON a.k = b.k
-    ORDER BY custkey
-    """,
-    tags=("G13", "G38", "R10"),
-    doc="Full-outer snapshot diff of two key sets - the batch formulation "
-    "of KeySetWatcher (CacheListenerRegistry.scala:63-81).",
-)
-def join_full_outer_diff(spark, sf_dir):
-    o = Catalog(spark, sf_dir).orders
-    cut = F.lit("1997-01-01").cast("timestamp_ntz")
-    a = o.filter(F.col("o_orderdate") < cut).select(F.col("o_custkey").alias("ak")).distinct()
-    b = o.filter(F.col("o_orderdate") >= cut).select(F.col("o_custkey").alias("bk")).distinct()
-    j = a.join(b, F.col("ak") == F.col("bk"), "outer")
-    return (
-        j.select(
-            F.coalesce("ak", "bk").alias("custkey"),
-            F.when(F.col("ak").isNull(), "added")
-            .when(F.col("bk").isNull(), "removed")
-            .otherwise("kept")
-            .alias("change"),
-        ).orderBy("custkey")
     )
 
 
@@ -311,7 +259,8 @@ def join_semi_anti(spark, sf_dir):
     "join_range_bands",
     sql="""
     SELECT b.band, count(*) AS n_parts,
-           sum(cast(p_retailprice AS decimal(18,4))) AS band_value
+           round(cast(sum(cast(p_retailprice AS decimal(18,4))) AS double), 4)
+             AS band_value
     FROM part p
     JOIN (VALUES ('low', 0.0, 500.0), ('mid', 500.0, 1200.0),
                  ('high', 1200.0, 100000.0)) AS b(band, lo, hi)
@@ -337,7 +286,7 @@ def join_range_bands(spark, sf_dir):
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.sum(_dec("p_retailprice")).alias("band_value"),
+            _dbl(F.sum(_dec("p_retailprice"))).alias("band_value"),
         )
         .orderBy("band")
     )
@@ -384,36 +333,6 @@ def asof_last_purchase(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# G19: cross join (the brute-force similarity substrate).
-# --------------------------------------------------------------------------
-@register(
-    "cross_join_pairs",
-    sql="""
-    SELECT a.n_name AS n1, b.n_name AS n2
-    FROM nation a CROSS JOIN nation b
-    WHERE a.n_regionkey = 0 AND b.n_regionkey = 1 AND a.n_nationkey < b.n_nationkey
-    ORDER BY n1, n2
-    """,
-    tags=("G19",),
-    doc="Filtered cross join of two small dims (broadcast NL join).",
-)
-def cross_join_pairs(spark, sf_dir):
-    n = Catalog(spark, sf_dir).nation
-    a = n.filter(F.col("n_regionkey") == 0).select(
-        F.col("n_name").alias("n1"), F.col("n_nationkey").alias("k1")
-    )
-    b = n.filter(F.col("n_regionkey") == 1).select(
-        F.col("n_name").alias("n2"), F.col("n_nationkey").alias("k2")
-    )
-    return (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("k1") < F.col("k2"))
-        .select("n1", "n2")
-        .orderBy("n1", "n2")
-    )
-
-
-# --------------------------------------------------------------------------
 # G21/G23: distinct aggregation + sorted set materialization (the R4
 # key-set snapshot, CassandraListenerRegistry.scala:54, as an agg).
 # --------------------------------------------------------------------------
@@ -422,14 +341,17 @@ def cross_join_pairs(spark, sf_dir):
     sql="""
     SELECT c_mktsegment,
            count(DISTINCT c_nationkey) AS n_nations,
-           list_sort(list(DISTINCT c_nationkey)) AS nation_set
+           array_to_string(list_sort(list(DISTINCT c_nationkey)), ',')
+             AS nation_set
     FROM customer
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
     """,
     tags=("G21", "G23", "R4"),
-    doc="count(distinct) + array_sort(collect_set) per group; sorted-array "
-    "protocol makes set output deterministic (SURVEY §2.4 rule 4).",
+    doc="count(distinct) + array_sort(collect_set) per group; the set is "
+    "serialized to a sorted CSV string in the final projection so the "
+    "output is deterministic AND canonicalizer-safe (driver round-1 "
+    "finding: raw array cells crash the external canon sort).",
 )
 def agg_distinct_sets(spark, sf_dir):
     c = Catalog(spark, sf_dir).customer
@@ -437,128 +359,102 @@ def agg_distinct_sets(spark, sf_dir):
         c.groupBy("c_mktsegment")
         .agg(
             F.countDistinct("c_nationkey").alias("n_nations"),
-            F.array_sort(F.collect_set("c_nationkey")).alias("nation_set"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_set("c_nationkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("nation_set"),
         )
         .orderBy("c_mktsegment")
     )
 
 
 # --------------------------------------------------------------------------
-# G24: rollup / grouping sets.
+# G24: rollup/cube (grouping sets). CUBE over the region->nation join
+# covers both shapes: Spark expands either to one Expand + agg pass.
 # --------------------------------------------------------------------------
 @register(
-    "agg_rollup",
+    "agg_grouping_sets",
     sql="""
     SELECT r_name, n_name, count(*) AS n_customers,
-           sum(cast(c_acctbal AS decimal(18,4))) AS total_bal
+           round(cast(sum(cast(c_acctbal AS decimal(18,4))) AS double), 4)
+             AS total_bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
-    GROUP BY ROLLUP (r_name, n_name)
+    GROUP BY CUBE (r_name, n_name)
     ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
     """,
     tags=("G24", "G11", "G12"),
-    doc="ROLLUP over region->nation hierarchy with grand total. Scale: "
-    "Spark expands rollup to grouping sets in one pass (Expand + agg).",
+    doc="CUBE over the region->nation hierarchy: per-(region,nation), "
+    "per-region, per-nation and grand-total rows in one pass (covers "
+    "ROLLUP, whose grouping sets are a subset). Scale: Expand + single "
+    "partial+final hash agg; dims broadcast.",
 )
-def agg_rollup(spark, sf_dir):
+def agg_grouping_sets(spark, sf_dir):
     c = Catalog(spark, sf_dir)
     j = c.customer.join(
         F.broadcast(c.nation), F.col("c_nationkey") == F.col("n_nationkey")
     ).join(F.broadcast(c.region), F.col("n_regionkey") == F.col("r_regionkey"))
     return (
-        j.rollup("r_name", "n_name")
+        j.cube("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum(_dec("c_acctbal")).alias("total_bal"),
+            _dbl(F.sum(_dec("c_acctbal"))).alias("total_bal"),
         )
         .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
     )
 
 
-@register(
-    "agg_cube",
-    sql="""
-    SELECT o_orderstatus, o_orderpriority, count(*) AS n
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
-    """,
-    tags=("G24",),
-    doc="CUBE across two independent dimensions.",
-)
-def agg_cube(spark, sf_dir):
-    o = Catalog(spark, sf_dir).orders
-    return (
-        o.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(
-            F.col("o_orderstatus").asc_nulls_first(),
-            F.col("o_orderpriority").asc_nulls_first(),
-        )
-    )
-
-
 # --------------------------------------------------------------------------
-# G25: deterministic first/last via min_by/max_by (R2 collectFirst made
-# deterministic - CassandraLeaderElection.scala:68).
+# G25/G26 (+R2): deterministic first/last via min_by/max_by on a unique
+# key (R2 collectFirst made deterministic, CassandraLeaderElection.scala:68)
+# together with the statistical + exact-percentile aggregates, one pass.
 # --------------------------------------------------------------------------
 @register(
-    "agg_minmax_by",
-    sql="""
-    SELECT c_mktsegment,
-           max_by(c_acctbal, c_custkey) AS bal_of_latest_cust,
-           min_by(c_acctbal, c_custkey) AS bal_of_first_cust,
-           round(max(c_acctbal), 4) AS max_bal
-    FROM customer
-    GROUP BY c_mktsegment
-    ORDER BY c_mktsegment
-    """,
-    tags=("G25", "R2"),
-    doc="min_by/max_by keyed on the unique custkey => fully deterministic "
-    "first/last row pick (no partition-order dependence).",
-)
-def agg_minmax_by(spark, sf_dir):
-    c = Catalog(spark, sf_dir).customer
-    return (
-        c.groupBy("c_mktsegment")
-        .agg(
-            F.expr("max_by(c_acctbal, c_custkey)").alias("bal_of_latest_cust"),
-            F.expr("min_by(c_acctbal, c_custkey)").alias("bal_of_first_cust"),
-            F.round(F.max("c_acctbal"), 4).alias("max_bal"),
-        )
-        .orderBy("c_mktsegment")
-    )
-
-
-# --------------------------------------------------------------------------
-# G26: statistical aggregates.
-# --------------------------------------------------------------------------
-@register(
-    "agg_stats",
+    "agg_stats_profile",
     sql="""
     SELECT l_returnflag,
+           max_by(l_extendedprice, l_orderkey * 8 + l_linenumber) AS last_price,
+           min_by(l_extendedprice, l_orderkey * 8 + l_linenumber) AS first_price,
            round(stddev_samp(l_quantity), 4) AS sd_qty,
            round(var_samp(l_quantity), 4) AS var_qty,
            round(min(l_quantity), 4) AS min_qty,
-           round(max(l_quantity), 4) AS max_qty
+           round(max(l_quantity), 4) AS max_qty,
+           quantile_cont(l_quantity, 0.5) AS p50_qty,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price,
+           quantile_cont(l_discount, 0.25) AS p25_disc
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
-    tags=("G26",),
-    doc="stddev/variance (rounded per §2.4; percentile_approx is declared "
-    "non-oracle and exercised in unit tests).",
+    tags=("G25", "G26", "G20", "R2"),
+    doc="min_by/max_by keyed on the unique (orderkey,linenumber) encoding "
+    "(fully deterministic first/last row pick - no partition-order "
+    "dependence), stddev/variance (rounded per §2.4), and exact "
+    "interpolated percentiles (Spark percentile == DuckDB quantile_cont, "
+    "deterministic order statistics emitted raw).",
 )
-def agg_stats(spark, sf_dir):
+def agg_stats_profile(spark, sf_dir):
     li = Catalog(spark, sf_dir).lineitem
     return (
         li.groupBy("l_returnflag")
         .agg(
+            F.expr("max_by(l_extendedprice, l_orderkey * 8 + l_linenumber)").alias(
+                "last_price"
+            ),
+            F.expr("min_by(l_extendedprice, l_orderkey * 8 + l_linenumber)").alias(
+                "first_price"
+            ),
             F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
             F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
             F.round(F.min("l_quantity"), 4).alias("min_qty"),
             F.round(F.max("l_quantity"), 4).alias("max_qty"),
+            F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+            F.expr("percentile(l_discount, 0.25)").alias("p25_disc"),
         )
         .orderBy("l_returnflag")
     )
@@ -571,11 +467,12 @@ def agg_stats(spark, sf_dir):
     "agg_filtered_pivot",
     sql="""
     SELECT o_orderpriority,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
-           sum(CASE WHEN o_orderstatus = 'F'
-                    THEN cast(o_totalprice AS decimal(18,4)) END) AS f_value
+           cast(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS bigint) AS n_f,
+           cast(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS bigint) AS n_o,
+           cast(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS bigint) AS n_p,
+           round(cast(sum(CASE WHEN o_orderstatus = 'F'
+                    THEN cast(o_totalprice AS decimal(18,4)) END) AS double), 4)
+             AS f_value
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -593,78 +490,11 @@ def agg_filtered_pivot(spark, sf_dir):
             n_of("F").alias("n_f"),
             n_of("O").alias("n_o"),
             n_of("P").alias("n_p"),
-            F.sum(
-                F.when(F.col("o_orderstatus") == "F", _dec("o_totalprice"))
+            _dbl(
+                F.sum(F.when(F.col("o_orderstatus") == "F", _dec("o_totalprice")))
             ).alias("f_value"),
         )
         .orderBy("o_orderpriority")
-    )
-
-
-# --------------------------------------------------------------------------
-# G28: ranking windows.
-# --------------------------------------------------------------------------
-@register(
-    "window_rank",
-    sql="""
-    SELECT c_custkey, c_nationkey,
-           row_number() OVER w AS rn,
-           rank()       OVER w AS rk,
-           dense_rank() OVER w AS drk,
-           ntile(4)     OVER w AS quartile
-    FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
-    ORDER BY c_custkey
-    """,
-    tags=("G28",),
-    doc="row_number/rank/dense_rank/ntile in one windowed pass; order key "
-    "ends in unique custkey for determinism.",
-)
-def window_rank(spark, sf_dir):
-    c = Catalog(spark, sf_dir).customer
-    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
-    return (
-        c.select(
-            "c_custkey",
-            "c_nationkey",
-            F.row_number().over(w).alias("rn"),
-            F.rank().over(w).alias("rk"),
-            F.dense_rank().over(w).alias("drk"),
-            F.ntile(4).over(w).alias("quartile"),
-        ).orderBy("c_custkey")
-    )
-
-
-# --------------------------------------------------------------------------
-# G29: lag/lead - THE batch formulation of ValueWatcher change detection
-# (CacheListenerRegistry.scala:47-52).
-# --------------------------------------------------------------------------
-@register(
-    "window_lag_change",
-    sql="""
-    WITH t AS (
-      SELECT user_id, event_id, ts, event_type,
-             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS prev_type
-      FROM events
-    )
-    SELECT user_id, event_id, prev_type, event_type
-    FROM t
-    WHERE prev_type IS DISTINCT FROM event_type
-    ORDER BY user_id, event_id
-    """,
-    tags=("G29", "G10", "R9"),
-    doc="Emit rows only where the per-key value changed vs the previous "
-    "observation - ValueWatcher.run() as a single windowed scan.",
-)
-def window_lag_change(spark, sf_dir):
-    ev = Catalog(spark, sf_dir).events
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        ev.withColumn("prev_type", F.lag("event_type").over(w))
-        .filter(~F.col("prev_type").eqNullSafe(F.col("event_type")))
-        .select("user_id", "event_id", "prev_type", "event_type")
-        .orderBy("user_id", "event_id")
     )
 
 
@@ -675,10 +505,10 @@ def window_lag_change(spark, sf_dir):
     "window_running_total",
     sql="""
     SELECT o_custkey, o_orderkey,
-           sum(cast(o_totalprice AS decimal(18,4)))
+           round(cast(sum(cast(o_totalprice AS decimal(18,4)))
              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS running_spend,
+             AS double), 4) AS running_spend,
            first_value(o_orderkey)
              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -691,8 +521,8 @@ def window_lag_change(spark, sf_dir):
     ORDER BY o_custkey, o_orderkey
     """,
     tags=("G30", "G31"),
-    doc="Running decimal sum + first_value + 3-row moving average over "
-    "explicit frames.",
+    doc="Running sum (decimal inside the frame agg, double in the output) "
+    "+ first_value + 3-row moving average over explicit frames.",
 )
 def window_running_total(spark, sf_dir):
     o = Catalog(spark, sf_dir).orders
@@ -703,34 +533,10 @@ def window_running_total(spark, sf_dir):
         o.select(
             "o_custkey",
             "o_orderkey",
-            F.sum(_dec("o_totalprice")).over(run).alias("running_spend"),
+            _dbl(F.sum(_dec("o_totalprice")).over(run)).alias("running_spend"),
             F.first("o_orderkey").over(run).alias("first_order"),
             F.round(F.avg("o_totalprice").over(mov), 4).alias("moving_avg3"),
         ).orderBy("o_custkey", "o_orderkey")
-    )
-
-
-# --------------------------------------------------------------------------
-# G32/G33: global sort + top-k (TakeOrderedAndProject).
-# --------------------------------------------------------------------------
-@register(
-    "sort_topk_orders",
-    sql="""
-    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey
-    LIMIT 50
-    """,
-    tags=("G32", "G33"),
-    doc="Global top-50. Scale: Spark plans TakeOrderedAndProject - per-"
-    "partition heaps + driver merge, never a full sort of the table.",
-)
-def sort_topk_orders(spark, sf_dir):
-    o = Catalog(spark, sf_dir).orders
-    return (
-        o.select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
-        .orderBy(F.col("price").desc(), "o_orderkey")
-        .limit(50)
     )
 
 
@@ -844,35 +650,53 @@ def dedup_latest_per_key(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# G28/G31: full ranking-window battery + distribution analytics + nth_value
+# over an explicit full frame, one windowed pass per spec.
+# --------------------------------------------------------------------------
 @register(
-    "window_distribution",
+    "window_rank_stats",
     sql="""
-    SELECT s_suppkey,
-           round(percent_rank() OVER w, 6) AS pr,
-           round(cume_dist() OVER w, 6) AS cd,
-           nth_value(s_suppkey, 2) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
-                                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    SELECT s_suppkey, s_nationkey,
+           row_number() OVER wd AS rn,
+           rank()       OVER wd AS rk,
+           dense_rank() OVER wd AS drk,
+           ntile(4)     OVER wd AS quartile,
+           round(percent_rank() OVER wa, 6) AS pr,
+           round(cume_dist() OVER wa, 6) AS cd,
+           nth_value(s_suppkey, 2)
+             OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              AS second_richest
     FROM supplier
-    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    WINDOW wd AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey),
+           wa AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
     ORDER BY s_suppkey
     """,
     tags=("G28", "G31"),
-    doc="Distribution analytics: percent_rank/cume_dist (rank ratios - "
-    "exact rationals, rounded identically) + nth_value over the full "
-    "frame.",
+    doc="row_number/rank/dense_rank/ntile + percent_rank/cume_dist (exact "
+    "rank rationals, rounded identically on both engines) + nth_value "
+    "over the full frame; order keys end in the unique suppkey for "
+    "determinism. Scale: one shuffle by nationkey, both window specs "
+    "evaluated in the same partitioned sort.",
 )
-def window_distribution(spark, sf_dir):
+def window_rank_stats(spark, sf_dir):
     s = Catalog(spark, sf_dir).supplier
-    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
-    full = Window.partitionBy("s_nationkey").orderBy(
+    wd = Window.partitionBy("s_nationkey").orderBy(
         F.col("s_acctbal").desc(), "s_suppkey"
-    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wa = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    full = wd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
         s.select(
             "s_suppkey",
-            F.round(F.percent_rank().over(w), 6).alias("pr"),
-            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            "s_nationkey",
+            F.row_number().over(wd).alias("rn"),
+            F.rank().over(wd).alias("rk"),
+            F.dense_rank().over(wd).alias("drk"),
+            F.ntile(4).over(wd).alias("quartile"),
+            F.round(F.percent_rank().over(wa), 6).alias("pr"),
+            F.round(F.cume_dist().over(wa), 6).alias("cd"),
             F.nth_value("s_suppkey", 2).over(full).alias("second_richest"),
         ).orderBy("s_suppkey")
     )

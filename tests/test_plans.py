@@ -40,12 +40,13 @@ class TestPruning:
         P.assert_column_pruned(q("agg_pricing_summary"), table_cols=11, max_cols=7)
 
     def test_topk_reads_three_columns(self, q):
-        P.assert_column_pruned(q("sort_topk_orders"), table_cols=6, max_cols=3)
+        # part has 9 columns; per-group top-k needs brand/partkey/price
+        P.assert_column_pruned(q("topk_per_group"), table_cols=9, max_cols=3)
 
 
 class TestPartitionPruning:
     def test_partitioned_write_prunes_directories(self, q):
-        df = q("parquet_partitioned_roundtrip")
+        df = q("parquet_roundtrip")
         pf = P.partition_filters(df)
         assert any("1997" in f for f in pf), (
             f"expected a partition filter on y=1997, got {pf}"
@@ -65,7 +66,8 @@ class TestJoinStrategy:
         P.assert_max_shuffles(df, budget=2)
 
     def test_topk_is_take_ordered(self, q):
-        assert "TakeOrderedAndProject" in P.formatted_plan(q("sort_topk_orders"))
+        # global sort + LIMIT must plan as per-partition heaps, not a full sort
+        assert "TakeOrderedAndProject" in P.formatted_plan(q("term_frequency_topk"))
 
 
 class TestShuffleBudgets:
@@ -73,7 +75,7 @@ class TestShuffleBudgets:
         "name,budget",
         [
             ("agg_pricing_summary", 1),   # one agg shuffle (+ sort collapses into TakeOrdered/AQE)
-            ("window_lag_change", 1),     # one shuffle by user_id
+            ("asof_last_purchase", 1),    # one shuffle by user_id
             ("dedup_latest_per_key", 1),  # one shuffle by custkey
             ("term_frequency_topk", 1),   # explode is map-side; one count shuffle
             ("text_stats", 0),            # pure projection: NO shuffle at all

@@ -30,3 +30,30 @@ def test_rows_only_runs(name, spark, oracle_sf_dir):
     q = QUERIES[name]
     df = q.build(spark, oracle_sf_dir)
     assert df.count() >= 0
+
+
+# Round-1 driver finding: the external canonicalizer renders Spark Decimal
+# vs DuckDB decimal-as-float differently (hash mismatch) and crashes
+# outright on array/map cells.  Guard the whole registry: declared-query
+# OUTPUT schemas must be atomic and non-decimal (decimal math stays inside
+# the plan; collections are serialized in the final projection).
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_output_schema_is_canonicalizer_safe(name, spark, sf_dir):
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
+
+    schema = QUERIES[name].build(spark, sf_dir).schema
+    bad = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType, DecimalType))
+    ]
+    assert not bad, (
+        f"{name}: output columns {bad} are decimal/collection-typed - "
+        "cast to double / serialize in the final projection"
+    )
+
+
+def test_registry_fits_driver_window():
+    # the external driver checks at most the first 50 query names
+    # (alphabetical); every declared query must get a verdict
+    assert len(QUERIES) <= 50
