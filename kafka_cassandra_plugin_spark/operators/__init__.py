@@ -34,11 +34,24 @@ def salted_join(big, right, on: str, how: str = "inner", salt: int = 8):
     Use when AQE's skew-join splitting isn't available (e.g. the join
     feeds an operator that disables it) or a key is so hot that even
     split shuffle blocks overwhelm a single executor.  Result is
-    identical to ``big.join(right, on, how)`` (tested); cost is a
-    salt-fold replication of the (smaller) right side.
+    identical to ``big.join(right, on, how)`` for the supported join
+    types (tested); cost is a salt-fold replication of the (smaller)
+    right side.
+
+    Only big-side-preserving joins are supported: for right/full-outer
+    joins every *unmatched* right row would surface once per salt value
+    (``salt`` duplicate null-extended rows), so those types raise.
     """
     from pyspark.sql import functions as F
 
+    supported = {"inner", "left", "leftouter", "left_outer", "left_semi",
+                 "leftsemi", "left_anti", "leftanti", "cross"}
+    if how not in supported:
+        raise ValueError(
+            f"salted_join: join type {how!r} is not big-side-preserving; "
+            "unmatched right rows would duplicate once per salt value. "
+            f"Supported: {sorted(supported)}"
+        )
     big_s = big.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)))
     salts = big.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))
     right_s = right.crossJoin(F.broadcast(salts))

@@ -44,7 +44,6 @@ def exact_dedup(df: DataFrame, content_col: str = "text",
     survivor is partition-order dependent."""
     h = F.sha2(F.col(content_col), 256)
     pick = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
-    w = Window.partitionBy(h.alias("__h")).orderBy(pick)
     return (
         df.withColumn("__rn", F.row_number().over(Window.partitionBy(h).orderBy(pick)))
         .filter(F.col("__rn") == 1)
@@ -140,15 +139,19 @@ def shingle_arrays(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.8,
-                        max_shingle_freq: int | None = None) -> DataFrame:
+                        max_shingle_freq: int | None = 1000) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard >= threshold.
 
-    Plan shape (scale-critical): explode shingles -> optional stop-shingle
-    cap -> self-equi-join on shingle -> per-pair common count -> jaccard
-    against per-doc shingle counts.  Docs sharing no shingle never meet,
-    so the join is sparse rather than quadratic; ``max_shingle_freq``
-    drops ubiquitous shingles that would otherwise dominate fanout at
-    scale (the classic stop-shingle optimization).
+    Plan shape (scale-critical): explode shingles -> stop-shingle cap ->
+    self-equi-join on shingle -> per-pair common count -> jaccard against
+    per-doc shingle counts.  Docs sharing no shingle never meet, so the
+    join is sparse rather than quadratic; ``max_shingle_freq`` drops
+    ubiquitous shingles that would otherwise dominate fanout (the classic
+    stop-shingle optimization).  The cap is ON BY DEFAULT (1000): one hot
+    shingle appearing in f docs alone contributes O(f^2) candidate pairs,
+    a quadratic blowup at corpus scale — pass ``None`` only for small
+    exact-math runs where every shingle must count (property-tested:
+    a planted hot shingle does not blow up the pair count).
     """
     sh = exploded_shingles(df, text_col, id_col, n)
     if max_shingle_freq is not None:

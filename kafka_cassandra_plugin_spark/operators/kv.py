@@ -224,8 +224,10 @@ def leader_timeline(heartbeats: DataFrame, ttl_seconds: float,
     CassandraLeaderElection.scala:111-137 is iterative, not relational):
 
     at each heartbeat (resource, candidate, ts):
-      - if there is no current owner, or the current owner's last accepted
-        heartbeat is older than ttl, the candidate ACQUIRES the lease;
+      - if there is no current owner, or the current owner's lease has
+        expired (elapsed >= ttl — Cassandra TTL expires the row at
+        exactly write_ts + ttl, the same boundary :func:`lease_view`
+        uses), the candidate ACQUIRES the lease;
       - if the candidate is the current owner, it RENEWS;
       - otherwise the heartbeat is REJECTED (owner unchanged).
 
@@ -246,7 +248,7 @@ def leader_timeline(heartbeats: DataFrame, ttl_seconds: float,
         owner, owner_ts = None, None
         owners, actions = [], []
         for cand, t in zip(pdf[candidate_col], pdf[ts_col]):
-            expired = owner is None or (t - owner_ts).total_seconds() > ttl
+            expired = owner is None or (t - owner_ts).total_seconds() >= ttl
             if expired:
                 owner, owner_ts, action = cand, t, "acquire"
             elif cand == owner:

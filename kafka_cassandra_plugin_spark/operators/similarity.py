@@ -285,7 +285,15 @@ class IvfIndex:
 
     @classmethod
     def build(cls, corpus: DataFrame, nlist: int = 16, seed: int = 42,
-              id_col: str = "vec_id", vec_col: str = "embedding") -> "IvfIndex":
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              fit_sample_rows: int = 100_000) -> "IvfIndex":
+        """Fit the coarse quantizer on a bounded SAMPLE of the corpus
+        (capped at ``fit_sample_rows``), then assign every row.  Centroid
+        quality converges with a modest sample; fitting KMeans on the
+        full corpus would iterate over all 100 TB ``maxIter`` times for
+        no recall gain (the assignment pass still sees every row once —
+        that part is irreducible).  The sample is seeded => deterministic
+        index."""
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
@@ -294,9 +302,15 @@ class IvfIndex:
             F.col(vec_col).alias("c_vec"),
             array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
         )
-        model = KMeans(k=nlist, seed=seed, maxIter=5).fit(
-            corpus_v.select("features")
-        )
+        n_rows = corpus_v.count()
+        fit_df = corpus_v.select("features")
+        if n_rows > fit_sample_rows:
+            fit_df = fit_df.sample(
+                withReplacement=False,
+                fraction=min(1.0, 1.05 * fit_sample_rows / n_rows),
+                seed=seed,
+            ).limit(fit_sample_rows)
+        model = KMeans(k=nlist, seed=seed, maxIter=5).fit(fit_df)
         assigned = model.transform(corpus_v).select(
             "neighbor_id", "c_vec", F.col("prediction").alias("list_id")
         )

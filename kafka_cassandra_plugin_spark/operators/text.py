@@ -16,14 +16,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Tiny per-language stopword marker sets for the n-gram/stopword-ratio
-# language-ID heuristic.  Deliberately small + deterministic (this is a
-# heuristic operator, not a model); real deployments swap in fastText etc.
-# via the same column signature.
+# Per-language stopword/function-word marker sets for the
+# n-gram/stopword-ratio language-ID heuristic.  Deliberately small +
+# deterministic (this is a heuristic operator, not a model); real
+# deployments swap in fastText etc. via the same column signature.
+# Ambiguous function words are listed under every language they belong
+# to ('a' is both the English article and the Spanish/Italian
+# preposition; 'table'/'part' are French nouns; 'est' is French 'is' and
+# Latin-derived) — the argmax then weighs the *whole* evidence vector,
+# which is what lets short or domain-skewed documents (like this
+# engine's synthetic corpus) still spread across several predicted
+# languages instead of collapsing to en/und.
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
-    "es": ["el", "la", "de", "que", "los", "las", "una", "por"],
-    "fr": ["le", "la", "les", "des", "une", "est", "dans", "pour"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por", "a", "no"],
+    "fr": ["le", "la", "les", "des", "une", "est", "dans", "pour",
+           "table", "part"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
     "zh": ["de5", "shi4", "bu4", "wo3", "le5", "zai4", "ren2", "you3"],
 }

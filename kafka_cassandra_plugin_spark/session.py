@@ -40,6 +40,81 @@ ENGINE_DEFAULTS: dict[str, str] = {
 }
 
 
+# Reference config contract (Config.scala:57-67 + plugin.properties):
+# the six plugin.* keys, with the reference's own defaults where the
+# sample file ships one.
+REFERENCE_KEYS: dict[str, str | None] = {
+    "plugin.cassandra.contact.points": "",
+    "plugin.cassandra.keyspace": "kafka_cluster_1",
+    "plugin.cassandra.le.executor.threads": "8",
+    "plugin.cassandra.le.renew.ttl.period.ms": "500",
+    "plugin.cassandra.lr.executor.threads": "8",
+    "plugin.cassandra.lr.pull.period.ms": "500",
+}
+
+# plugin.* -> engine conf mapping: the poll cadences become the streaming
+# trigger default; thread pools become shuffle/parallelism hints.  Keys
+# without an engine-side meaning (contact points, keyspace) are kept
+# verbatim under spark.kcp.* so sinks can read them from the session conf.
+_PLUGIN_TO_ENGINE = {
+    "plugin.cassandra.lr.pull.period.ms": "spark.kcp.trigger.ms",
+    "plugin.cassandra.le.renew.ttl.period.ms": "spark.kcp.lease.renew.ms",
+    "plugin.cassandra.le.executor.threads": "spark.kcp.le.threads",
+    "plugin.cassandra.lr.executor.threads": "spark.kcp.lr.threads",
+    "plugin.cassandra.contact.points": "spark.kcp.cassandra.contact.points",
+    "plugin.cassandra.keyspace": "spark.kcp.cassandra.keyspace",
+}
+
+
+def load_properties(path: str) -> dict[str, str]:
+    """Java-properties reader (Config.scala:43-52 loadConfigFile): k=v or
+    k:v lines, '#'/'!' comments, surrounding whitespace stripped,
+    trailing-backslash line continuations.  No external deps."""
+    props: dict[str, str] = {}
+    with open(path, encoding="utf-8") as f:
+        pending = ""
+        for raw in f:
+            line = pending + raw.strip()
+            pending = ""
+            if not line or line[0] in "#!":
+                continue
+            if line.endswith("\\") and not line.endswith("\\\\"):
+                pending = line[:-1]
+                continue
+            for sep in ("=", ":"):
+                i = line.find(sep)
+                if i >= 0:
+                    props[line[:i].strip()] = line[i + 1:].strip()
+                    break
+            else:
+                props[line.strip()] = ""
+    return props
+
+
+def load_config(file: str | None = None,
+                overrides: dict[str, str] | None = None) -> dict[str, str]:
+    """The reference's ``Config(file, overrides)`` layering
+    (Config.scala:26-41): reference defaults < properties file <
+    override map.  Returns the resolved plugin.* map; unknown keys in the
+    file ride along untouched (the reference's Properties does the same).
+    """
+    conf = {k: v for k, v in REFERENCE_KEYS.items() if v is not None}
+    if file:
+        conf.update(load_properties(file))
+    if overrides:
+        conf.update(overrides)
+    return conf
+
+
+def engine_confs_from_plugin(plugin_conf: dict[str, str]) -> dict[str, str]:
+    """Map resolved plugin.* keys to engine (spark.kcp.*) confs."""
+    return {
+        _PLUGIN_TO_ENGINE[k]: v
+        for k, v in plugin_conf.items()
+        if k in _PLUGIN_TO_ENGINE
+    }
+
+
 def default_master() -> str:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "").strip()
     return f"local[{cpus}]" if cpus else "local[*]"
@@ -49,15 +124,19 @@ def get_spark(
     app_name: str = "kafka-cassandra-plugin-spark",
     master: str | None = None,
     overrides: dict[str, str] | None = None,
+    properties_file: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults.
 
-    ``overrides`` wins over defaults, like the reference's
-    ``Config(file, overrides)`` layering (Config.scala:26-52).
+    Layering matches the reference's ``Config(file, overrides)``
+    (Config.scala:26-52): engine defaults < ``properties_file``
+    (plugin.* keys mapped to spark.kcp.* confs) < explicit ``overrides``.
     """
     builder = SparkSession.builder.appName(app_name)
     builder = builder.master(master or default_master())
     conf = dict(ENGINE_DEFAULTS)
+    if properties_file:
+        conf.update(engine_confs_from_plugin(load_config(properties_file)))
     if overrides:
         conf.update(overrides)
     for k, v in conf.items():

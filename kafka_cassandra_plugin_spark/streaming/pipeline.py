@@ -95,9 +95,10 @@ class Pipeline:
     # -- sinks ---------------------------------------------------------------
     def to_cassandra_lwt(self, contact_points: Sequence[str], keyspace: str,
                          table: str, op: str = "insert_if_not_exists",
-                         guard_col: str | None = None) -> "Pipeline":
+                         guard_col: str | None = None,
+                         order_col: str | None = None) -> "Pipeline":
         self._sink = S.CassandraLwtForeachBatch(
-            contact_points, keyspace, table, op, guard_col
+            contact_points, keyspace, table, op, guard_col, order_col
         )
         return self
 

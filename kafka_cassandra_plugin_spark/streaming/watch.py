@@ -94,10 +94,22 @@ class ListenerHub:
     Mirrors addValueChangeListener / removeValueChangeListener refcounting
     (CacheListenerRegistry.scala:130-172) minus the poll-task lifecycle,
     which Spark's query lifecycle owns (start/stop the StreamingQuery).
+
+    Driver-materialization bound: callbacks are in-process Python, so each
+    micro-batch lands on the driver — an unbounded first batch (initial
+    snapshot) could be huge.  ``max_rows_per_batch`` caps what is
+    delivered (oldest-first by the batch's own order) and sets
+    ``truncated=True`` on the hub when a batch was cut.  The reference's
+    listener contract is explicitly best-effort ("There is no guarantee
+    listener will be fired on ALL events", README.md:79), so a bounded
+    delivery is faithful; for unbounded volumes use a distributed sink
+    (foreachPartition / Cassandra), not in-process callbacks.
     """
 
-    def __init__(self) -> None:
+    def __init__(self, max_rows_per_batch: int = 100_000) -> None:
         self._listeners: list[Callable[[pd.DataFrame], None]] = []
+        self.max_rows_per_batch = max_rows_per_batch
+        self.truncated = False
 
     def add_listener(self, fn: Callable[[pd.DataFrame], None]) -> None:
         self._listeners.append(fn)
@@ -108,7 +120,19 @@ class ListenerHub:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if not self._listeners:
             return
-        pdf = batch_df.toPandas()
+        cap = self.max_rows_per_batch
+        pdf = batch_df.limit(cap + 1).toPandas()
+        if len(pdf) > cap:
+            import warnings
+
+            self.truncated = True
+            warnings.warn(
+                f"ListenerHub: micro-batch {batch_id} exceeded "
+                f"max_rows_per_batch={cap}; delivering the first {cap} rows "
+                "(listener delivery is best-effort per the reference "
+                "contract - use a distributed sink for full volumes)"
+            )
+            pdf = pdf.iloc[:cap]
         if pdf.empty:
             return
         for fn in list(self._listeners):
@@ -156,7 +180,9 @@ def leader_election_stream(heartbeats: DataFrame, ttl_seconds: float,
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "candidate"], kind="mergesort")
             for cand, t in zip(pdf["candidate"], pdf["ts"]):
-                expired = owner is None or (t - owner_ts).total_seconds() > ttl
+                # expire at exactly write_ts + ttl (>=) — the lease_view /
+                # leader_timeline boundary, pinned by a shared test
+                expired = owner is None or (t - owner_ts).total_seconds() >= ttl
                 if expired:
                     owner, owner_ts, action = cand, t, "acquire"
                 elif cand == owner:

@@ -68,3 +68,48 @@ class TestSaltedJoin:
         assert sorted(map(tuple, plain.collect())) == sorted(
             map(tuple, salted.collect())
         )
+
+    def test_rejects_right_preserving_joins(self, spark, sf_dir):
+        # right/full-outer would emit `salt` duplicates of every
+        # unmatched right row (round-1 advisor finding) -> must raise
+        import pytest as _pytest
+
+        from kafka_cassandra_plugin_spark.operators import salted_join
+        from kafka_cassandra_plugin_spark.catalog import Catalog
+
+        c = Catalog(spark, sf_dir)
+        li = c.lineitem.select("l_orderkey")
+        o = c.orders.select(F.col("o_orderkey").alias("l_orderkey"))
+        for how in ("right", "full", "outer", "full_outer"):
+            with _pytest.raises(ValueError):
+                salted_join(li, o, "l_orderkey", how=how)
+
+
+class TestConfigLoading:
+    def test_properties_file_layering(self, tmp_path):
+        """R16: reference Config.apply contract (Config.scala:26-52) -
+        defaults < properties file < override map."""
+        from kafka_cassandra_plugin_spark import session as S
+
+        p = tmp_path / "plugin.properties"
+        p.write_text(
+            "# comment\n"
+            "! also a comment\n"
+            "plugin.cassandra.keyspace=kafka_cluster_9\n"
+            "plugin.cassandra.le.renew.ttl.period.ms: 750\n"
+            "plugin.cassandra.contact.points=c1,\\\n"
+            "c2\n"
+        )
+        conf = S.load_config(str(p))
+        assert conf["plugin.cassandra.keyspace"] == "kafka_cluster_9"   # file
+        assert conf["plugin.cassandra.le.renew.ttl.period.ms"] == "750"  # ':' sep
+        assert conf["plugin.cassandra.contact.points"] == "c1,c2"       # continuation
+        assert conf["plugin.cassandra.lr.pull.period.ms"] == "500"      # default
+
+        over = S.load_config(str(p), {"plugin.cassandra.keyspace": "override_ks"})
+        assert over["plugin.cassandra.keyspace"] == "override_ks"       # override wins
+
+        eng = S.engine_confs_from_plugin(over)
+        assert eng["spark.kcp.trigger.ms"] == "500"
+        assert eng["spark.kcp.lease.renew.ms"] == "750"
+        assert eng["spark.kcp.cassandra.keyspace"] == "override_ks"

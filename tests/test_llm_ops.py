@@ -94,3 +94,32 @@ class TestAnnRecall:
 
     def test_exact_self_recall(self, exact):
         assert S.recall_at_k(exact, exact, self.K) == 1.0
+
+
+class TestStopShingleCap:
+    def test_planted_hot_shingle_does_not_blow_up_pairs(self, spark, docs):
+        """The library DEFAULT must be 100 TB-safe: a shingle planted into
+        every document (f docs -> O(f^2) candidate pairs if uncapped) must
+        not explode the pair count, because the default stop-shingle cap
+        drops it before the self-join."""
+        hot = docs.limit(40).select(
+            "doc_id", F.concat(F.col("text"), F.lit(" zz yy xx")).alias("text")
+        )
+        n_docs = hot.count()
+        all_pairs = n_docs * (n_docs - 1) // 2
+        # threshold 0 surfaces every candidate pair the join produced -
+        # i.e. the fanout the cap exists to bound
+        uncapped = D.ngram_jaccard_pairs(hot, threshold=0.0, max_shingle_freq=None)
+        capped = D.ngram_jaccard_pairs(hot, threshold=0.0, max_shingle_freq=20)
+        n_uncapped = uncapped.count()
+        n_capped = capped.count()
+        # the universal trigram quadratically couples every doc when uncapped
+        assert n_uncapped == all_pairs
+        # the cap drops the hot shingle before the join: no all-pairs blowup
+        assert n_capped < all_pairs
+
+    def test_default_is_capped(self):
+        import inspect
+
+        sig = inspect.signature(D.ngram_jaccard_pairs)
+        assert sig.parameters["max_shingle_freq"].default == 1000

@@ -140,14 +140,14 @@ class TestLeaderTimeline:
             [
                 ("r1", "a", ts("2024-01-01 00:00:00")),  # acquire (no owner)
                 ("r1", "b", ts("2024-01-01 00:00:01")),  # reject (a holds, fresh)
-                ("r1", "a", ts("2024-01-01 00:00:02")),  # renew
-                ("r1", "b", ts("2024-01-01 00:00:10")),  # acquire (a expired, ttl=2)
+                ("r1", "a", ts("2024-01-01 00:00:02")),  # renew (elapsed 2 < ttl 3)
+                ("r1", "b", ts("2024-01-01 00:00:10")),  # acquire (a expired, ttl=3)
                 ("r2", "c", ts("2024-01-01 00:00:00")),  # independent resource
             ],
             "resource string, candidate string, ts timestamp_ntz",
         )
         out = rows(
-            KV.leader_timeline(hb, ttl_seconds=2), "resource", "ts", "candidate"
+            KV.leader_timeline(hb, ttl_seconds=3), "resource", "ts", "candidate"
         )
         actions = [(r[0], r[1], r[3], r[4]) for r in out]
         assert actions == [
@@ -157,6 +157,34 @@ class TestLeaderTimeline:
             ("r1", "b", "b", "acquire"),
             ("r2", "c", "c", "acquire"),
         ]
+
+    def test_ttl_boundary_shared_with_lease_view(self, spark):
+        """The exact-TTL instant: Cassandra expires the row at exactly
+        write_ts + ttl.  Both the batch fold (leader_timeline) and the
+        lease view must treat elapsed == ttl as EXPIRED (round-1 advisor
+        finding: the two paths disagreed at the boundary)."""
+        # fold: b beats at exactly owner_ts + ttl -> acquire, not reject
+        hb = spark.createDataFrame(
+            [
+                ("r1", "a", ts("2024-01-01 00:00:00")),
+                ("r1", "b", ts("2024-01-01 00:00:02")),  # elapsed == ttl=2
+            ],
+            "resource string, candidate string, ts timestamp_ntz",
+        )
+        out = rows(KV.leader_timeline(hb, ttl_seconds=2), "resource", "ts")
+        assert [(r[1], r[3], r[4]) for r in out] == [
+            ("a", "a", "acquire"),
+            ("b", "b", "acquire"),  # >= boundary: the old lease is dead
+        ]
+        # view: a lease written exactly ttl ago is NOT live
+        leases = spark.createDataFrame(
+            [("r1", "a", ts("2024-01-01 00:00:00"))],
+            "resource string, owner string, write_ts timestamp_ntz",
+        )
+        live = rows(
+            KV.lease_view(leases, "2024-01-01 00:00:02", ttl_seconds=2), "resource"
+        )
+        assert live == []
 
 
 class TestCdc:

@@ -130,6 +130,29 @@ class TestListenerFanout:
         assert sum(seen_a) > 0
         assert seen_a == seen_b  # every listener saw every batch (R13)
 
+    def test_oversized_batch_is_capped(self, spark):
+        """Driver-materialization bound: a micro-batch larger than
+        max_rows_per_batch delivers only the cap (best-effort contract,
+        README.md:79) and flags truncation."""
+        import warnings
+
+        hub = ST.ListenerHub(max_rows_per_batch=10)
+        got = []
+        hub.add_listener(lambda pdf: got.append(len(pdf)))
+        big = spark.range(100).selectExpr("cast(id AS string) AS key")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            hub(big, batch_id=0)
+        assert got == [10]
+        assert hub.truncated
+
+        small = spark.range(5).selectExpr("cast(id AS string) AS key")
+        hub2 = ST.ListenerHub(max_rows_per_batch=10)
+        hub2.add_listener(lambda pdf: got.append(len(pdf)))
+        hub2(small, batch_id=1)
+        assert got[-1] == 5
+        assert not hub2.truncated
+
 
 class TestCheckpointedSink:
     def test_parquet_sink_roundtrip(self, spark, events, events_stream, tmpdir):
@@ -177,19 +200,122 @@ class TestEndpointPlumbing:
         sink = sources.CassandraLwtForeachBatch(
             ["c1"], "ks", "leader_election", "insert_if_not_exists"
         )
+        cols = ["resource", "owner", "sup_data"]
         assert (
-            sink.build_statement(["resource", "owner", "sup_data"])
+            sink.build_statement(cols)
             == "INSERT INTO ks.leader_election (resource, owner, sup_data) "
             "VALUES (?, ?, ?) IF NOT EXISTS"
         )
+        assert sink.bind_indices(cols) == [0, 1, 2]
+
+        # update row contract: (key, new values..., expected_guard); the
+        # expected guard value binds the IF clause, never SET
         upd = sources.CassandraLwtForeachBatch(
             ["c1"], "ks", "leader_election", "update_if_guard", guard_col="owner"
         )
-        assert (
-            upd.build_statement(["resource", "owner", "sup_data"])
-            == "UPDATE ks.leader_election SET owner = ?, sup_data = ? "
+        ucols = ["resource", "owner", "sup_data", "expected_owner"]
+        stmt = upd.build_statement(ucols)
+        assert stmt == (
+            "UPDATE ks.leader_election SET owner = ?, sup_data = ? "
             "WHERE resource = ? IF owner = ?"
         )
+        # placeholder count == bind arity, and order is (new..., key, expected)
+        assert stmt.count("?") == len(upd.bind_indices(ucols))
+        assert upd.bind_indices(ucols) == [1, 2, 0, 3]
+
+        dele = sources.CassandraLwtForeachBatch(
+            ["c1"], "ks", "leader_election", "delete_if_guard", guard_col="owner"
+        )
+        dcols = ["resource", "expected_owner"]
+        dstmt = dele.build_statement(dcols)
+        assert dstmt == (
+            "DELETE FROM ks.leader_election WHERE resource = ? IF owner = ?"
+        )
+        assert dstmt.count("?") == len(dele.bind_indices(dcols))
+        assert dele.bind_indices(dcols) == [0, 1]
+
+    def test_cassandra_lwt_partition_writer_order_and_binds(self):
+        """Executor-side writer: async submissions, bounded in-flight,
+        strict fencing between consecutive same-key statements."""
+
+        class FakeFuture:
+            def __init__(self, log, binds):
+                self.log, self.binds, self.done = log, binds, False
+
+            def result(self):
+                self.done = True
+                self.log.append(("drain", self.binds))
+
+        class FakeSession:
+            def __init__(self):
+                self.log = []
+                self.pending = []
+
+            def execute_async(self, stmt, binds):
+                self.log.append(("submit", binds))
+                f = FakeFuture(self.log, binds)
+                self.pending.append(f)
+                return f
+
+        upd = sources.CassandraLwtForeachBatch(
+            ["c1"], "ks", "t", "update_if_guard", guard_col="owner"
+        )
+        cols = ["resource", "owner", "expected_owner"]
+        binds = upd.bind_indices(cols)
+        rows = [
+            ("r1", "a", "x"),
+            ("r1", "b", "a"),   # same key -> must fence (drain first)
+            ("r2", "c", "y"),   # new key -> pipelines
+        ]
+        session = FakeSession()
+        n = sources.CassandraLwtForeachBatch.write_partition(
+            rows, session, "stmt", binds, max_inflight=8
+        )
+        assert n == 3
+        assert all(f.done for f in session.pending)
+        # binds reordered to (new_value, key, expected)
+        submits = [e for e in session.log if e[0] == "submit"]
+        assert submits[0][1] == ("a", "r1", "x")
+        assert submits[1][1] == ("b", "r1", "a")
+        # the r1 fence: first r1 write drained BEFORE the second submitted
+        assert session.log.index(("drain", ("a", "r1", "x"))) < session.log.index(
+            ("submit", ("b", "r1", "a"))
+        )
+
+    def test_cassandra_lwt_inflight_bound(self):
+        class FakeFuture:
+            def __init__(self):
+                self.done = False
+
+            def result(self):
+                self.done = True
+
+        class FakeSession:
+            def __init__(self):
+                self.inflight = 0
+                self.max_seen = 0
+
+            def execute_async(self, stmt, binds):
+                f = FakeFuture()
+                orig = f.result
+                self.inflight += 1
+                self.max_seen = max(self.max_seen, self.inflight)
+
+                def result():
+                    if not f.done:
+                        self.inflight -= 1
+                    orig()
+
+                f.result = result
+                return f
+
+        sink = sources.CassandraLwtForeachBatch(["c1"], "ks", "t")
+        rows = [(f"k{i}", i) for i in range(100)]
+        session = FakeSession()
+        sources.CassandraLwtForeachBatch.write_partition(
+            rows, session, "stmt", [0, 1], max_inflight=10
+        )
+        assert session.max_seen <= 10
 
 
 class TestPipeline:
