@@ -360,3 +360,90 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup (tier 5).
+# --------------------------------------------------------------------------
+
+def hashed_token_vectors(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         n_dims: int = 64) -> DataFrame:
+    """Feature-hashing ("hashing trick") embedding: each token maps to a
+    bucket via its first two md5 hex digits, and a document becomes the
+    ``n_dims``-long vector of its bucket counts.
+
+    This is the deterministic, model-free member of the embedding family:
+    the same column signature as a learned encoder (id, vec double array)
+    so :func:`embedding_cosine_pairs` / operators.similarity work on
+    either, but reproducible in ANSI SQL on any engine (md5 + hex-digit
+    arithmetic - no engine-specific hash).  ``n_dims`` must be <= 256
+    (two hex digits of entropy feed the bucket id).
+
+    Scale: explode tokens -> two map-side-combinable aggregations
+    (per-(doc, bucket) count, then per-doc map) - one shuffle by doc id,
+    no Python, no model fit.
+    """
+    if n_dims > 256:
+        raise ValueError("hashed_token_vectors: n_dims must be <= 256")
+    toks = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.transform(tokens(text_col), F.lower)).alias("tok"),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 2), 16, 10).cast("long"),
+        F.lit(n_dims),
+    )
+    counts = toks.groupBy("id", bucket.alias("dim")).agg(
+        F.count("*").cast("double").alias("cnt")
+    )
+    m = F.map_from_entries(F.collect_list(F.struct("dim", "cnt")))
+    return counts.groupBy("id").agg(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_dims - 1).cast("long")),
+            lambda i: F.coalesce(F.element_at(m, i), F.lit(0.0)),
+        ).alias("vec")
+    )
+
+
+def embedding_cosine_pairs(vectors: DataFrame, threshold: float = 0.99,
+                           id_col: str = "id", vec_col: str = "vec",
+                           block: bool = True) -> DataFrame:
+    """Near-duplicate pairs by exact cosine similarity over an embedding
+    column: (id_a, id_b, cosine) for every pair with cosine >= threshold.
+
+    Candidate generation (``block=True``, the default): equi-join on the
+    vector's dominant dimension (1-based argmax index).  Near-identical
+    vectors share their heaviest feature, so planted/near dups collide
+    while unrelated docs spread across ``n_dims`` blocks - the join is
+    sparse, never all-pairs (same scale discipline as the shingle and
+    simhash tiers: candidates from an equality join, exact verify after).
+    For recall-critical corpora where the dominant dimension is unstable,
+    use the multiprobe random-hyperplane LSH in
+    operators/similarity.py (rp_lsh_topk) for candidates instead;
+    ``block=False`` is the exact all-pairs baseline (small inputs only).
+
+    Cosine is the left-fold double formulation (similarity.cosine):
+    bit-identical to the DuckDB list_reduce oracle, so this tier is
+    hash-matched, not rows-only.
+    """
+    from .similarity import cosine
+
+    blk = F.array_position(F.col(vec_col), F.array_max(F.col(vec_col)))
+    a = vectors.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        blk.alias("blk_a"),
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        blk.alias("blk_b"),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    if block:
+        cond = (F.col("blk_a") == F.col("blk_b")) & cond
+    return (
+        a.join(b, cond)
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
+    )

@@ -305,6 +305,82 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# G55 (tier 5): embedding-cosine near-dup over hashing-trick vectors -
+# fully SQL-reproducible (md5 buckets), so hash-matched, not rows-only.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_embedding_cosine",
+    sql=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, substring(text, strpos(text, ' ') + 1)
+      FROM documents WHERE doc_id % 4 = 0 AND strpos(text, ' ') > 0
+    ),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                   t -> lower(t))) AS tok
+      FROM corpus
+    ),
+    dims AS (
+      SELECT doc_id,
+             ((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1))
+             % 64 AS dim,
+             count(*)::double AS cnt
+      FROM toks GROUP BY doc_id, dim
+    ),
+    maps AS (
+      SELECT doc_id, map(list(dim), list(cnt)) AS m FROM dims GROUP BY doc_id
+    ),
+    vecs AS (
+      SELECT doc_id,
+             list_transform(range(0, 64), i -> coalesce(m[i][1], 0.0)) AS v
+      FROM maps
+    ),
+    blocked AS (
+      SELECT doc_id, v, list_indexof(v, list_aggregate(v, 'max')) AS blk
+      FROM vecs
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]),
+                         (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(a.v, x -> x * x),
+                                 (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(b.v, x -> x * x),
+                                   (x, y) -> x + y))) AS cos
+      FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, round(cos, 4) AS cosine
+    FROM pairs WHERE cos >= 0.99
+    ORDER BY id_a, id_b
+    """,
+    tags=("G55", "G59", "G45", "G48"),
+    doc="hashed_token_vectors + embedding_cosine_pairs: the embedding "
+    "tier of the dedup suite. Tokens hash to 64 md5 buckets (the "
+    "hashing trick - deterministic, model-free, ANSI-SQL-reproducible); "
+    "candidates come from an equi-join on each vector's dominant "
+    "dimension (never all-pairs); exact left-fold cosine >= 0.99 "
+    "verifies. Same planted near-dup corpus as the jaccard tier "
+    "(first-token-dropped copies of every 4th doc).",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    perturbed = (
+        d.filter((F.col("doc_id") % 4 == 0) & (F.instr("text", " ") > 0))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+    )
+    corpus = d.unionByName(perturbed)
+    vecs = D.hashed_token_vectors(corpus, "text", "doc_id", n_dims=64)
+    return D.embedding_cosine_pairs(vecs, threshold=0.99).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
 # G55 (scale tier): MinHash-LSH and SimHash - xxhash64-based, rows-only
 # oracle; recall pinned by planted-duplicate tests.
 # --------------------------------------------------------------------------

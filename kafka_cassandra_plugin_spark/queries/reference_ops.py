@@ -275,17 +275,48 @@ def cdc_snapshot_diff(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# R15: leader-election replay (iterative fold -> rows-only check; the
-# semantics are pinned by unit tests with hand-computed expectations).
+# R15: leader-election replay.  The fold is iterative, but it IS
+# expressible as a linear-recursive CTE (one row per step, previous
+# state joined on rn+1), so the oracle hash-checks the whole state
+# machine - acquire/renew/reject and the >=ttl expiry boundary - not
+# just row counts.
 # --------------------------------------------------------------------------
 @register(
     "leader_timeline_replay",
-    sql=None,
+    sql="""
+    WITH RECURSIVE hb AS (
+      SELECT event_type AS resource, CAST(user_id AS VARCHAR) AS candidate,
+             ts,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, CAST(user_id AS VARCHAR)) AS rn
+      FROM events
+    ),
+    fold AS (
+      SELECT resource, rn, candidate, ts,
+             candidate AS owner, ts AS owner_ts, 'acquire' AS action
+      FROM hb WHERE rn = 1
+      UNION ALL
+      SELECT h.resource, h.rn, h.candidate, h.ts,
+             CASE WHEN epoch(h.ts) - epoch(f.owner_ts) >= 3600
+                  THEN h.candidate ELSE f.owner END,
+             CASE WHEN epoch(h.ts) - epoch(f.owner_ts) >= 3600
+                       OR h.candidate = f.owner THEN h.ts
+                  ELSE f.owner_ts END,
+             CASE WHEN epoch(h.ts) - epoch(f.owner_ts) >= 3600
+                  THEN 'acquire'
+                  WHEN h.candidate = f.owner THEN 'renew'
+                  ELSE 'reject' END
+      FROM fold f JOIN hb h ON h.resource = f.resource AND h.rn = f.rn + 1
+    )
+    SELECT resource, candidate, ts, owner, action
+    FROM fold ORDER BY resource, ts, candidate
+    """,
     tags=("R15", "R6", "G51"),
     doc="leader_timeline: sequential lease state machine "
     "(CassandraLeaderElection.scala:111-137) replayed per resource via "
-    "applyInPandas; iterative, hence no SQL oracle (driver records "
-    "rows-only; unit tests pin the fold).",
+    "applyInPandas (resources fold independently after one shuffle). "
+    "Oracle: the same fold as a linear-recursive CTE - hash-matched, "
+    "including the exactly-at-ttl expiry boundary (>= 3600s).",
 )
 def leader_timeline_replay(spark, sf_dir):
     ev = Catalog(spark, sf_dir).events

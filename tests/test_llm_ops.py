@@ -123,3 +123,40 @@ class TestStopShingleCap:
 
         sig = inspect.signature(D.ngram_jaccard_pairs)
         assert sig.parameters["max_shingle_freq"].default == 1000
+
+
+class TestEmbeddingCosine:
+    def test_planted_exact_dups_recall_and_precision(self, docs):
+        """Tier-5 dedup: identical docs have identical hashed-token
+        vectors -> same dominant-dim block and cosine exactly 1.0, so
+        blocked recall on exact copies must be 1.0; and every reported
+        pair must clear the threshold (verify-after-candidates)."""
+        corpus = plant_exact(docs, mod=6)
+        planted = {
+            (r.doc_id, r.doc_id + 1000000)
+            for r in docs.filter(F.col("doc_id") % 6 == 0).collect()
+        }
+        vecs = D.hashed_token_vectors(corpus, "text", "doc_id")
+        got = D.embedding_cosine_pairs(vecs, threshold=0.99).collect()
+        pairs = {(r.id_a, r.id_b) for r in got}
+        assert planted <= pairs
+        assert all(r.cosine >= 0.99 for r in got)
+
+    def test_blocked_subset_of_allpairs(self, docs):
+        """Blocking only prunes candidates - it must never invent a pair
+        the exact all-pairs baseline wouldn't report."""
+        vecs = D.hashed_token_vectors(docs.limit(80), "text", "doc_id")
+        blocked = {
+            (r.id_a, r.id_b)
+            for r in D.embedding_cosine_pairs(vecs, 0.9, block=True).collect()
+        }
+        allp = {
+            (r.id_a, r.id_b)
+            for r in D.embedding_cosine_pairs(vecs, 0.9, block=False).collect()
+        }
+        assert blocked <= allp
+
+    def test_vector_shape(self, docs):
+        row = D.hashed_token_vectors(docs.limit(5), "text", "doc_id").first()
+        assert len(row.vec) == 64
+        assert sum(row.vec) > 0  # counts, not empty
