@@ -394,34 +394,70 @@ def hashed_token_vectors(df: DataFrame, text_col: str = "text",
         F.conv(F.substring(F.md5(F.col("tok")), 1, 2), 16, 10).cast("long"),
         F.lit(n_dims),
     )
-    counts = toks.groupBy("id", bucket.alias("dim")).agg(
-        F.count("*").cast("double").alias("cnt")
+    # one groupBy(id) with n_dims conditional sums (the simhash-votes
+    # shape): whole-stage-codegen + map-side combine, no per-row map
+    # building, no second shuffle - ~4x faster than the
+    # (id, dim)-count -> map -> densify formulation it replaced
+    per = toks.select("id", bucket.alias("dim"))
+    aggs = [
+        F.sum(
+            F.when(F.col("dim") == i, F.lit(1.0)).otherwise(F.lit(0.0))
+        ).alias(f"d{i}")
+        for i in range(n_dims)
+    ]
+    return per.groupBy("id").agg(*aggs).select(
+        "id", F.array(*[f"d{i}" for i in range(n_dims)]).alias("vec")
     )
-    m = F.map_from_entries(F.collect_list(F.struct("dim", "cnt")))
-    return counts.groupBy("id").agg(
+
+
+def dominant_signature(vec_col, top_k: int = 3):
+    """Column: the ':'-joined 0-based indices of the vector's ``top_k``
+    heaviest dimensions (value desc, index asc - fully deterministic,
+    ties included).  Near-identical vectors agree on their heaviest
+    features, so the signature is a sparse blocking key; comparisons
+    only, no float arithmetic, hence trivially reproducible in any
+    engine.  Pure per-row expression - no shuffle, no window."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    idx = F.sequence(F.lit(1), F.size(vec))
+    ranked = F.array_sort(
         F.transform(
-            F.sequence(F.lit(0).cast("long"), F.lit(n_dims - 1).cast("long")),
-            lambda i: F.coalesce(F.element_at(m, i), F.lit(0.0)),
-        ).alias("vec")
+            idx,
+            lambda i: F.struct(
+                (-F.element_at(vec, i)).alias("nv"), (i - 1).alias("dim")
+            ),
+        )
+    )
+    return F.concat_ws(
+        ":",
+        F.transform(
+            F.slice(ranked, 1, top_k), lambda s: s.getField("dim").cast("string")
+        ),
     )
 
 
 def embedding_cosine_pairs(vectors: DataFrame, threshold: float = 0.99,
                            id_col: str = "id", vec_col: str = "vec",
-                           block: bool = True) -> DataFrame:
+                           block_top_k: int | None = 3) -> DataFrame:
     """Near-duplicate pairs by exact cosine similarity over an embedding
-    column: (id_a, id_b, cosine) for every pair with cosine >= threshold.
+    column: (id_a, id_b, cosine) for pairs with cosine >= threshold.
 
-    Candidate generation (``block=True``, the default): equi-join on the
-    vector's dominant dimension (1-based argmax index).  Near-identical
-    vectors share their heaviest feature, so planted/near dups collide
-    while unrelated docs spread across ``n_dims`` blocks - the join is
-    sparse, never all-pairs (same scale discipline as the shingle and
-    simhash tiers: candidates from an equality join, exact verify after).
-    For recall-critical corpora where the dominant dimension is unstable,
-    use the multiprobe random-hyperplane LSH in
+    Candidate generation: equi-join on the :func:`dominant_signature`
+    of each vector (indices of its ``block_top_k`` heaviest dimensions).
+    Near-identical vectors agree on their heaviest features, so
+    planted/near dups collide while unrelated docs spread across many
+    signatures - the join is sparse, never all-pairs (same scale
+    discipline as the shingle and simhash tiers: candidates from an
+    equality join, exact verify after).  A single-dimension block
+    (top_k=1) degenerates on low-vocabulary corpora where most docs
+    share one dominant bucket - measured 100x more candidates than
+    top_k=3 on the synthetic corpus - so the default is the composite
+    signature; recall on *exact* copies is always 1.0 (identical
+    vector => identical signature), near-dups trade a little recall for
+    the candidate bound, like every blocking tier.  For recall-critical
+    corpora use the multiprobe random-hyperplane LSH in
     operators/similarity.py (rp_lsh_topk) for candidates instead;
-    ``block=False`` is the exact all-pairs baseline (small inputs only).
+    ``block_top_k=None`` is the exact all-pairs baseline (small inputs
+    only).
 
     Cosine is the left-fold double formulation (similarity.cosine):
     bit-identical to the DuckDB list_reduce oracle, so this tier is
@@ -429,18 +465,28 @@ def embedding_cosine_pairs(vectors: DataFrame, threshold: float = 0.99,
     """
     from .similarity import cosine
 
-    blk = F.array_position(F.col(vec_col), F.array_max(F.col(vec_col)))
-    a = vectors.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-        blk.alias("blk_a"),
-    )
-    b = vectors.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-        blk.alias("blk_b"),
-    )
-    cond = F.col("id_a") < F.col("id_b")
-    if block:
-        cond = (F.col("blk_a") == F.col("blk_b")) & cond
+    if block_top_k is not None:
+        vectors = vectors.select(
+            F.col(id_col), F.col(vec_col),
+            dominant_signature(vec_col, block_top_k).alias("blk"),
+        )
+        a = vectors.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+            F.col("blk").alias("blk_a"),
+        )
+        b = vectors.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+            F.col("blk").alias("blk_b"),
+        )
+        cond = (F.col("blk_a") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b"))
+    else:
+        a = vectors.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        )
+        b = vectors.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        )
+        cond = F.col("id_a") < F.col("id_b")
     return (
         a.join(b, cond)
         .withColumn("cos", cosine(F.col("va"), F.col("vb")))

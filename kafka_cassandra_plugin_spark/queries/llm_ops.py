@@ -339,9 +339,23 @@ def dedup_ngram_jaccard(spark, sf_dir):
              list_transform(range(0, 64), i -> coalesce(m[i][1], 0.0)) AS v
       FROM maps
     ),
-    blocked AS (
-      SELECT doc_id, v, list_indexof(v, list_aggregate(v, 'max')) AS blk
+    expl AS (
+      SELECT doc_id, unnest(v) AS val, generate_subscripts(v, 1) - 1 AS pos
       FROM vecs
+    ),
+    ranked AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY val DESC, pos) AS rn
+      FROM expl
+    ),
+    sig AS (
+      SELECT doc_id, array_to_string(list(pos ORDER BY rn), ':') AS blk
+      FROM ranked WHERE rn <= 3 GROUP BY doc_id
+    ),
+    blocked AS (
+      SELECT s.doc_id, v.v, s.blk
+      FROM sig s JOIN vecs v ON v.doc_id = s.doc_id
     ),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -361,9 +375,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     doc="hashed_token_vectors + embedding_cosine_pairs: the embedding "
     "tier of the dedup suite. Tokens hash to 64 md5 buckets (the "
     "hashing trick - deterministic, model-free, ANSI-SQL-reproducible); "
-    "candidates come from an equi-join on each vector's dominant "
-    "dimension (never all-pairs); exact left-fold cosine >= 0.99 "
-    "verifies. Same planted near-dup corpus as the jaccard tier "
+    "candidates come from an equi-join on each vector's top-3-dimension "
+    "signature (never all-pairs; a single-dim block degenerates 100x on "
+    "this low-vocab corpus); exact left-fold cosine >= 0.99 verifies. "
+    "Same planted near-dup corpus as the jaccard tier "
     "(first-token-dropped copies of every 4th doc).",
 )
 def dedup_embedding_cosine(spark, sf_dir):

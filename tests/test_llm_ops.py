@@ -148,11 +148,11 @@ class TestEmbeddingCosine:
         vecs = D.hashed_token_vectors(docs.limit(80), "text", "doc_id")
         blocked = {
             (r.id_a, r.id_b)
-            for r in D.embedding_cosine_pairs(vecs, 0.9, block=True).collect()
+            for r in D.embedding_cosine_pairs(vecs, 0.9, block_top_k=3).collect()
         }
         allp = {
             (r.id_a, r.id_b)
-            for r in D.embedding_cosine_pairs(vecs, 0.9, block=False).collect()
+            for r in D.embedding_cosine_pairs(vecs, 0.9, block_top_k=None).collect()
         }
         assert blocked <= allp
 
