@@ -92,3 +92,24 @@ class TestCodegen:
     def test_hot_queries_are_codegened(self, q):
         for name in ["agg_pricing_summary", "join_star_revenue", "fn_string"]:
             assert P.wholestage_codegen_ids(q(name)), f"{name} lost codegen"
+
+
+class TestEmbeddingDedupPlan:
+    def test_no_cartesian_and_bounded_shuffles(self, q):
+        """Tier-5 dedup must stay an equi-join on the block signature -
+        a CartesianProduct here means blocking silently fell out of the
+        plan (the 100 TB disaster case)."""
+        df = q("dedup_embedding_cosine")
+        plan = P.formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # two vector builds (join sides) + pair-join + final orderBy:
+        # the blocked self-join must plan as equality join, shuffles stay
+        # bounded (no quadratic exchange)
+        P.assert_max_shuffles(df, budget=6)
+
+    def test_vector_build_is_codegened(self, q):
+        # the n_dims conditional-sum aggregation must stay inside
+        # whole-stage codegen (the map->densify formulation it replaced
+        # was interpreted)
+        assert P.wholestage_codegen_ids(q("dedup_embedding_cosine"))
