@@ -198,12 +198,32 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 # G55: MinHash + LSH banding.
 # --------------------------------------------------------------------------
 
+# Universal-hash family for the portable MinHash path: h_i(x) =
+# (a_i * h0(x) + b_i) mod P with h0 = portable_hash52 mod 2^26 and P the
+# largest prime < 2^26, so every product stays < 2^52 (exact in BIGINT
+# *and* in a double) - the arithmetic is reproducible in any engine with
+# no overflow.  a_i/b_i derive from i by plain modular arithmetic so the
+# oracle SQL can compute the same constants from a range(num_hashes).
+_MH_P = 67108859          # largest prime < 2^26
+_MH_MOD = 67108864        # 2^26
+
+
+def _mh_coeffs(i: int) -> tuple[int, int]:
+    a = 1 + (i * 2654435761) % (_MH_P - 1)
+    b = (i * 98765431 + 12345) % _MH_P
+    return a, b
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 3,
-                       num_hashes: int = 64) -> DataFrame:
-    """num_hashes MinHash values per doc: min over shingles of
-    xxhash64(shingle, seed=i).  Deterministic (seeded xxhash64 is stable
-    across executors/runs/cluster sizes).
+                       num_hashes: int = 64,
+                       hash_fn: str = "xxhash64") -> DataFrame:
+    """num_hashes MinHash values per doc: min over shingles of a seeded
+    hash family.  ``hash_fn='xxhash64'`` (default): xxhash64(shingle,
+    seed=i) - engine-native, the at-scale choice.  ``hash_fn='md5'``:
+    the universal-hash family over :func:`portable_hash52` - bit-identical
+    in any SQL engine, so the LSH pipeline can be oracle-verified.
+    Both are deterministic across executors/runs/cluster sizes.
 
     Shape: explode shingles once, then num_hashes ``min`` aggregates over
     the exploded rows (one shuffle by doc id).  The naive alternative - a
@@ -212,10 +232,24 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     sf0.1; partial aggregation also makes this the formulation that
     scales (map-side combine leaves one row per doc per partition)."""
     exploded = exploded_shingles(df, text_col, id_col, n)
-    aggs = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_fn == "md5":
+        h0 = F.pmod(portable_hash52(F.col("sh")), F.lit(_MH_MOD))
+        exploded = exploded.select("id", h0.alias("h0"))
+        aggs = []
+        for i in range(num_hashes):
+            a, b = _mh_coeffs(i)
+            aggs.append(
+                F.min(
+                    F.pmod(F.lit(a) * F.col("h0") + F.lit(b), F.lit(_MH_P))
+                ).alias(f"h{i}")
+            )
+    elif hash_fn == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     per_doc = exploded.groupBy("id").agg(*aggs)
     return per_doc.select(
         "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
@@ -223,12 +257,26 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
-                        rows_per_band: int = 4) -> DataFrame:
+                        rows_per_band: int = 4,
+                        bucket_key: str = "xxhash64") -> DataFrame:
     """LSH banding: split each signature into ``bands`` slices of
     ``rows_per_band`` values; docs agreeing on any whole band become a
     candidate pair.  Implementation: explode to (band_idx, band_slice) and
     self-join on equality - at scale this is an equi-shuffle on the band
-    hash, never an all-pairs comparison."""
+    hash, never an all-pairs comparison.
+
+    ``bucket_key='xxhash64'`` joins on a 64-bit hash of the slice (fixed
+    8-byte shuffle key - at-scale default; a hash collision can only add
+    a candidate, which downstream exact-verify removes).
+    ``bucket_key='concat'`` joins on the ':'-joined slice values -
+    collision-free and engine-portable, used when the pipeline must be
+    oracle-exact."""
+    if bucket_key == "concat":
+        key = lambda s: F.concat_ws(  # noqa: E731
+            ":", F.transform(s, lambda x: x.cast("string"))
+        )
+    else:
+        key = lambda s: F.xxhash64(F.col("band"), s)  # noqa: E731
     b = signatures.select(
         "id",
         F.posexplode(
@@ -239,7 +287,7 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
                 ]
             )
         ).alias("band", "slice"),
-    ).withColumn("bucket", F.xxhash64(F.col("band"), F.col("slice")))
+    ).withColumn("bucket", key(F.col("slice")))
     x, y = b.alias("x"), b.alias("y")
     return (
         x.join(
@@ -256,14 +304,21 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
 def minhash_lsh_dedup_pairs(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", n: int = 3,
                             num_hashes: int = 64, bands: int = 16,
-                            threshold: float = 0.8) -> DataFrame:
+                            threshold: float = 0.8,
+                            hash_fn: str = "xxhash64") -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded candidate
     pairs -> exact-jaccard verification of candidates only (estimated via
     signature agreement, then exact on the shingle sets).  Returns
-    verified pairs with their exact jaccard."""
+    verified pairs with their exact jaccard.  ``hash_fn='md5'`` switches
+    the whole pipeline to the engine-portable hash family (oracle-exact:
+    identical candidates, hence identical verified pairs, in any SQL
+    engine); xxhash64 stays the at-scale default."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_fn)
+    cands = lsh_candidate_pairs(
+        sigs, bands, rows_per_band,
+        bucket_key="concat" if hash_fn == "md5" else "xxhash64",
+    )
     sh = shingle_arrays(df, text_col, id_col, n)
     verified = (
         cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
@@ -286,18 +341,40 @@ def minhash_lsh_dedup_pairs(df: DataFrame, text_col: str = "text",
 # SimHash (hamming-space near-dup).
 # --------------------------------------------------------------------------
 
+def portable_hash52(col) -> "F.Column":
+    """52-bit cross-engine token hash: the first 13 hex digits of md5,
+    parsed as an integer.  Every SQL engine computes the identical value
+    (DuckDB: ``('0x' || substr(md5(x),1,13))::BIGINT``), which is what
+    lets hash-based dedup tiers be oracle-verified instead of rows-only.
+    xxhash64 stays the at-scale default (one instruction vs a digest),
+    the portable variant exists for reproducibility across engines."""
+    return F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("long")
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 64) -> DataFrame:
-    """64-bit SimHash over tokens: per-bit majority vote of token hashes.
+            bits: int = 64, hash_fn: str = "xxhash64") -> DataFrame:
+    """SimHash over tokens: per-bit majority vote of token hashes.
+
+    ``hash_fn='xxhash64'`` (default): 64-bit engine-native hashing, the
+    at-scale choice.  ``hash_fn='md5'``: :func:`portable_hash52` with
+    ``bits`` capped at 52 - bit-identical in any SQL engine, so results
+    can be oracle-verified.
 
     Shape: explode tokens once, hash each token once, then ``bits``
     conditional-sum aggregates (map-side combined) - one shuffle by doc
     id, no repeated tokenization (same scale rationale as
     :func:`minhash_signatures`)."""
+    if hash_fn == "md5":
+        bits = min(bits, 52)
+        h = portable_hash52(F.col("tok"))
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64("tok")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     exploded = ensure_min_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.transform(tokens(text_col), F.lower)).alias("tok"),
-    ).select("id", F.xxhash64("tok").alias("h"))
+    ).select("id", h.alias("h"))
     votes = [
         F.sum(
             F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -319,19 +396,27 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                       id_col: str = "doc_id", max_hamming: int = 3,
+                       bits: int = 64,
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.  Candidate
-    generation: block on 4 x 16-bit chunks (pigeonhole: any pair within
-    hamming 3 agrees on >=1 chunk), then verify exact hamming via
+    generation: block on 4 x (bits/4)-wide chunks (pigeonhole: any pair
+    within hamming 3 agrees on >=1 chunk), then verify exact hamming via
     bit_count(xor) - equi-joins only, no cross join."""
-    s = simhash(df, text_col, id_col)
+    s = simhash(df, text_col, id_col, bits, hash_fn)
+    if hash_fn == "md5":
+        bits = min(bits, 52)
+    width = bits // 4
+    mask = (1 << width) - 1
     chunks = s.select(
         "id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftrightunsigned("simhash", i * width).bitwiseAND(
+                        F.lit(mask)
+                    )
                     for i in range(4)
                 ]
             )

@@ -401,12 +401,74 @@ def dedup_embedding_cosine(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "dedup_minhash_lsh",
-    sql=None,
+    sql=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, substring(text, strpos(text, ' ') + 1)
+      FROM documents WHERE doc_id % 4 = 0 AND strpos(text, ' ') > 0
+    ),
+    toks AS (
+      SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                    t -> lower(t)) AS t
+      FROM corpus
+    ),
+    ex AS (
+      SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS ord
+      FROM toks
+    ),
+    sh_all AS (
+      SELECT DISTINCT doc_id,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS sh
+      FROM ex
+      WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+      QUALIFY lead(tok, 2) OVER w IS NOT NULL
+    ),
+    base AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(sh), 1, 13))::BIGINT % 67108864 AS h0
+      FROM sh_all
+    ),
+    minh AS (
+      SELECT doc_id, i,
+             min(((1 + (i * 2654435761) % 67108858) * h0
+                  + (i * 98765431 + 12345) % 67108859) % 67108859) AS mh
+      FROM base CROSS JOIN range(64) r(i)
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // 4 AS band,
+             array_to_string(list(mh ORDER BY i), ':') AS key
+      FROM minh GROUP BY doc_id, i // 4
+    ),
+    cands AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh_all GROUP BY doc_id),
+    common AS (
+      SELECT c.id_a, c.id_b, count(*) AS nc
+      FROM cands c
+      JOIN sh_all s1 ON s1.doc_id = c.id_a
+      JOIN sh_all s2 ON s2.doc_id = c.id_b AND s2.sh = s1.sh
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, round(nc / (sa.n + sb.n - nc), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE nc / (sa.n + sb.n - nc) >= 0.5
+    ORDER BY id_a, id_b
+    """,
     tags=("G55",),
-    doc="minhash_lsh_dedup_pairs: 64 seeded-xxhash64 MinHashes, 16x4 LSH "
-    "bands, equi-join candidates, exact-jaccard verify >= 0.5 over the "
-    "planted near-dup corpus. Engine-specific hashing => rows-only check "
-    "here; recall-vs-jaccard pinned in tests/test_llm_ops.py.",
+    doc="minhash_lsh_dedup_pairs(hash_fn='md5'): 64 MinHashes from a "
+    "universal-hash family over the 52-bit md5 base hash (all "
+    "arithmetic < 2^52, exact in any engine), 16x4 LSH bands joined on "
+    "collision-free concat keys, exact-jaccard verify >= 0.5 over the "
+    "planted near-dup corpus. Fully oracle-verified - the xxhash64 "
+    "variant stays the at-scale default and its recall-vs-jaccard gate "
+    "lives in tests/test_llm_ops.py.",
 )
 def dedup_minhash_lsh(spark, sf_dir):
     d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
@@ -419,17 +481,60 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
     corpus = d.unionByName(perturbed)
     return D.minhash_lsh_dedup_pairs(
-        corpus, "text", "doc_id", n=3, num_hashes=64, bands=16, threshold=0.5
+        corpus, "text", "doc_id", n=3, num_hashes=64, bands=16, threshold=0.5,
+        hash_fn="md5",
     ).orderBy("id_a", "id_b")
 
 
 @register(
     "dedup_simhash",
-    sql=None,
+    sql=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+    ),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                   t -> lower(t))) AS tok
+      FROM corpus
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 13))::BIGINT AS h
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, i,
+             sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN range(52) r(i)
+      GROUP BY doc_id, i
+    ),
+    sig AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS sh
+      FROM votes GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, sh, c, (sh >> (c * 13)) & 8191 AS chunk
+      FROM sig CROSS JOIN range(4) rc(c)
+    ),
+    cands AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+             x.sh AS sa, y.sh AS sb
+      FROM chunks x JOIN chunks y
+        ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+    FROM cands WHERE bit_count(xor(sa, sb)) <= 3
+    ORDER BY id_a, id_b
+    """,
     tags=("G55", "G47"),
-    doc="simhash_near_pairs: 64-bit token simhash, 4x16-bit chunk "
-    "blocking (pigeonhole exactness for hamming<=3), bit_count(xor) "
-    "verify. Rows-only (xxhash64); planted-copy recall in tests.",
+    doc="simhash_near_pairs(hash_fn='md5'): 52-bit token simhash from "
+    "the portable md5 base hash, 4x13-bit chunk blocking (pigeonhole "
+    "exactness for hamming<=3), bit_count(xor) verify. Fully "
+    "oracle-verified; the 64-bit xxhash64 variant stays the at-scale "
+    "default with planted-copy recall in tests.",
 )
 def dedup_simhash(spark, sf_dir):
     d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
@@ -438,9 +543,9 @@ def dedup_simhash(spark, sf_dir):
             (F.col("doc_id") + 1000000).alias("doc_id"), "text"
         )
     )
-    return D.simhash_near_pairs(planted, "text", "doc_id", max_hamming=3).orderBy(
-        "id_a", "id_b"
-    )
+    return D.simhash_near_pairs(
+        planted, "text", "doc_id", max_hamming=3, hash_fn="md5"
+    ).orderBy("id_a", "id_b")
 
 
 # --------------------------------------------------------------------------
