@@ -24,17 +24,28 @@ _RT_COLS = "n_nationkey int, n_name string, n_regionkey int"
 
 @register(
     "csv_roundtrip",
-    sql="SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    sql="""
+    SELECT n_nationkey, n_name, n_regionkey, r_name
+    FROM nation JOIN region ON r_regionkey = n_regionkey
+    ORDER BY n_nationkey
+    """,
     tags=("G2", "G5"),
-    doc="nation -> CSV (header) -> read back with explicit schema; must "
-    "equal the source (schema inference is deliberately never used).",
+    doc="nation -> CSV (header) -> read back, region -> JSON lines -> "
+    "read back, joined: both text formats must round-trip losslessly "
+    "against the parquet source (explicit schemas - inference is "
+    "deliberately never used).",
 )
 def csv_roundtrip(spark, sf_dir):
-    n = Catalog(spark, sf_dir).nation
+    c = Catalog(spark, sf_dir)
     path = os.path.join(tempfile.gettempdir(), "kcp_csv_rt")
-    n.write.mode("overwrite").option("header", True).csv(path)
+    c.nation.write.mode("overwrite").option("header", True).csv(path)
+    n = spark.read.csv(path, schema=_RT_COLS, header=True)
+    jpath = os.path.join(tempfile.gettempdir(), "kcp_json_rt")
+    c.region.select("r_regionkey", "r_name").write.mode("overwrite").json(jpath)
+    r = spark.read.json(jpath, schema="r_regionkey int, r_name string")
     return (
-        spark.read.csv(path, schema=_RT_COLS, header=True)
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .select("n_nationkey", "n_name", "n_regionkey", "r_name")
         .orderBy("n_nationkey")
     )
 

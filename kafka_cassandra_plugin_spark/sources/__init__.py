@@ -51,6 +51,29 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     w.parquet(path)
 
 
+def write_bucketed(df: DataFrame, table: str, bucket_cols: Sequence[str],
+                   n_buckets: int = 32, sort_cols: Sequence[str] = (),
+                   mode: str = "overwrite") -> None:
+    """Bucketed managed table: rows are hash-clustered into ``n_buckets``
+    files per partition on ``bucket_cols`` at WRITE time, so later joins
+    / aggregations on those columns read co-located data and skip the
+    shuffle entirely (Catalyst sees the bucketing spec as an existing
+    hash distribution).  This is the pay-once layout knob for 100 TB
+    fact tables that are joined on the same key every day - the shuffle
+    happens once at ingest, never again per query (plan-tested:
+    bucketed-bucketed equi-join produces zero Exchange nodes).
+
+    ``sort_cols`` additionally sorts within each bucket file
+    (sort-merge-join without the sort).  Bucketed output requires a
+    table (metastore records the spec); plain parquet paths cannot
+    carry it.
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table, format="parquet")
+
+
 # --------------------------------------------------------------------------
 # G3/S2: Kafka source (option builder; needs the spark-sql-kafka package
 # on the classpath of a real deployment).

@@ -113,3 +113,43 @@ class TestConfigLoading:
         assert eng["spark.kcp.trigger.ms"] == "500"
         assert eng["spark.kcp.lease.renew.ms"] == "750"
         assert eng["spark.kcp.cassandra.keyspace"] == "override_ks"
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_skips_shuffle(self, spark, sf_dir, tmp_path):
+        """The pay-once layout contract: two tables bucketed on the join
+        key at write time must equi-join with ZERO Exchange nodes (the
+        shuffle happened at ingest, never per query)."""
+        from kafka_cassandra_plugin_spark import plans as P
+        from kafka_cassandra_plugin_spark import sources
+        from kafka_cassandra_plugin_spark.catalog import Catalog
+
+        c = Catalog(spark, sf_dir)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        # force a non-broadcast join so the zero-Exchange assertion
+        # proves the bucketing spec, not a broadcast fallback
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            sources.write_bucketed(
+                c.orders.select("o_orderkey", "o_totalprice"),
+                "bkt_orders", ["o_orderkey"], n_buckets=8,
+            )
+            sources.write_bucketed(
+                c.lineitem.select("l_orderkey", "l_quantity"),
+                "bkt_lineitem", ["l_orderkey"], n_buckets=8,
+            )
+            j = (
+                spark.table("bkt_lineitem")
+                .join(
+                    spark.table("bkt_orders"),
+                    F.col("l_orderkey") == F.col("o_orderkey"),
+                )
+                .groupBy("l_orderkey")
+                .agg(F.sum("l_quantity").alias("q"))
+            )
+            plan = P.formatted_plan(j)
+            assert "Exchange" not in plan.replace("ReusedExchange", ""), plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS bkt_orders")
+            spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
