@@ -175,56 +175,41 @@ def rp_lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     tiny by assumption - fans out x(n_planes+1), while the corpus side
     stays one row per table.  This is what makes sign-bit LSH usable on
     weakly-clustered data without growing the corpus-side index."""
-    # Hyperplanes travel as a broadcast DATA table, not as literals: a
-    # literal formulation (n_tables x n_planes x dim = 4096 constants in
-    # the expression tree) produced megabyte codegen units whose
-    # compilation dominated wall time AND poisoned the JVM for subsequent
-    # queries.  Here the sketch is: broadcast-NLJ (vector x plane) ->
-    # sign bit -> one keyed aggregation packing bits into per-table
-    # bucket keys.  Tiny plan, and the shape every cluster size runs
-    # well: the only shuffle is the bit-packing agg keyed by vector id.
-    spark = corpus.sparkSession
-    plane_rows = []
-    for t in range(n_tables):
-        for i, plane in enumerate(_hyperplanes(dim, n_planes, seed=42 + t)):
-            plane_rows.append((t, i, [float(x) for x in plane]))
-    planes_df = spark.createDataFrame(
-        plane_rows, "tbl int, pidx int, plane array<double>"
-    )
+    # Hyperplanes travel inside one Arrow-vectorized UDF, not as plan
+    # literals: a literal formulation (n_tables x n_planes x dim = 4096
+    # constants in the expression tree) produced megabyte codegen units
+    # whose compilation dominated wall time AND poisoned the JVM for
+    # subsequent queries; the intermediate broadcast-join formulation
+    # paid n_planes*n_tables interpreted fold-dots per vector plus a
+    # bit-packing shuffle.  Here ALL table buckets for a vector come
+    # from a single einsum over one Arrow batch (sign bits -> packed
+    # bigint per table) - zero joins, zero shuffles, one map stage.
+    # Sign-of-dot is sketch-side only (approximate path): a last-ulp
+    # summation difference can at worst flip a boundary bit, which the
+    # exact re-rank absorbs.
+    planes_np = np.array(
+        [_hyperplanes(dim, n_planes, seed=42 + t) for t in range(n_tables)],
+        dtype="float64",
+    )  # (T, P, D)
+    weights = (np.uint64(1) << np.arange(n_planes, dtype="uint64")).astype("int64")
+
+    @F.pandas_udf("array<long>")
+    def table_buckets(vs: pd.Series) -> pd.Series:
+        X = np.stack(vs.to_numpy()).astype("float64")          # (n, D)
+        signs = np.einsum("nd,tpd->ntp", X, planes_np) >= 0     # (n, T, P)
+        packed = (signs * weights).sum(axis=2).astype("int64")  # (n, T)
+        return pd.Series(list(packed))
 
     def sketch(df: DataFrame) -> DataFrame:
         base = ensure_min_parallelism(df).select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
         )
-        bits = (
-            base.crossJoin(F.broadcast(planes_df))
-            .select(
-                "id", "tbl", "pidx",
-                dot(F.col("vec"), F.col("plane")).alias("d"),
-            )
-            .select(
-                "id",
-                "tbl",
-                F.expr(
-                    "CASE WHEN d >= 0 THEN shiftleft(CAST(1 AS BIGINT), pidx) "
-                    "ELSE CAST(0 AS BIGINT) END"
-                ).alias("bit"),
-            )
-        )
-        buckets = bits.groupBy("id").agg(
-            *[
-                F.sum(F.when(F.col("tbl") == t, F.col("bit")).otherwise(0)).alias(
-                    f"__b{t}"
-                )
-                for t in range(n_tables)
-            ]
-        )
-        return base.join(buckets, "id")
+        return base.withColumn("__bs", table_buckets(F.col("vec")))
 
     def explode_probes(df: DataFrame, probe: bool) -> DataFrame:
         entries = []
         for t in range(n_tables):
-            b = F.col(f"__b{t}")
+            b = F.element_at(F.col("__bs"), t + 1)
             if probe and multiprobe:
                 # hamming-1 multi-probe: the query also visits every
                 # bucket one bit-flip away (query side is tiny; corpus
