@@ -113,3 +113,13 @@ class TestEmbeddingDedupPlan:
         # whole-stage codegen (the map->densify formulation it replaced
         # was interpreted)
         assert P.wholestage_codegen_ids(q("dedup_embedding_cosine"))
+
+
+class TestHashDedupPlans:
+    @pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_simhash"])
+    def test_candidates_come_from_equi_joins(self, q, name):
+        """LSH banding / chunk blocking must plan as equality joins -
+        a cartesian fallback means candidate generation went quadratic."""
+        plan = P.formatted_plan(q(name))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
