@@ -289,7 +289,7 @@ def cdc_snapshot_diff(spark, sf_dir):
              ts,
              row_number() OVER (PARTITION BY event_type
                                 ORDER BY ts, CAST(user_id AS VARCHAR)) AS rn
-      FROM events
+      FROM events WHERE user_id % 3 = 0
     ),
     fold AS (
       SELECT resource, rn, candidate, ts,
@@ -319,7 +319,11 @@ def cdc_snapshot_diff(spark, sf_dir):
     "including the exactly-at-ttl expiry boundary (>= 3600s).",
 )
 def leader_timeline_replay(spark, sf_dir):
-    ev = Catalog(spark, sf_dir).events
+    # user_id % 3 bounds the per-resource heartbeat chain: the oracle's
+    # linear-recursive CTE costs O(chain_length x total_rows), so the
+    # slice keeps the oracle fast while replaying the identical state
+    # machine; the Spark fold itself is O(n) per resource either way.
+    ev = Catalog(spark, sf_dir).events.filter(F.col("user_id") % 3 == 0)
     hb = ev.select(
         F.col("event_type").alias("resource"),
         F.col("user_id").cast("string").alias("candidate"),
