@@ -1,0 +1,71 @@
+"""Deterministic sampling / dataset splitting for training-data pipelines.
+
+A 100 TB corpus cannot be split with ``df.randomSplit`` (nondeterministic
+across reruns, partitionings, and cluster sizes) or materialized split
+tables (another copy of the data).  The standard answer is HASH
+assignment: each row's split is a pure function of its stable key, so
+
+- the split is reproducible on any cluster, any day, any engine;
+- train/holdout never leak rows when the corpus is re-ingested or
+  backfilled (a given doc_id always lands in the same split);
+- no shuffle, no state - a map-stage filter that composes with pushdown.
+
+The hash is :func:`operators.dedup.portable_hash52` (md5-derived), so the
+assignment is reproducible in ANSI SQL on any engine, which also makes
+these operators oracle-verifiable (`('0x' || substr(md5(k),1,13))::BIGINT`
+in DuckDB).  Salt the key to draw independent splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import portable_hash52
+
+# assignment granularity: hash buckets per unit interval (1 bp = 0.01%)
+BUCKETS = 10_000
+
+
+def split_bucket(key_col, salt: str = "") -> Column:
+    """Stable bucket in [0, BUCKETS) from the row key (+ optional salt):
+    ``portable_hash52(salt || key) % BUCKETS``.  Pure column arithmetic."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.pmod(
+        portable_hash52(F.concat(F.lit(salt), key.cast("string"))),
+        F.lit(BUCKETS),
+    )
+
+
+def hash_split(df: DataFrame, key_col: str,
+               fractions: dict[str, float] | None = None,
+               salt: str = "") -> DataFrame:
+    """Assign every row a ``split`` label by hash bucket.
+
+    ``fractions`` maps label -> fraction (must sum to <= 1; any remainder
+    is labelled ``holdout``).  Assignment is cumulative over BUCKETS
+    buckets in the insertion order of ``fractions``, so a row's label is
+    a deterministic function of (key, salt) alone.
+    """
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    b = split_bucket(key_col, salt)
+    expr = None
+    hi = 0
+    for label, frac in fractions.items():
+        hi += int(round(frac * BUCKETS))
+        cond = b < hi
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    expr = expr.otherwise("holdout")
+    return df.withColumn("split", expr)
+
+
+def deterministic_sample(df: DataFrame, key_col: str, fraction: float,
+                         salt: str = "") -> DataFrame:
+    """Keep a stable ``fraction`` of rows by hash bucket - the
+    re-runnable, engine-portable alternative to ``df.sample``.  A row is
+    kept or dropped forever (given the salt), so downstream joins against
+    the sample stay consistent across pipeline runs."""
+    return df.filter(split_bucket(key_col, salt) < int(round(fraction * BUCKETS)))

@@ -1,6 +1,7 @@
 """LLM-data-pipeline declared queries (SURVEY.md §2.2 G54-G62): text
-analysis, dedup (exact / jaccard / minhash-LSH / simhash), similarity
-search (brute-force, LSH-ANN, IVF-ANN).
+analysis, dedup (all five tiers: exact / jaccard / minhash-LSH /
+simhash / embedding-cosine), similarity search (brute-force, LSH-ANN,
+IVF-ANN), deterministic dataset splitting.
 
 Oracle design notes:
 - Per-row double arithmetic (quality scores, cosines) is emitted RAW: the
@@ -10,9 +11,12 @@ Oracle design notes:
 - The synthetic documents table has no natural duplicates, so dedup
   queries *plant* duplicates in-query (UNION ALL of id-shifted copies /
   first-token-dropped copies) - reproducible in SQL on the same views.
-- MinHash/simhash use Spark's xxhash64 (no DuckDB equivalent): those are
-  rows-only declared queries whose quality is pinned by planted-duplicate
-  recall tests in tests/test_llm_ops.py.
+- Hash-based tiers run their portable md5-derived variants here
+  (operators.dedup.portable_hash52) so MinHash-LSH and SimHash are fully
+  oracle-verified; the xxhash64 variants stay the at-scale defaults,
+  pinned by planted-duplicate recall tests in tests/test_llm_ops.py.
+- Only the genuinely non-SQL-expressible stay rows-only: approximate
+  aggregates, KMeans-based IVF, numpy-hyperplane LSH, media decode.
 """
 
 from __future__ import annotations
@@ -636,3 +640,54 @@ def sim_ivf_ann(spark, sf_dir):
         idx = S.IvfIndex.build(e, nlist=16, seed=42)
         _IVF_INDEXES[sf_dir] = idx
     return idx.topk(queries, k=10, nprobe=4).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# Deterministic dataset splitting (training-data pipeline staple):
+# hash-assigned train/val/test that is reproducible across reruns,
+# cluster sizes, and engines - randomSplit can't give any of that.
+# --------------------------------------------------------------------------
+@register(
+    "split_assignment",
+    sql="""
+    WITH b AS (
+      SELECT doc_id, lang, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+             % 10000 AS bkt
+      FROM documents
+    ),
+    lab AS (
+      SELECT lang, n_chars,
+             CASE WHEN bkt < 9800 THEN 'train'
+                  WHEN bkt < 9900 THEN 'val'
+                  WHEN bkt < 10000 THEN 'test'
+                  ELSE 'holdout' END AS split
+      FROM b
+    )
+    SELECT split, lang, count(*) AS n_docs,
+           round(sum(n_chars) / count(*), 4) AS avg_chars
+    FROM lab GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+    tags=("G8", "G20", "G47"),
+    doc="hash_split: deterministic train/val/test assignment by "
+    "portable-hash bucket of the stable row key (98/1/1). A row's split "
+    "is a pure function of (key, salt): reproducible on any cluster or "
+    "engine, no leakage across re-ingests, map-stage only (no shuffle, "
+    "composes with pushdown). The aggregation here summarizes the "
+    "assignment per (split, lang); exact integer sums keep avg_chars "
+    "bit-identical.",
+)
+def split_assignment(spark, sf_dir):
+    from ..operators import sampling as SMP
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "lang", "n_chars")
+    lab = SMP.hash_split(d, "doc_id")
+    return (
+        lab.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum("n_chars") / F.count("*"), 4).alias("avg_chars"),
+        )
+        .orderBy("split", "lang")
+    )

@@ -160,3 +160,38 @@ class TestEmbeddingCosine:
         row = D.hashed_token_vectors(docs.limit(5), "text", "doc_id").first()
         assert len(row.vec) == 64
         assert sum(row.vec) > 0  # counts, not empty
+
+
+class TestHashSplit:
+    def test_split_is_stable_and_partitioning_invariant(self, spark, docs):
+        """The whole point vs randomSplit: assignment is a pure function
+        of (key, salt) - identical across runs and repartitionings, and
+        the labels partition the corpus exactly."""
+        from kafka_cassandra_plugin_spark.operators import sampling as SMP
+
+        a = SMP.hash_split(docs, "doc_id").select("doc_id", "split")
+        b = SMP.hash_split(docs.repartition(7), "doc_id").select("doc_id", "split")
+        ra = {(r.doc_id, r.split) for r in a.collect()}
+        rb = {(r.doc_id, r.split) for r in b.collect()}
+        assert ra == rb
+        assert {s for _, s in ra} <= {"train", "val", "test", "holdout"}
+        assert len(ra) == docs.count()
+
+    def test_salt_draws_independent_split(self, spark, docs):
+        from kafka_cassandra_plugin_spark.operators import sampling as SMP
+
+        a = {(r.doc_id, r.split) for r in SMP.hash_split(docs, "doc_id").collect()}
+        c = {(r.doc_id, r.split)
+             for r in SMP.hash_split(docs, "doc_id", salt="v2").collect()}
+        assert a != c  # a different salt reshuffles assignments
+
+    def test_deterministic_sample_fraction(self, spark, docs):
+        from kafka_cassandra_plugin_spark.operators import sampling as SMP
+
+        n = docs.count()
+        kept = SMP.deterministic_sample(docs, "doc_id", 0.2).count()
+        assert abs(kept / n - 0.2) < 0.08  # hash-uniformity tolerance
+        # subset property: a larger fraction strictly contains a smaller one
+        small = {r.doc_id for r in SMP.deterministic_sample(docs, "doc_id", 0.1).collect()}
+        big = {r.doc_id for r in SMP.deterministic_sample(docs, "doc_id", 0.3).collect()}
+        assert small <= big
