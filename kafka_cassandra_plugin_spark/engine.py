@@ -27,6 +27,7 @@ from .operators import changes as _changes
 from .operators import dedup as _dedup
 from .operators import kv as _kv
 from .operators import membership as _membership
+from .operators import sampling as _sampling
 from .operators import similarity as _similarity
 from .operators import text as _text
 from .session import ensure_engine_confs, get_spark
@@ -90,7 +91,11 @@ class Engine:
     ngram_jaccard_pairs = staticmethod(_dedup.ngram_jaccard_pairs)
     minhash_lsh_dedup_pairs = staticmethod(_dedup.minhash_lsh_dedup_pairs)
     simhash_near_pairs = staticmethod(_dedup.simhash_near_pairs)
+    hashed_token_vectors = staticmethod(_dedup.hashed_token_vectors)
+    embedding_cosine_pairs = staticmethod(_dedup.embedding_cosine_pairs)
     brute_force_topk = staticmethod(_similarity.brute_force_topk)
     rp_lsh_topk = staticmethod(_similarity.rp_lsh_topk)
     ivf_topk = staticmethod(_similarity.ivf_topk)
     text_profile = staticmethod(_text.text_profile)
+    hash_split = staticmethod(_sampling.hash_split)
+    deterministic_sample = staticmethod(_sampling.deterministic_sample)
