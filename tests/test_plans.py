@@ -103,10 +103,11 @@ class TestEmbeddingDedupPlan:
         plan = P.formatted_plan(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
-        # two vector builds (join sides) + pair-join + final orderBy:
-        # the blocked self-join must plan as equality join, shuffles stay
-        # bounded (no quadratic exchange)
-        P.assert_max_shuffles(df, budget=6)
+        # two vector builds (join sides, each agg + explicit blk
+        # repartition) + pair-join + final orderBy: the blocked
+        # self-join must plan as equality join, shuffles stay bounded
+        # (no quadratic exchange)
+        P.assert_max_shuffles(df, budget=8)
 
     def test_vector_build_is_codegened(self, q):
         # the n_dims conditional-sum aggregation must stay inside
