@@ -195,3 +195,27 @@ class TestHashSplit:
         small = {r.doc_id for r in SMP.deterministic_sample(docs, "doc_id", 0.1).collect()}
         big = {r.doc_id for r in SMP.deterministic_sample(docs, "doc_id", 0.3).collect()}
         assert small <= big
+
+
+class TestPortableHash:
+    def test_matches_duckdb_bit_for_bit(self, spark):
+        """Three oracle-verified tiers (minhash, simhash, hashed-token
+        vectors) stand on portable_hash52 computing the identical value
+        in both engines - pin the contract directly."""
+        import duckdb
+
+        words = ["hello", "spark table", "a b c", "zz", "", "Ünïcode"]
+        df = spark.createDataFrame([(w,) for w in words], "tok string")
+        sp = {
+            r.tok: r.h
+            for r in df.select(
+                "tok", D.portable_hash52(F.col("tok")).alias("h")
+            ).collect()
+        }
+        con = duckdb.connect()
+        for w in words:
+            dk = con.execute(
+                "SELECT ('0x' || substr(md5(?), 1, 13))::BIGINT", [w]
+            ).fetchone()[0]
+            assert sp[w] == dk, (w, sp[w], dk)
+        assert all(0 <= v < 2**52 for v in sp.values())
