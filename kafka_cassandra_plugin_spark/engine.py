@@ -93,6 +93,7 @@ class Engine:
     simhash_near_pairs = staticmethod(_dedup.simhash_near_pairs)
     hashed_token_vectors = staticmethod(_dedup.hashed_token_vectors)
     embedding_cosine_pairs = staticmethod(_dedup.embedding_cosine_pairs)
+    survivors_from_pairs = staticmethod(_dedup.survivors_from_pairs)
     brute_force_topk = staticmethod(_similarity.brute_force_topk)
     rp_lsh_topk = staticmethod(_similarity.rp_lsh_topk)
     ivf_topk = staticmethod(_similarity.ivf_topk)

@@ -6,19 +6,28 @@ Five tiers, from exact to semantic (BASELINE.json north star; SURVEY.md
 1. exact          - content-hash groupBy (sha256), deterministic survivor
 2. ngram-jaccard  - word-shingle overlap >= threshold (exact set math)
 3. minhash-LSH    - banded MinHash signatures -> bucket join -> verify
-4. simhash       - 64-bit simhash with hamming-radius candidate match
-5. embedding     - cosine near-dup over the embeddings table (see
-                   operators/similarity.py for the kNN machinery)
+4. simhash       - token simhash with hamming-radius candidate match
+5. embedding     - cosine near-dup over hashed-token or learned vectors
+                   (dominant-signature blocking; kNN machinery in
+                   operators/similarity.py)
 
-Scale posture (the whole point of LSH/simhash tiers):
+plus :func:`survivors_from_pairs`, which closes any pair tier over
+connected components and keeps one deterministic survivor per cluster.
+
+Scale posture (the whole point of the LSH/simhash/blocking tiers):
 - exact dedup is one shuffle on a 32-byte key: works at any scale.
 - ngram-jaccard joins docs *only* on shared shingles, never all-pairs;
   frequency-capped shingles (stop-shingle removal) bound the join fanout.
 - minhash-LSH: candidate pairs come from equality joins on (band,
   band-signature) - at 100 TB this is B small shuffles instead of a
   quadratic cross join; rows are verified with exact jaccard afterwards.
-- All hashing is xxhash64/md5 with explicit seeds: deterministic across
-  runs, executors, and cluster sizes.
+- embedding near-dup blocks on the vector's dominant-dimension signature
+  with an on-by-default block-size cap - candidates from equality joins,
+  exact cosine verify after, never all-pairs.
+- Hashing is xxhash64 (engine-native, at-scale default) or the portable
+  md5-derived :func:`portable_hash52` (bit-identical in any SQL engine -
+  what lets the hash tiers be oracle-verified); both take explicit
+  seeds: deterministic across runs, executors, and cluster sizes.
 """
 
 from __future__ import annotations
@@ -522,7 +531,8 @@ def dominant_signature(vec_col, top_k: int = 3):
 
 def embedding_cosine_pairs(vectors: DataFrame, threshold: float = 0.99,
                            id_col: str = "id", vec_col: str = "vec",
-                           block_top_k: int | None = 3) -> DataFrame:
+                           block_top_k: int | None = 3,
+                           max_block_size: int | None = 100_000) -> DataFrame:
     """Near-duplicate pairs by exact cosine similarity over an embedding
     column: (id_a, id_b, cosine) for pairs with cosine >= threshold.
 
@@ -560,6 +570,20 @@ def embedding_cosine_pairs(vectors: DataFrame, threshold: float = 0.99,
             F.col(id_col), F.col(vec_col),
             dominant_signature(vec_col, block_top_k).alias("blk"),
         ).repartition(F.col("blk"))
+        if max_block_size is not None:
+            # ON BY DEFAULT (same rationale as the stop-shingle cap): a
+            # degenerate signature - empty docs, a constant corpus slice -
+            # puts b docs in one block and alone contributes O(b^2)
+            # candidate pairs.  Dropping oversized blocks bounds the join
+            # fanout; the docs inside them are by construction
+            # near-indistinguishable under this blocking, a documented
+            # recall tradeoff, not a correctness one.
+            w = Window.partitionBy("blk")
+            vectors = (
+                vectors.withColumn("__bn", F.count(F.lit(1)).over(w))
+                .filter(F.col("__bn") <= max_block_size)
+                .drop("__bn")
+            )
         a = vectors.select(
             F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
             F.col("blk").alias("blk_a"),
@@ -583,3 +607,71 @@ def embedding_cosine_pairs(vectors: DataFrame, threshold: float = 0.99,
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
     )
+
+
+# --------------------------------------------------------------------------
+# Pairs -> survivors: the last step of every near-dup pipeline.
+# --------------------------------------------------------------------------
+
+def survivors_from_pairs(df: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id",
+                         id_a: str = "id_a", id_b: str = "id_b",
+                         max_rounds: int = 20) -> DataFrame:
+    """Resolve near-duplicate PAIRS into the rows to KEEP: connected
+    components of the pair graph via iterative min-label propagation,
+    keeping each component's minimum-id member (deterministic survivor,
+    matching :func:`exact_dedup`'s keep='min' convention).
+
+    Near-dup relations are not transitive, but dedup treats them so
+    (A~B, B~C => one survivor for {A,B,C}); components are the standard
+    closure.  Label propagation converges in O(graph diameter) rounds -
+    near-dup clusters are shallow (dup chains, not paths), so a handful
+    of rounds suffices; ``max_rounds`` bounds the worst case.
+
+    Scale shape: each round is one equi-join (edges x labels) + one
+    min-aggregation - all shuffles on the node id, no driver-side graph.
+    The driver only runs the (bounded) convergence loop and a per-round
+    emptiness probe, like any iterative fixpoint on Spark (KMeans, PIC);
+    ``localCheckpoint`` truncates lineage so plans stay flat across
+    rounds.
+    """
+    edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().localCheckpoint()
+    labels = (
+        df.select(F.col(id_col).alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        nbr = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["u"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    keep = labels.filter(F.col("node") == F.col("label")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")

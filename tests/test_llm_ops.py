@@ -219,3 +219,58 @@ class TestPortableHash:
             ).fetchone()[0]
             assert sp[w] == dk, (w, sp[w], dk)
         assert all(0 <= v < 2**52 for v in sp.values())
+
+
+class TestSurvivorsFromPairs:
+    def test_components_resolve_to_min_id(self, spark):
+        """A~B, B~C must collapse to one survivor (min id) even though
+        the A~C pair was never reported - pair relations close over
+        connected components."""
+        from kafka_cassandra_plugin_spark.operators.dedup import (
+            survivors_from_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"d{i}") for i in range(1, 8)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+        )
+        kept = sorted(
+            r.doc_id for r in survivors_from_pairs(df, pairs).collect()
+        )
+        # {1,2,3} -> 1, {5,6} -> 5, singletons 4 and 7 survive
+        assert kept == [1, 4, 5, 7]
+
+    def test_pipeline_end_to_end(self, spark, docs):
+        """minhash pairs over a planted corpus -> survivors == originals
+        (every planted copy collapses onto its source doc)."""
+        from kafka_cassandra_plugin_spark.operators.dedup import (
+            survivors_from_pairs,
+        )
+
+        corpus = plant_exact(docs.limit(60), mod=2)
+        pairs = D.minhash_lsh_dedup_pairs(corpus, threshold=0.9)
+        kept = survivors_from_pairs(corpus, pairs)
+        ids = {r.doc_id for r in kept.collect()}
+        assert max(ids) < 1000000  # every planted copy removed
+
+        # ground truth: union-find over the same pairs
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        edges = [(r.id_a, r.id_b) for r in pairs.collect()]
+        for u, v in edges:
+            parent[find(u)] = find(v)
+        all_ids = {r.doc_id for r in corpus.collect()}
+        comp: dict = {}
+        for x in all_ids:
+            comp.setdefault(find(x), set()).add(x)
+        expected = {min(m) for m in comp.values()}
+        assert ids == expected
