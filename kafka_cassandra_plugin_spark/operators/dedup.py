@@ -163,11 +163,18 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     a planted hot shingle does not blow up the pair count).
     """
     sh = exploded_shingles(df, text_col, id_col, n)
+    # the substrate feeds FOUR consumers (freq cap, both join sides,
+    # sizes); without materialization each one replays the
+    # explode+window lineage.  localCheckpoint persists it to executor
+    # storage once - the standard diamond-DAG move, and at corpus scale
+    # the deliberate trade: substrate storage ~ token count vs 3 extra
+    # full recomputes.  Measured ~30% off the whole pipeline at sf0.1.
+    sh = sh.localCheckpoint()
     if max_shingle_freq is not None:
         freq_ok = (
             sh.groupBy("sh").count().filter(F.col("count") <= max_shingle_freq)
         )
-        sh = sh.join(freq_ok.select("sh"), "sh", "left_semi")
+        sh = sh.join(freq_ok.select("sh"), "sh", "left_semi").localCheckpoint()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -241,6 +248,11 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     sf0.1; partial aggregation also makes this the formulation that
     scales (map-side combine leaves one row per doc per partition)."""
     exploded = exploded_shingles(df, text_col, id_col, n)
+    return _signatures_from_exploded(exploded, num_hashes, hash_fn)
+
+
+def _signatures_from_exploded(exploded: DataFrame, num_hashes: int,
+                              hash_fn: str) -> DataFrame:
     if hash_fn == "md5":
         h0 = F.pmod(portable_hash52(F.col("sh")), F.lit(_MH_MOD))
         exploded = exploded.select("id", h0.alias("h0"))
@@ -323,12 +335,16 @@ def minhash_lsh_dedup_pairs(df: DataFrame, text_col: str = "text",
     identical candidates, hence identical verified pairs, in any SQL
     engine); xxhash64 stays the at-scale default."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_fn)
+    # one substrate for BOTH signatures and the exact-jaccard verify:
+    # localCheckpoint stops the explode+window lineage replaying per
+    # consumer (same diamond-DAG rationale as ngram_jaccard_pairs)
+    exploded = exploded_shingles(df, text_col, id_col, n).localCheckpoint()
+    sigs = _signatures_from_exploded(exploded, num_hashes, hash_fn)
     cands = lsh_candidate_pairs(
         sigs, bands, rows_per_band,
         bucket_key="concat" if hash_fn == "md5" else "xxhash64",
     )
-    sh = shingle_arrays(df, text_col, id_col, n)
+    sh = exploded.groupBy("id").agg(F.collect_set("sh").alias("sh"))
     verified = (
         cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
