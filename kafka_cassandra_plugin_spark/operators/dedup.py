@@ -577,15 +577,18 @@ def embedding_cosine_pairs(vectors: DataFrame, threshold: float = 0.99,
     from .similarity import cosine
 
     if block_top_k is not None:
-        # repartition by the block key BEFORE aliasing the join sides:
-        # both sides then hang off one identical exchange (single vector
-        # build) and the self-join is already co-partitioned - measured
-        # ~30% faster than letting the planner broadcast one side, which
-        # recomputed the whole vector pipeline per side
-        vectors = vectors.select(
-            F.col(id_col), F.col(vec_col),
-            dominant_signature(vec_col, block_top_k).alias("blk"),
-        ).repartition(F.col("blk"))
+        # one materialized vector+signature build feeding both self-join
+        # sides (the diamond-DAG move shared with the shingle pipelines);
+        # the blk repartition co-partitions the join and keeps the
+        # planner from broadcasting one side
+        vectors = (
+            vectors.select(
+                F.col(id_col), F.col(vec_col),
+                dominant_signature(vec_col, block_top_k).alias("blk"),
+            )
+            .repartition(F.col("blk"))
+            .localCheckpoint()
+        )
         if max_block_size is not None:
             # ON BY DEFAULT (same rationale as the stop-shingle cap): a
             # degenerate signature - empty docs, a constant corpus slice -
