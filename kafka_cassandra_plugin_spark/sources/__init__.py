@@ -74,6 +74,27 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: Sequence[str],
     w.saveAsTable(table, format="parquet")
 
 
+def compact_parquet(spark: SparkSession, path: str, out_path: str,
+                    target_file_mb: int = 256) -> int:
+    """Rewrite a parquet directory into ~``target_file_mb`` files.
+
+    The small-files problem is the classic silent killer of a streaming
+    ingest at scale: thousands of KB-sized files per partition turn every
+    downstream scan into listing + open overhead.  Compaction = read,
+    repartition to ceil(bytes / target), rewrite.  Sizes come from the
+    Hadoop FileSystem API, so any scheme (file://, hdfs://, s3a://)
+    works.  Returns the number of output partitions chosen.
+    """
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hpath).getLength()
+    n = max(1, -(-int(total) // (target_file_mb * 1024 * 1024)))
+    spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(out_path)
+    return n
+
+
 # --------------------------------------------------------------------------
 # G3/S2: Kafka source (option builder; needs the spark-sql-kafka package
 # on the classpath of a real deployment).

@@ -153,3 +153,24 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.sql("DROP TABLE IF EXISTS bkt_orders")
             spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+class TestCompaction:
+    def test_small_files_compact_losslessly(self, spark, sf_dir, tmp_path):
+        from kafka_cassandra_plugin_spark import sources
+        from kafka_cassandra_plugin_spark.catalog import Catalog
+
+        src = str(tmp_path / "small")
+        out = str(tmp_path / "compacted")
+        orders = Catalog(spark, sf_dir).orders.select("o_orderkey", "o_totalprice")
+        orders.repartition(50).write.parquet(src)
+        n_small = len([f for f in __import__("os").listdir(src) if f.endswith(".parquet")])
+        assert n_small >= 50
+
+        n = sources.compact_parquet(spark, src, out, target_file_mb=256)
+        n_out = len([f for f in __import__("os").listdir(out) if f.endswith(".parquet")])
+        assert n == 1 and n_out == 1  # tiny table -> one target-size file
+        # lossless: same rows
+        a = sorted(map(tuple, spark.read.parquet(src).collect()))
+        b = sorted(map(tuple, spark.read.parquet(out).collect()))
+        assert a == b
