@@ -135,3 +135,33 @@ class TestLeaseSafety:
         for r in leaders:
             age = (now - r.write_ts).total_seconds()
             assert 0 <= age < ttl  # in-window, never future, never expired
+
+
+class TestHashSplitPartition:
+    @SLOW
+    @given(
+        n=st.integers(50, 300),
+        fa=st.integers(1, 80),
+        fb=st.integers(1, 15),
+        salt=st.sampled_from(["", "s1", "s2"]),
+    )
+    def test_labels_partition_rows_and_respect_fractions(self, spark, n, fa, fb, salt):
+        """For any fraction dict and salt: every row gets exactly one
+        label, labels come only from the dict (+holdout), and each
+        label's share is within hash-uniformity tolerance."""
+        from kafka_cassandra_plugin_spark.operators import sampling as SMP
+
+        fr = {"a": fa / 100.0, "b": fb / 100.0}
+        df = spark.range(n).selectExpr("id AS doc_id")
+        out = SMP.hash_split(df, "doc_id", fr, salt=salt).collect()
+        assert len(out) == n
+        by = {}
+        for r in out:
+            by.setdefault(r.split, 0)
+            by[r.split] += 1
+        assert set(by) <= {"a", "b", "holdout"}
+        # binomial-ish tolerance: 4*sqrt(p(1-p)/n) + granularity slack
+        for label, frac in fr.items():
+            got = by.get(label, 0) / n
+            tol = 4 * (frac * (1 - frac) / n) ** 0.5 + 0.02
+            assert abs(got - frac) <= tol, (label, got, frac, tol)
