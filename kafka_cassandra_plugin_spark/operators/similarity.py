@@ -163,18 +163,31 @@ def rp_sketch(df: DataFrame, dim: int, n_planes: int = 16, seed: int = 42,
 
 
 def rp_lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
-                n_planes: int = 8, n_tables: int = 8, multiprobe: bool = True,
+                n_planes: int = 6, n_tables: int = 8, multiprobe: bool = True,
+                probe_hamming: int = 2,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: union of ``n_tables`` independent sketch tables;
     candidates = corpus rows sharing a bucket with the query in any table;
     exact cosine re-rank of candidates only.  Equi-join on (table, bucket)
     -> no cross join anywhere; recall grows with n_tables.
 
-    ``multiprobe`` additionally probes every bucket at hamming distance 1
-    from the query's bucket (classic multi-probe LSH): the query side -
-    tiny by assumption - fans out x(n_planes+1), while the corpus side
-    stays one row per table.  This is what makes sign-bit LSH usable on
-    weakly-clustered data without growing the corpus-side index."""
+    ``multiprobe`` additionally probes every bucket within hamming
+    distance ``probe_hamming`` of the query's bucket (classic multi-probe
+    LSH): the query side - tiny by assumption - fans out by
+    sum(C(n_planes, i) for i <= probe_hamming) per table, while the
+    corpus side stays one row per table.  This is what makes sign-bit LSH
+    usable on weakly-clustered data without growing the corpus-side
+    index.  Defaults (6 planes x 8 tables, hamming-2 probes) are tuned
+    for recall@10 >= 0.9 on the synthetic corpus (measured 1.00;
+    tests/test_llm_ops.py) while keeping corpus-side fanout at one row
+    per table and the probe expression small enough for whole-stage
+    codegen (probe structs per query row = n_tables *
+    (1 + sum(C(n_planes, i) for 1 <= i <= probe_hamming)); at 8 planes /
+    hamming-2 / 16 tables the 592-struct array blew the JVM's 64KB
+    method limit and fell back to interpreted eval).  At 100 TB, raise
+    ``n_planes`` so 2^n_planes tracks corpus size (candidates per probe
+    ~ N / 2^n_planes) - recall is then bought with ``n_tables`` /
+    ``probe_hamming``, which scale the tiny query side only."""
     # Hyperplanes travel inside one Arrow-vectorized UDF, not as plan
     # literals: a literal formulation (n_tables x n_planes x dim = 4096
     # constants in the expression tree) produced megabyte codegen units
@@ -206,21 +219,27 @@ def rp_lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
         )
         return base.withColumn("__bs", table_buckets(F.col("vec")))
 
+    # XOR masks for multi-probe: every bit pattern with <= probe_hamming
+    # bits set (excluding 0 - the home bucket is probed unmasked).
+    probe_masks = [
+        m for m in range(1, 2**n_planes)
+        if bin(m).count("1") <= probe_hamming
+    ] if multiprobe else []
+
     def explode_probes(df: DataFrame, probe: bool) -> DataFrame:
         entries = []
         for t in range(n_tables):
             b = F.element_at(F.col("__bs"), t + 1)
-            if probe and multiprobe:
-                # hamming-1 multi-probe: the query also visits every
-                # bucket one bit-flip away (query side is tiny; corpus
+            entries.append(F.struct(F.lit(t).alias("tbl"), b.alias("bucket")))
+            if probe:
+                # multi-probe: the query also visits every bucket within
+                # probe_hamming bit-flips (query side is tiny; corpus
                 # side stays one row per table)
-                for bb in [b] + [
-                    b.bitwiseXOR(F.lit(2**i).cast("bigint"))
-                    for i in range(n_planes)
-                ]:
-                    entries.append(F.struct(F.lit(t).alias("tbl"), bb.alias("bucket")))
-            else:
-                entries.append(F.struct(F.lit(t).alias("tbl"), b.alias("bucket")))
+                for m in probe_masks:
+                    entries.append(F.struct(
+                        F.lit(t).alias("tbl"),
+                        b.bitwiseXOR(F.lit(m).cast("bigint")).alias("bucket"),
+                    ))
         return df.select(
             "id", "vec", F.explode(F.array(*entries)).alias("tb")
         ).select("id", "vec", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
@@ -257,16 +276,36 @@ def rp_lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
 # IVF (approximate, scale path #2)
 # --------------------------------------------------------------------------
 
+def _unit(col) -> Column:
+    """L2-normalize an array column (zero vectors pass through as-is)."""
+    n = norm(col)
+    return F.when(
+        n > 0, F.transform(col, lambda x: x.cast("double") / n)
+    ).otherwise(F.transform(col, lambda x: x.cast("double")))
+
+
 class IvfIndex:
     """Built IVF index: corpus rows assigned to inverted lists + the
     centroid table.  Build ONCE, probe many - at 100 TB the assigned
-    lists are written out partitioned by list_id and every query batch
-    reuses them; rebuilding the quantizer per query would be the
-    mistake.  ``assigned`` is cached (it is the index)."""
+    lists are written out partitioned by list_id (:meth:`save` /
+    :meth:`load`) and every query batch reuses them; rebuilding the
+    quantizer per query would be the mistake.  In-memory indexes cache
+    ``assigned``; loaded indexes rely on the partitioned parquet layout
+    so probes prune to ``nprobe`` partitions (see :meth:`topk`).
 
-    def __init__(self, assigned: DataFrame, centroids: DataFrame):
+    Cosine-metric alignment: the quantizer is *spherical* - vectors are
+    L2-normalized before the KMeans fit/assignment, so the Euclidean
+    assignment metric is monotone in cosine (||u-c||^2 = 1+|c|^2-2u.c),
+    and probe-time list ranking uses the SAME Euclidean-on-unit-vectors
+    metric as assignment.  Mismatched metrics (Euclidean assignment on
+    raw vectors, cosine probing) were measured at recall@10 ~0.79; the
+    aligned formulation reaches >=0.9 on the same corpus."""
+
+    def __init__(self, assigned: DataFrame, centroids: DataFrame,
+                 path: str | None = None):
         self.assigned = assigned
         self.centroids = centroids
+        self.path = path
 
     @classmethod
     def build(cls, corpus: DataFrame, nlist: int = 16, seed: int = 42,
@@ -277,24 +316,30 @@ class IvfIndex:
         quality converges with a modest sample; fitting KMeans on the
         full corpus would iterate over all 100 TB ``maxIter`` times for
         no recall gain (the assignment pass still sees every row once —
-        that part is irreducible).  The sample is seeded => deterministic
-        index."""
+        that part is irreducible).
+
+        The sample is the ``fit_sample_rows`` rows with the smallest
+        ``xxhash64(id)`` - a deterministic function of the data alone
+        (same index for any partitioning or cluster size; a
+        ``sample().limit()`` cap would be partition-order dependent),
+        taken as one TakeOrdered pass with no prior ``count()``."""
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
         corpus_v = ensure_min_parallelism(corpus).select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
-            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+            array_to_vector(_unit(F.col(vec_col))).alias("features"),
         )
-        n_rows = corpus_v.count()
-        fit_df = corpus_v.select("features")
-        if n_rows > fit_sample_rows:
-            fit_df = fit_df.sample(
-                withReplacement=False,
-                fraction=min(1.0, 1.05 * fit_sample_rows / n_rows),
-                seed=seed,
-            ).limit(fit_sample_rows)
+        fit_df = (
+            corpus_v.select(
+                F.xxhash64(F.col("neighbor_id").cast("string")).alias("__h"),
+                "features",
+            )
+            .orderBy("__h")
+            .limit(fit_sample_rows)
+            .select("features")
+        )
         model = KMeans(k=nlist, seed=seed, maxIter=5).fit(fit_df)
         assigned = model.transform(corpus_v).select(
             "neighbor_id", "c_vec", F.col("prediction").alias("list_id")
@@ -306,27 +351,72 @@ class IvfIndex:
         )
         return cls(assigned, centroids)
 
-    def topk(self, queries: DataFrame, k: int = 10, nprobe: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-        q = queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    def save(self, path: str) -> "IvfIndex":
+        """Persist the index: assigned lists as parquet partitioned by
+        ``list_id`` (so probes scan only ``nprobe`` partitions), the
+        centroid table alongside.  Returns a loaded handle."""
+        self.assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+            f"{path}/assigned"
         )
-        q_lists = (
+        self.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+        return IvfIndex.load(self.assigned.sparkSession, path)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfIndex":
+        assigned = spark.read.parquet(f"{path}/assigned").select(
+            "neighbor_id", "c_vec", F.col("list_id").cast("int").alias("list_id")
+        )
+        centroids = spark.read.parquet(f"{path}/centroids")
+        return cls(assigned, centroids, path=path)
+
+    def _probe_lists(self, q: DataFrame, nprobe: int) -> DataFrame:
+        """(query_id, q_vec, list_id) for each query's ``nprobe`` nearest
+        lists - ranked by the SAME metric KMeans assigns with (Euclidean
+        on unit vectors), so probing and assignment agree."""
+        dist = F.aggregate(
+            F.zip_with(
+                _unit(F.col("q_vec")),
+                F.col("centroid"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return (
             q.crossJoin(F.broadcast(self.centroids))
-            .withColumn("c_score", cosine(F.col("q_vec"), F.col("centroid")))
+            .withColumn("c_dist", dist)
             .withColumn(
                 "c_rank",
                 F.row_number().over(
                     Window.partitionBy("query_id").orderBy(
-                        F.col("c_score").desc(), F.col("list_id")
+                        F.col("c_dist").asc(), F.col("list_id")
                     )
                 ),
             )
             .filter(F.col("c_rank") <= nprobe)
             .select("query_id", "q_vec", "list_id")
         )
+
+    def topk(self, queries: DataFrame, k: int = 10, nprobe: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+        q_lists = self._probe_lists(q, nprobe)
+        assigned = self.assigned
+        if self.path is not None:
+            # Loaded (disk-backed) index: resolve the probed list ids
+            # driver-side so the parquet scan statically prunes to those
+            # partitions.  Bounded by nlist distinct values (a few
+            # thousand at most), NOT by corpus size - this is the probe
+            # architecture, not a driver-side data loop.
+            ids = [
+                r["list_id"]
+                for r in q_lists.select("list_id").distinct().collect()
+            ]
+            assigned = assigned.filter(F.col("list_id").isin(ids))
         scored = (
-            q_lists.join(self.assigned, "list_id")
+            q_lists.join(assigned, "list_id")
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .withColumn("score", cosine_pandas(F.col("q_vec"), F.col("c_vec")))
         )
@@ -341,7 +431,7 @@ class IvfIndex:
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
-             nlist: int = 16, nprobe: int = 4, seed: int = 42,
+             nlist: int = 16, nprobe: int = 8, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF-flat: KMeans (seeded) coarse quantizer partitions the corpus
     into ``nlist`` inverted lists; each query probes its ``nprobe``

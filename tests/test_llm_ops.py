@@ -81,19 +81,72 @@ class TestAnnRecall:
         return df
 
     def test_lsh_recall(self, emb, exact):
+        # defaults (6 planes x 8 tables, hamming-2 probes): measured 1.00
         q = emb.filter(F.col("vec_id") % 10 == 0)
         approx = S.rp_lsh_topk(emb, q, dim=64, k=self.K)
         r = S.recall_at_k(approx, exact, self.K)
-        assert r >= 0.5, f"LSH recall@{self.K} too low: {r}"
+        assert r >= 0.85, f"LSH recall@{self.K} too low: {r}"
 
     def test_ivf_recall(self, emb, exact):
+        # spherical quantizer, nlist=16/nprobe=10: measured 0.94
         q = emb.filter(F.col("vec_id") % 10 == 0)
-        approx = S.ivf_topk(emb, q, k=self.K, nlist=16, nprobe=8)
+        approx = S.ivf_topk(emb, q, k=self.K, nlist=16, nprobe=10)
         r = S.recall_at_k(approx, exact, self.K)
-        assert r >= 0.5, f"IVF recall@{self.K} too low: {r}"
+        assert r >= 0.85, f"IVF recall@{self.K} too low: {r}"
 
     def test_exact_self_recall(self, exact):
         assert S.recall_at_k(exact, exact, self.K) == 1.0
+
+
+class TestIvfIndexPersistence:
+    """IvfIndex.save/load: the disk-backed index is parquet partitioned
+    by list_id, probes statically prune to the probed partitions, and a
+    loaded index returns the same result as the in-memory one."""
+
+    @pytest.fixture(scope="class")
+    def built(self, emb):
+        return S.IvfIndex.build(emb, nlist=16, seed=42)
+
+    def test_roundtrip_same_results(self, emb, built, tmp_path_factory):
+        path = str(tmp_path_factory.mktemp("ivf") / "idx")
+        loaded = built.save(path)
+        q = emb.filter(F.col("vec_id") % 10 == 0)
+        a = built.topk(q, k=10, nprobe=10).orderBy("query_id", "rank")
+        b = loaded.topk(q, k=10, nprobe=10).orderBy("query_id", "rank")
+        assert [r.asDict() for r in a.collect()] == [
+            r.asDict() for r in b.collect()
+        ]
+
+    def test_layout_partitioned_by_list_id(self, built, tmp_path_factory):
+        path = str(tmp_path_factory.mktemp("ivf") / "idx")
+        built.save(path)
+        import os
+        parts = [d for d in os.listdir(f"{path}/assigned")
+                 if d.startswith("list_id=")]
+        assert len(parts) == 16
+
+    def test_probe_scans_only_probed_partitions(self, emb, built,
+                                                tmp_path_factory):
+        path = str(tmp_path_factory.mktemp("ivf") / "idx")
+        loaded = built.save(path)
+        nprobe = 3
+        q = emb.filter(F.col("vec_id") == 0)  # single query
+        q1 = q.select(F.col("vec_id").alias("query_id"),
+                      F.col("embedding").alias("q_vec"))
+        probed = {r["list_id"]
+                  for r in loaded._probe_lists(q1, nprobe).collect()}
+        assert len(probed) == nprobe
+        # the list_id filter must land in the scan's PartitionFilters
+        # (directory pruning), not a post-scan Filter
+        from kafka_cassandra_plugin_spark import plans as P
+        pruned = loaded.assigned.filter(F.col("list_id").isin(list(probed)))
+        pf = P.partition_filters(pruned)
+        assert any("list_id" in f for f in pf), (
+            f"expected a partition filter on list_id, got {pf}"
+        )
+        # and the full probe plan (what topk builds) carries it too
+        full = loaded.topk(q, k=5, nprobe=nprobe)
+        assert any("list_id" in f for f in P.partition_filters(full))
 
 
 class TestStopShingleCap:
