@@ -197,15 +197,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             "id_b",
         )
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                4,
-            ),
+            "__j_raw",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        # filter on the RAW ratio (the oracle SQL does the same); round
+        # only in the projection - rounding before the threshold would
+        # pass raw values in [t-5e-5, t) that the oracle rejects
+        .filter(F.col("__j_raw") >= threshold)
+        .select("id_a", "id_b", F.round(F.col("__j_raw"), 4).alias("jaccard"))
     )
     return ja
 
@@ -349,15 +349,14 @@ def minhash_lsh_dedup_pairs(df: DataFrame, text_col: str = "text",
         cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                4,
-            ),
+            "__j_raw",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        # raw-ratio threshold, round-in-projection: same boundary
+        # contract as ngram_jaccard_pairs (and the oracle SQL)
+        .filter(F.col("__j_raw") >= threshold)
+        .select("id_a", "id_b", F.round(F.col("__j_raw"), 4).alias("jaccard"))
     )
     return verified
 
