@@ -81,11 +81,12 @@ def load_properties(path: str) -> dict[str, str]:
             if line.endswith("\\") and not line.endswith("\\\\"):
                 pending = line[:-1]
                 continue
-            for sep in ("=", ":"):
-                i = line.find(sep)
-                if i >= 0:
-                    props[line[:i].strip()] = line[i + 1:].strip()
-                    break
+            # split at the FIRST separator of either kind, like
+            # java.util.Properties: 'a:b=c' -> key 'a', value 'b=c'
+            cuts = [i for i in (line.find("="), line.find(":")) if i >= 0]
+            if cuts:
+                i = min(cuts)
+                props[line[:i].strip()] = line[i + 1:].strip()
             else:
                 props[line.strip()] = ""
     return props

@@ -13,6 +13,7 @@ fully exercised by tests.
 from __future__ import annotations
 
 import json
+import os
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -84,7 +85,16 @@ def compact_parquet(spark: SparkSession, path: str, out_path: str,
     repartition to ceil(bytes / target), rewrite.  Sizes come from the
     Hadoop FileSystem API, so any scheme (file://, hdfs://, s3a://)
     works.  Returns the number of output partitions chosen.
+
+    ``out_path`` must be a distinct location: Spark reads lazily and
+    ``mode('overwrite')`` deletes the target first, so an in-place
+    compaction would destroy the source before it was fully read.
     """
+    if os.path.abspath(out_path) == os.path.abspath(path):
+        raise ValueError(
+            f"compact_parquet: out_path must differ from path ({path!r}); "
+            "overwrite deletes the target before the lazy read completes"
+        )
     jvm = spark._jvm
     jsc = spark._jsc
     hpath = jvm.org.apache.hadoop.fs.Path(path)

@@ -98,17 +98,22 @@ class ListenerHub:
     Driver-materialization bound: callbacks are in-process Python, so each
     micro-batch lands on the driver — an unbounded first batch (initial
     snapshot) could be huge.  ``max_rows_per_batch`` caps what is
-    delivered (oldest-first by the batch's own order) and sets
-    ``truncated=True`` on the hub when a batch was cut.  The reference's
+    delivered and sets ``truncated=True`` on the hub when a batch was
+    cut.  WHICH rows survive the cut is arbitrary (``limit`` takes rows
+    from whichever partitions answer first) unless ``order_cols`` is
+    given, in which case the batch is sorted on those columns first and
+    the cap keeps the smallest.  The reference's
     listener contract is explicitly best-effort ("There is no guarantee
     listener will be fired on ALL events", README.md:79), so a bounded
     delivery is faithful; for unbounded volumes use a distributed sink
     (foreachPartition / Cassandra), not in-process callbacks.
     """
 
-    def __init__(self, max_rows_per_batch: int = 100_000) -> None:
+    def __init__(self, max_rows_per_batch: int = 100_000,
+                 order_cols: "Sequence[str] | None" = None) -> None:
         self._listeners: list[Callable[[pd.DataFrame], None]] = []
         self.max_rows_per_batch = max_rows_per_batch
+        self.order_cols = list(order_cols) if order_cols else None
         self.truncated = False
 
     def add_listener(self, fn: Callable[[pd.DataFrame], None]) -> None:
@@ -121,6 +126,8 @@ class ListenerHub:
         if not self._listeners:
             return
         cap = self.max_rows_per_batch
+        if self.order_cols:
+            batch_df = batch_df.orderBy(*self.order_cols)
         pdf = batch_df.limit(cap + 1).toPandas()
         if len(pdf) > cap:
             import warnings

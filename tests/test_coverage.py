@@ -3,6 +3,7 @@ Engine facade lifecycle."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from kafka_cassandra_plugin_spark.catalog import Catalog
@@ -114,6 +115,17 @@ class TestConfigLoading:
         assert eng["spark.kcp.lease.renew.ms"] == "750"
         assert eng["spark.kcp.cassandra.keyspace"] == "override_ks"
 
+    def test_properties_first_separator_wins(self, tmp_path):
+        """java.util.Properties splits at the FIRST '=' or ':' whichever
+        comes first: 'a:b=c' -> key 'a', value 'b=c'."""
+        from kafka_cassandra_plugin_spark import session as S
+
+        p = tmp_path / "x.properties"
+        p.write_text("a:b=c\nurl=jdbc:x:y\n")
+        props = S.load_properties(str(p))
+        assert props["a"] == "b=c"
+        assert props["url"] == "jdbc:x:y"
+
 
 class TestBucketedJoin:
     def test_bucketed_join_skips_shuffle(self, spark, sf_dir, tmp_path):
@@ -174,3 +186,14 @@ class TestCompaction:
         a = sorted(map(tuple, spark.read.parquet(src).collect()))
         b = sorted(map(tuple, spark.read.parquet(out).collect()))
         assert a == b
+
+    def test_in_place_compaction_refused(self, spark, tmp_path):
+        """overwrite deletes the target before the lazy read finishes, so
+        out_path == path must raise instead of destroying the source."""
+        from kafka_cassandra_plugin_spark import sources
+
+        src = str(tmp_path / "small")
+        with pytest.raises(ValueError, match="out_path"):
+            sources.compact_parquet(spark, src, src)
+        with pytest.raises(ValueError, match="out_path"):
+            sources.compact_parquet(spark, src, src + "/")
