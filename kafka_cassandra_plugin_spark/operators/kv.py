@@ -267,3 +267,123 @@ def leader_timeline(heartbeats: DataFrame, ttl_seconds: float,
         .groupBy(resource_col)
         .applyInPandas(fold, schema)
     )
+
+
+def leader_timeline_chunked(heartbeats: DataFrame, ttl_seconds: float,
+                            n_chunks: int = 8,
+                            resource_col: str = "resource",
+                            candidate_col: str = "candidate",
+                            ts_col: str = "ts") -> DataFrame:
+    """:func:`leader_timeline` with bounded per-task memory: the escape
+    hatch for a HOT resource whose full history would not fit one pandas
+    group (one resource with 10^9 heartbeats is one task's memory in the
+    plain fold - the replay is inherently sequential per resource, but
+    it does not have to be resident all at once).
+
+    The log is cut into ``n_chunks`` global time slices; each slice is
+    folded per resource (same state machine) with the (owner, owner_ts)
+    state CARRIED FORWARD from the previous slice via a cogrouped
+    applyInPandas - so a task ever holds only ``rows / n_chunks`` of the
+    hottest resource.  The driver runs only the bounded slice loop
+    (n_chunks iterations, like survivors_from_pairs' round loop); each
+    slice's output is localCheckpoint'd, which both materializes the
+    diamond (events + carry read the same fold once) and truncates
+    lineage so the plan does not grow with slices.
+
+    Semantically identical to :func:`leader_timeline` for any chunking:
+    the fold is a left-to-right reduction and time slices preserve ts
+    order across chunk boundaries (equivalence is pytest-pinned)."""
+    ttl = float(ttl_seconds)
+    base = heartbeats.select(resource_col, candidate_col, ts_col)
+    # epoch micros via the SAME expression for boundaries and row
+    # assignment, so no python/JVM timezone mismatch can shift chunks
+    epoch = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    lo_hi = base.agg(
+        F.min(epoch).alias("lo"), F.max(epoch).alias("hi")
+    ).collect()[0]
+    if lo_hi["lo"] is None:
+        return leader_timeline(base, ttl_seconds, resource_col,
+                               candidate_col, ts_col)
+    lo, hi = int(lo_hi["lo"]), int(lo_hi["hi"])
+    width = max((hi - lo) // n_chunks + 1, 1)
+    chunk = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n_chunks - 1),
+            F.floor((epoch - F.lit(lo)) / F.lit(width)).cast("int"),
+        ),
+    )
+    chunked = base.withColumn("__chunk", chunk)
+
+    out_schema = (
+        f"{resource_col} string, {candidate_col} string, {ts_col} timestamp_ntz, "
+        f"owner string, action string, __is_state boolean"
+    )
+    state_schema = (
+        f"{resource_col} string, owner string, owner_ts timestamp_ntz"
+    )
+
+    def fold_slice(beats: pd.DataFrame, state: pd.DataFrame) -> pd.DataFrame:
+        if beats.empty:
+            # carry the state through an empty slice untouched
+            if state.empty:
+                return pd.DataFrame(
+                    columns=[resource_col, candidate_col, ts_col,
+                             "owner", "action", "__is_state"]
+                )
+            res = state[resource_col].iloc[0]
+            return pd.DataFrame({
+                resource_col: [res], candidate_col: [state["owner"].iloc[0]],
+                ts_col: [state["owner_ts"].iloc[0]],
+                "owner": [state["owner"].iloc[0]], "action": ["carry"],
+                "__is_state": [True],
+            })
+        beats = beats.sort_values([ts_col, candidate_col], kind="mergesort")
+        if state.empty:
+            owner, owner_ts = None, None
+        else:
+            owner = state["owner"].iloc[0]
+            owner_ts = pd.Timestamp(state["owner_ts"].iloc[0])
+        owners, actions = [], []
+        for cand, t in zip(beats[candidate_col], beats[ts_col]):
+            expired = owner is None or (t - owner_ts).total_seconds() >= ttl
+            if expired:
+                owner, owner_ts, action = cand, t, "acquire"
+            elif cand == owner:
+                owner_ts, action = t, "renew"
+            else:
+                action = "reject"
+            owners.append(owner)
+            actions.append(action)
+        out = beats[[resource_col, candidate_col, ts_col]].copy()
+        out["owner"] = owners
+        out["action"] = actions
+        out["__is_state"] = False
+        res = beats[resource_col].iloc[0]
+        out = pd.concat([out, pd.DataFrame({
+            resource_col: [res], candidate_col: [owner], ts_col: [owner_ts],
+            "owner": [owner], "action": ["carry"], "__is_state": [True],
+        })], ignore_index=True)
+        return out
+
+    spark = heartbeats.sparkSession
+    carry = spark.createDataFrame([], state_schema)
+    pieces = []
+    for i in range(n_chunks):
+        slice_df = chunked.filter(F.col("__chunk") == i).drop("__chunk")
+        folded = (
+            slice_df.groupBy(resource_col)
+            .cogroup(carry.groupBy(resource_col))
+            .applyInPandas(
+                lambda beats, state: fold_slice(beats, state), out_schema
+            )
+            .localCheckpoint()
+        )
+        pieces.append(folded.filter(~F.col("__is_state")).drop("__is_state"))
+        carry = folded.filter(F.col("__is_state")).select(
+            resource_col, "owner", F.col(ts_col).alias("owner_ts")
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out

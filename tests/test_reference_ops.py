@@ -15,6 +15,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from kafka_cassandra_plugin_spark.operators import changes as C
 from kafka_cassandra_plugin_spark.operators import kv as KV
@@ -157,6 +158,37 @@ class TestLeaderTimeline:
             ("r1", "b", "b", "acquire"),
             ("r2", "c", "c", "acquire"),
         ]
+
+    def test_chunked_replay_equals_plain_fold(self, spark, oracle_sf_dir):
+        """The hot-resource escape hatch: slicing the log into time
+        chunks with carried (owner, owner_ts) state must reproduce the
+        single-group fold exactly, for several chunkings, on the real
+        events fixture."""
+        from kafka_cassandra_plugin_spark.catalog import Catalog
+
+        ev = Catalog(spark, oracle_sf_dir).events
+        hb = ev.filter(F.col("event_id") < 5000).selectExpr(
+            "concat('r', cast(pmod(event_id, 5) as string)) as resource",
+            "concat('c', cast(pmod(event_id, 3) as string)) as candidate",
+            "cast(ts as timestamp_ntz) as ts",
+        )
+        plain = rows(
+            KV.leader_timeline(hb, ttl_seconds=30),
+            "resource", "ts", "candidate",
+        )
+        for n_chunks in (1, 3, 8):
+            chunked = rows(
+                KV.leader_timeline_chunked(hb, ttl_seconds=30,
+                                           n_chunks=n_chunks),
+                "resource", "ts", "candidate",
+            )
+            assert chunked == plain, f"n_chunks={n_chunks} diverged"
+
+    def test_chunked_replay_empty_input(self, spark):
+        hb = spark.createDataFrame(
+            [], "resource string, candidate string, ts timestamp_ntz"
+        )
+        assert KV.leader_timeline_chunked(hb, ttl_seconds=2).count() == 0
 
     def test_ttl_boundary_shared_with_lease_view(self, spark):
         """The exact-TTL instant: Cassandra expires the row at exactly
