@@ -631,20 +631,14 @@ def embedding_cosine_pairs(vectors: DataFrame, threshold: float = 0.99,
 # Pairs -> survivors: the last step of every near-dup pipeline.
 # --------------------------------------------------------------------------
 
-def survivors_from_pairs(df: DataFrame, pairs: DataFrame,
-                         id_col: str = "doc_id",
-                         id_a: str = "id_a", id_b: str = "id_b",
-                         max_rounds: int = 20) -> DataFrame:
-    """Resolve near-duplicate PAIRS into the rows to KEEP: connected
-    components of the pair graph via iterative min-label propagation,
-    keeping each component's minimum-id member (deterministic survivor,
-    matching :func:`exact_dedup`'s keep='min' convention).
-
-    Near-dup relations are not transitive, but dedup treats them so
-    (A~B, B~C => one survivor for {A,B,C}); components are the standard
-    closure.  Label propagation converges in O(graph diameter) rounds -
-    near-dup clusters are shallow (dup chains, not paths), so a handful
-    of rounds suffices; ``max_rounds`` bounds the worst case.
+def component_labels(nodes: DataFrame, pairs: DataFrame,
+                     id_col: str = "doc_id",
+                     id_a: str = "id_a", id_b: str = "id_b",
+                     max_rounds: int = 20) -> DataFrame:
+    """Connected-component label of every node in ``nodes`` under the
+    ``pairs`` edge set: iterative min-label propagation; the label is the
+    component's minimum node id (= the survivor under the keep='min'
+    convention).  Returns (node, label).
 
     Scale shape: each round is one equi-join (edges x labels) + one
     min-aggregation - all shuffles on the node id, no driver-side graph.
@@ -658,7 +652,7 @@ def survivors_from_pairs(df: DataFrame, pairs: DataFrame,
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct().localCheckpoint()
     labels = (
-        df.select(F.col(id_col).alias("node"))
+        nodes.select(F.col(id_col).alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint()
@@ -689,6 +683,25 @@ def survivors_from_pairs(df: DataFrame, pairs: DataFrame,
         labels = new_labels
         if changed == 0:
             break
+    return labels
+
+
+def survivors_from_pairs(df: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id",
+                         id_a: str = "id_a", id_b: str = "id_b",
+                         max_rounds: int = 20) -> DataFrame:
+    """Resolve near-duplicate PAIRS into the rows to KEEP: connected
+    components of the pair graph (:func:`component_labels`), keeping
+    each component's minimum-id member (deterministic survivor,
+    matching :func:`exact_dedup`'s keep='min' convention).
+
+    Near-dup relations are not transitive, but dedup treats them so
+    (A~B, B~C => one survivor for {A,B,C}); components are the standard
+    closure.  Label propagation converges in O(graph diameter) rounds -
+    near-dup clusters are shallow (dup chains, not paths), so a handful
+    of rounds suffices; ``max_rounds`` bounds the worst case.
+    """
+    labels = component_labels(df, pairs, id_col, id_a, id_b, max_rounds)
     keep = labels.filter(F.col("node") == F.col("label")).select(
         F.col("node").alias(id_col)
     )

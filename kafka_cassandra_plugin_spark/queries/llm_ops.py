@@ -243,7 +243,7 @@ def dedup_exact(spark, sf_dir):
 @register(
     "dedup_ngram_jaccard",
     sql=r"""
-    WITH corpus AS (
+    WITH RECURSIVE corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 1000000,
@@ -276,22 +276,42 @@ def dedup_exact(spark, sf_dir):
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT id_a, id_b,
-           round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
-    FROM common
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.7
+    ),
+    pairs AS (
+      SELECT id_a, id_b,
+             n_common / (sa.n_sh + sb.n_sh - n_common) AS j_raw
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.7
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    labels AS (SELECT u AS node, least(u, min(v)) AS survivor
+               FROM reach GROUP BY u)
+    SELECT p.id_a, p.id_b, round(p.j_raw, 4) AS jaccard, l.survivor
+    FROM pairs p JOIN labels l ON l.node = p.id_a
     ORDER BY id_a, id_b
     """,
     tags=("G55", "G44", "G48"),
-    doc="ngram_jaccard_pairs: word-3-gram shingle sets, pairs meet only "
-    "via shared shingles (sparse join, never quadratic), stop-shingles "
-    "(doc-frequency > 20) dropped before the join - at 100 TB the cap "
-    "is what bounds join fanout; jaccard then computed over the capped "
-    "sets, threshold 0.7. Corpus has planted near-dups (first-token-"
-    "dropped copies of every 4th doc).",
+    doc="ngram_jaccard_pairs + survivors closure: word-3-gram shingle "
+    "sets, pairs meet only via shared shingles (sparse join, never "
+    "quadratic), stop-shingles (doc-frequency > 20) dropped before the "
+    "join - at 100 TB the cap is what bounds join fanout; jaccard "
+    "computed over the capped sets, threshold 0.7. Corpus has planted "
+    "near-dups (first-token-dropped copies of every 4th doc). Each pair "
+    "carries its connected-component survivor (component_labels "
+    "min-label propagation; oracle = recursive reachability CTE) - the "
+    "pairs->survivors step of every near-dup pipeline, oracle-checked "
+    "on components up to size 4 in this corpus.",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
@@ -303,9 +323,18 @@ def dedup_ngram_jaccard(spark, sf_dir):
         )
     )
     corpus = d.unionByName(perturbed)
-    return D.ngram_jaccard_pairs(
+    pairs = D.ngram_jaccard_pairs(
         corpus, "text", "doc_id", n=3, threshold=0.7, max_shingle_freq=20
-    ).orderBy("id_a", "id_b")
+    ).localCheckpoint()  # pairs feed both the output and the closure
+    nodes = pairs.select(F.col("id_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    labels = D.component_labels(nodes, pairs, id_col="doc_id")
+    return (
+        pairs.join(labels, pairs["id_a"] == labels["node"])
+        .select("id_a", "id_b", "jaccard", F.col("label").alias("survivor"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 # --------------------------------------------------------------------------
