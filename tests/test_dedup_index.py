@@ -1,0 +1,138 @@
+"""MinHashIndex: incremental batch-vs-corpus near-dup detection.
+
+Gates: (1) probing a batch against the index finds exactly the pairs the
+one-shot pipeline (:func:`dedup.minhash_lsh_dedup_pairs`) finds on
+corpus+batch - the index is an incremental refactoring, not a different
+algorithm; (2) save/load round-trips results and parameters; (3)
+add_batch makes accepted rows visible to later batches; (4) the probe
+plan broadcasts the batch side (the corpus band table never shuffles).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_cassandra_plugin_spark.catalog import Catalog
+from kafka_cassandra_plugin_spark.operators import dedup as D
+from kafka_cassandra_plugin_spark.operators.dedup_index import MinHashIndex
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return Catalog(spark, sf_dir).documents.select("doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def corpus(docs):
+    return docs.filter(F.col("doc_id") % 2 == 0)
+
+
+@pytest.fixture(scope="module")
+def batch(spark, docs):
+    """New batch: exact dups of some corpus docs (+1M ids), some
+    corpus-odd docs (not indexed - near-dup only of themselves), and
+    synthetic novel docs."""
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    novel = spark.createDataFrame(
+        [(2_000_000 + i,
+          f"zq{i} xv{i} kk{i} jj{i} ww{i} qq{i} ptk{i} mrg{i}")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    return dups.unionByName(novel)
+
+
+@pytest.fixture(scope="module")
+def index(corpus):
+    return MinHashIndex.build(corpus)
+
+
+class TestMatchBatch:
+    def test_equivalent_to_one_shot_pipeline(self, corpus, batch, index):
+        incremental = {
+            (r.corpus_id, r.new_id)
+            for r in index.match_batch(batch).collect()
+        }
+        batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+        one_shot = {
+            (r.id_a, r.id_b)
+            for r in D.minhash_lsh_dedup_pairs(
+                corpus.unionByName(batch)
+            ).collect()
+            if (r.id_a in batch_ids) != (r.id_b in batch_ids)
+        }
+        # one-shot pairs are (min, max) = (corpus, batch) because batch
+        # ids start at 1M
+        assert incremental == one_shot
+
+    def test_planted_dups_matched_at_one(self, batch, index):
+        matched = index.match_batch(batch)
+        planted = {
+            r.doc_id for r in batch.filter(F.col("doc_id") < 2_000_000).collect()
+        }
+        # every planted dup links back to its source doc at jaccard 1.0
+        # (it may ALSO near-match other corpus docs below 1.0 - fine)
+        exact_links = {
+            r.new_id
+            for r in matched.filter(F.col("jaccard") == 1.0).collect()
+            if r.corpus_id == r.new_id - 1_000_000
+        }
+        assert planted <= exact_links
+
+    def test_novel_docs_unmatched(self, batch, index):
+        matched = index.match_batch(batch)
+        assert matched.filter(F.col("new_id") >= 2_000_000).count() == 0
+
+    def test_probe_broadcasts_batch_side(self, batch, index):
+        from kafka_cassandra_plugin_spark import plans as P
+
+        plan = P.formatted_plan(index.match_batch(batch))
+        assert "BroadcastHashJoin" in plan
+
+    def test_dedup_batch_keeps_novel_drops_dups(self, batch, index):
+        kept = {r.doc_id for r in index.dedup_batch(batch).collect()}
+        novel = {r.doc_id for r in batch.filter(F.col("doc_id") >= 2_000_000).collect()}
+        planted = {r.doc_id for r in batch.filter(F.col("doc_id") < 2_000_000).collect()}
+        assert novel <= kept
+        assert not (planted & kept)
+
+
+class TestPersistence:
+    def test_roundtrip_same_results_and_params(self, batch, index, tmp_path_factory):
+        path = str(tmp_path_factory.mktemp("mhidx"))
+        loaded = index.save(path)
+        assert loaded.params == index.params
+        mem = {(r.corpus_id, r.new_id, r.jaccard)
+               for r in index.match_batch(batch).collect()}
+        disk = {(r.corpus_id, r.new_id, r.jaccard)
+                for r in loaded.match_batch(batch).collect()}
+        assert mem == disk
+
+    def test_band_partitioned_layout(self, index, tmp_path_factory):
+        import os
+        path = str(tmp_path_factory.mktemp("mhidx_layout"))
+        index.save(path)
+        parts = {d for d in os.listdir(f"{path}/bands") if d.startswith("band=")}
+        assert len(parts) == index.params["bands"]
+
+    def test_add_batch_visible_to_next_batch(self, spark, batch, index,
+                                             tmp_path_factory):
+        path = str(tmp_path_factory.mktemp("mhidx_add"))
+        loaded = index.save(path)
+        accepted = loaded.dedup_batch(batch)
+        loaded = loaded.add_batch(accepted)
+        # a second batch duplicating an accepted novel doc now matches it
+        dup_of_novel = accepted.filter(F.col("doc_id") >= 2_000_000).select(
+            (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+        )
+        n_novel = dup_of_novel.count()
+        assert n_novel > 0
+        matched = loaded.match_batch(dup_of_novel)
+        assert matched.filter(F.col("corpus_id") >= 2_000_000).count() >= n_novel
+
+    def test_in_memory_add_batch_refused(self, index, batch):
+        with pytest.raises(ValueError):
+            index.add_batch(batch)
