@@ -1,0 +1,183 @@
+"""End-to-end training-data curation: the daily-batch funnel.
+
+The individual operators (quality scoring, language ID, dedup tiers,
+split assignment) each answer one question; a production ingest answers
+them in sequence for every batch: *of today's documents, which survive
+every gate, why did the rest fall out, and where does each survivor go?*
+This module is that composition, kept fully declarative:
+
+- :func:`curate_annotated` returns EVERY input row, tagged with a
+  ``reject_reason`` (null = accepted) and, for accepted rows, a
+  deterministic train/val/test ``split``.  One row in, one row out -
+  the funnel is an annotation, not a sequence of shrinking copies, so
+  accounting is exact and the whole thing is one lazy plan.
+- :func:`curate` is the accepted subset (what you append to the
+  training corpus).
+- :func:`curation_funnel` is the per-stage accounting (one groupBy over
+  the annotated rows).
+- :func:`curate_and_write` runs the funnel and writes survivors
+  partitioned by ``(lang, split)`` - the layout downstream training jobs
+  scan by language and split without touching rejected bytes.
+
+Stage order (each stage sees only the previous stages' survivors, so
+reject reasons are disjoint and the funnel partitions the input):
+
+1. ``low_quality``    - composite heuristic below ``min_quality``
+2. ``wrong_lang``     - language ID outside ``langs`` (when given)
+3. ``exact_dup``      - same sha256 content as a lower-id batch row
+4. ``near_dup_batch`` - MinHash-LSH near-dup cluster, non-min-id member
+5. ``near_dup_corpus``- near-dup of the existing corpus (when a
+   :class:`.dedup_index.MinHashIndex` is given)
+
+Scale shape: stages 1-2 are pure column arithmetic (map-only); stage 3
+is one shuffle on the content hash; stage 4 is the banded-LSH equi-join
+machinery of :func:`.dedup.minhash_lsh_dedup_pairs`; stage 5 shingles
+only the batch and broadcast-joins it against the stored index.  The
+reject sets are disjoint by construction, so the final assembly is a
+single union + one left join on the id - no per-stage full-table joins.
+
+Reference provenance: the reference plugin is a Cassandra KV/lease layer
+with no document pipeline (`CassandraSimpleClient.scala` CRUD); this is
+part of the LLM-pipeline closure built on the engine's own operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import minhash_lsh_dedup_pairs, survivors_from_pairs
+from .dedup_index import MinHashIndex
+from .sampling import hash_split
+from .text import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+
+def annotate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document metadata columns (pure column arithmetic, map-only):
+    quality score, language ID, whitespace + BPE-ish token counts, and
+    the rolling-hash content fingerprint."""
+    return (
+        df.withColumn("quality", quality_score(text_col))
+        .withColumn("lang", lang_id(text_col))
+        .withColumn("n_tokens", token_count(text_col))
+        .withColumn("n_tokens_bpe", bpe_ish_token_count(text_col))
+        .withColumn("fingerprint", fingerprint(text_col))
+    )
+
+
+def curate_annotated(
+    batch: DataFrame,
+    index: MinHashIndex | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] | None = None,
+    near_dup_threshold: float = 0.8,
+    split_fractions: dict[str, float] | None = None,
+    split_salt: str = "",
+) -> DataFrame:
+    """Every batch row, annotated + tagged: ``reject_reason`` (null =
+    accepted) and ``split`` (null for rejected rows).  See module doc
+    for stage order and scale shape."""
+    ann = annotate(batch, text_col).localCheckpoint()
+
+    gate = F.when(F.col("quality") < min_quality, "low_quality")
+    if langs is not None:
+        gate = gate.when(~F.col("lang").isin(*langs), "wrong_lang")
+    ann = ann.withColumn("__gate", gate)
+
+    gated = ann.filter(F.col("__gate").isNull())
+    # stage 3: exact dedup among gated rows (min-id survivor)
+    rn = F.row_number().over(
+        Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
+    )
+    gated = gated.withColumn("__rn", rn).localCheckpoint()
+    exact_rej = gated.filter(F.col("__rn") > 1).select(
+        F.col(id_col).alias("__rid"), F.lit("exact_dup").alias("__reason")
+    )
+    surv = gated.filter(F.col("__rn") == 1).drop("__rn", "__gate")
+
+    # stage 4: intra-batch near-dup clusters keep their min-id member
+    pairs = minhash_lsh_dedup_pairs(
+        surv, text_col, id_col, threshold=near_dup_threshold
+    ).select("id_a", "id_b")
+    kept = survivors_from_pairs(surv, pairs, id_col=id_col)
+    near_rej = surv.join(
+        kept.select(id_col), id_col, "left_anti"
+    ).select(F.col(id_col).alias("__rid"), F.lit("near_dup_batch").alias("__reason"))
+
+    rejects = exact_rej.unionByName(near_rej)
+
+    # stage 5: near-dups of the indexed corpus
+    if index is not None:
+        corpus_rej = (
+            index.match_batch(kept, text_col, id_col, near_dup_threshold)
+            .select(F.col("new_id").alias("__rid"))
+            .distinct()
+            .withColumn("__reason", F.lit("near_dup_corpus"))
+        )
+        rejects = rejects.unionByName(corpus_rej)
+
+    out = (
+        ann.join(rejects, ann[id_col] == rejects["__rid"], "left")
+        .withColumn(
+            "reject_reason", F.coalesce(F.col("__gate"), F.col("__reason"))
+        )
+        .drop("__rid", "__reason", "__gate")
+    )
+    out = hash_split(out, id_col, fractions=split_fractions, salt=split_salt)
+    return out.withColumn(
+        "split", F.when(F.col("reject_reason").isNull(), F.col("split"))
+    )
+
+
+def curate(batch: DataFrame, **kwargs) -> DataFrame:
+    """The accepted rows only (annotated, with their split label)."""
+    return (
+        curate_annotated(batch, **kwargs)
+        .filter(F.col("reject_reason").isNull())
+        .drop("reject_reason")
+    )
+
+
+def curation_funnel(annotated: DataFrame) -> DataFrame:
+    """Per-stage accounting over :func:`curate_annotated` output:
+    (stage, rows), stages = accepted + each reject reason.  Because the
+    reasons partition the input, the counts sum to the batch size."""
+    return (
+        annotated.groupBy(
+            F.coalesce(F.col("reject_reason"), F.lit("accepted")).alias("stage")
+        )
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .orderBy("stage")
+    )
+
+
+def curate_and_write(
+    batch: DataFrame,
+    out_path: str,
+    index: MinHashIndex | None = None,
+    **kwargs,
+) -> dict[str, int]:
+    """Run the funnel, write accepted rows as parquet partitioned by
+    ``(lang, split)``, and return the funnel counts.  The annotated
+    frame is checkpointed once, so the write and the accounting do not
+    recompute the dedup joins."""
+    annotated = curate_annotated(batch, index=index, **kwargs).localCheckpoint()
+    (
+        annotated.filter(F.col("reject_reason").isNull())
+        .drop("reject_reason")
+        .write.mode("overwrite")
+        .partitionBy("lang", "split")
+        .parquet(out_path)
+    )
+    return {
+        r["stage"]: r["rows"] for r in curation_funnel(annotated).collect()
+    }

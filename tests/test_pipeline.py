@@ -1,0 +1,131 @@
+"""Curation-funnel gates: the funnel partitions the input (every row
+accepted or rejected exactly once, counts sum), each stage fires on a
+planted offender, splits are deterministic, and the partitioned write
+lays out (lang, split) directories."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_cassandra_plugin_spark.catalog import Catalog
+from kafka_cassandra_plugin_spark.operators import pipeline as PL
+from kafka_cassandra_plugin_spark.operators.dedup_index import MinHashIndex
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return Catalog(spark, sf_dir).documents.select("doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def batch(spark, docs):
+    """Clean docs + one planted offender per funnel stage."""
+    base = docs.filter(F.col("doc_id") % 2 == 1)
+    exact_dup = base.filter(F.col("doc_id") % 10 == 1).limit(1).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+    )
+    # near-dup: append one token to a long doc (shingle sets differ by
+    # ~2 of many -> jaccard above the 0.8 threshold)
+    near_dup = (
+        base.filter(F.size(F.split("text", " ")) >= 40)
+        .limit(1)
+        .select(
+            (F.col("doc_id") + 4_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" appended")).alias("text"),
+        )
+    )
+    junk = spark.createDataFrame(
+        [(5_000_000, "!!! ??? !!! ??? !!! ???")], "doc_id long, text string"
+    )
+    return base.unionByName(exact_dup).unionByName(near_dup).unionByName(junk)
+
+
+@pytest.fixture(scope="module")
+def annotated(batch):
+    df = PL.curate_annotated(batch)
+    df.cache().count()
+    return df
+
+
+class TestFunnel:
+    def test_partitions_the_input(self, batch, annotated):
+        n = batch.count()
+        assert annotated.count() == n
+        funnel = {r["stage"]: r["rows"] for r in PL.curation_funnel(annotated).collect()}
+        assert sum(funnel.values()) == n
+
+    def test_each_planted_offender_caught(self, annotated):
+        reason = {
+            r.doc_id: r.reject_reason
+            for r in annotated.filter(F.col("doc_id") >= 3_000_000).collect()
+        }
+        by_range = {k // 1_000_000: v for k, v in reason.items()}
+        assert by_range[3] == "exact_dup"
+        assert by_range[4] == "near_dup_batch"
+        assert by_range[5] == "low_quality"
+
+    def test_accepted_rows_have_split_rejected_dont(self, annotated):
+        acc = annotated.filter(F.col("reject_reason").isNull())
+        rej = annotated.filter(F.col("reject_reason").isNotNull())
+        assert acc.filter(F.col("split").isNull()).count() == 0
+        assert rej.filter(F.col("split").isNotNull()).count() == 0
+        labels = {r.split for r in acc.select("split").distinct().collect()}
+        assert labels <= {"train", "val", "test"}
+
+    def test_split_deterministic(self, batch):
+        a = {(r.doc_id, r.split) for r in PL.curate(batch).collect()}
+        b = {(r.doc_id, r.split) for r in PL.curate(batch).collect()}
+        assert a == b
+
+    def test_annotation_columns_present(self, annotated):
+        for c in ("quality", "lang", "n_tokens", "n_tokens_bpe", "fingerprint"):
+            assert c in annotated.columns
+
+    def test_wrong_lang_gate(self, batch):
+        out = PL.curate_annotated(batch, langs=("__none__",))
+        # with an impossible language allowlist, every quality-passing
+        # row is rejected as wrong_lang
+        assert out.filter(F.col("reject_reason").isNull()).count() == 0
+        assert out.filter(F.col("reject_reason") == "wrong_lang").count() > 0
+
+
+class TestCorpusStage:
+    def test_corpus_near_dups_rejected(self, docs, batch):
+        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        planted = corpus.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 6_000_000).alias("doc_id"), "text"
+        )
+        idx = MinHashIndex.build(corpus)
+        out = PL.curate_annotated(batch.unionByName(planted), index=idx)
+        got = {
+            r.doc_id: r.reject_reason
+            for r in out.filter(F.col("doc_id") >= 6_000_000).collect()
+        }
+        # planted corpus copies that pass the earlier gates must be
+        # caught by the corpus stage, not accepted
+        assert got
+        assert all(v is not None for v in got.values())
+        assert "near_dup_corpus" in set(got.values())
+
+
+class TestWrite:
+    def test_partitioned_layout_and_counts(self, batch, tmp_path):
+        out = str(tmp_path / "curated")
+        funnel = PL.curate_and_write(batch, out)
+        assert set(funnel) >= {"accepted"}
+        langs = [d for d in os.listdir(out) if d.startswith("lang=")]
+        assert langs
+        splits = {
+            s
+            for d in langs
+            for s in os.listdir(os.path.join(out, d))
+            if s.startswith("split=")
+        }
+        assert splits
+        spark_count = funnel["accepted"]
+        import pyarrow.dataset as ds
+
+        assert ds.dataset(out, format="parquet", partitioning="hive").count_rows() == spark_count
