@@ -187,6 +187,11 @@ class MinHashIndex:
                 "new_id", "corpus_id",
                 F.round(F.col("__j_raw"), 4).alias("jaccard"),
             )
+            # a replayed (at-least-once) add_batch can leave duplicate
+            # index rows; identical shingle sets give identical links,
+            # so a distinct over the small verified set restores
+            # exactly-once output links
+            .dropDuplicates(["new_id", "corpus_id"])
         )
 
     def dedup_batch(self, new_docs: DataFrame, text_col: str = "text",

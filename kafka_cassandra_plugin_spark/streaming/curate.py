@@ -1,0 +1,108 @@
+"""Continuous training-data ingest: the curation funnel as a stream sink.
+
+Batch-mode curation (:mod:`..operators.pipeline`) answers "what do I
+append today" for one batch; a continuous ingest asks the same question
+per micro-batch, with the crucial twist that *earlier micro-batches are
+part of the corpus later ones dedup against*.  :class:`CurationSink`
+closes that loop with the persisted :class:`..operators.dedup_index.
+MinHashIndex`:
+
+    sink = CurationSink(index_path, out_path)
+    q = (docs_stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+
+Per micro-batch: load the index -> run the funnel (quality / lang /
+exact / intra-batch near-dup / corpus near-dup) -> write accepted rows
+-> append them to the index so the NEXT micro-batch sees them.
+
+Delivery semantics (the part worth being precise about):
+
+- **Output is exactly-once.** Accepted rows land under
+  ``out_path/ingest_batch=<id>/`` (hive-partitioned further by
+  (lang, split) inside), written with overwrite - a replayed micro-batch
+  (foreachBatch is at-least-once after a failure) rewrites its own
+  directory instead of double-appending.
+- **The index is at-least-once, by design tolerance.** A replayed
+  ``add_batch`` appends duplicate band/shingle rows; duplicate bands
+  only re-propose candidates (deduped), and duplicate shingle sets are
+  identical, so ``match_batch`` ends with a distinct over the verified
+  links - replays cannot change any future batch's funnel outcome.
+
+The streaming-vs-batch equivalence test (tests/test_streaming_curate.py)
+pins the contract: feeding micro-batches through the sink in order
+accepts exactly the rows the batch-mode ``curate_annotated`` +
+``add_batch`` loop accepts, and a replayed micro-batch changes nothing.
+
+Reference provenance: the reference's streaming surface is the
+poll-loop listener registry (`CacheListenerRegistry.scala:85-94`); the
+curation sink is part of the LLM-pipeline closure, reusing the same
+foreachBatch shape as :class:`.watch.ListenerHub`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup_index import MinHashIndex
+from ..operators.pipeline import curate_annotated, curation_funnel
+
+
+class CurationSink:
+    """foreachBatch target: curate each micro-batch against the stored
+    MinHash index, write accepted rows, grow the index.
+
+    ``index_path`` must hold a saved :class:`MinHashIndex` (build it
+    once from the existing corpus - or from a seed batch for a
+    from-scratch ingest; an index needs at least one document so the
+    stored tables carry a schema).  ``curate_kwargs`` pass through to
+    :func:`curate_annotated` (min_quality, langs, near_dup_threshold,
+    split_fractions, split_salt).  ``funnel_totals`` accumulates stage
+    counts across micro-batches on the driver (a dict of ints - the
+    observability hook, not a data path)."""
+
+    def __init__(self, index_path: str, out_path: str,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 **curate_kwargs):
+        self.index_path = index_path
+        self.out_path = out_path
+        self.text_col = text_col
+        self.id_col = id_col
+        self.curate_kwargs = curate_kwargs
+        self.funnel_totals: dict[str, int] = {}
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        index = MinHashIndex.load(spark, self.index_path)
+        annotated = curate_annotated(
+            batch_df, index=index,
+            text_col=self.text_col, id_col=self.id_col,
+            **self.curate_kwargs,
+        ).localCheckpoint()
+        accepted = annotated.filter(F.col("reject_reason").isNull()).drop(
+            "reject_reason"
+        )
+        (
+            accepted.write.mode("overwrite")
+            .partitionBy("lang", "split")
+            .parquet(f"{self.out_path}/ingest_batch={batch_id}")
+        )
+        index.add_batch(
+            accepted.select(self.id_col, self.text_col),
+            text_col=self.text_col, id_col=self.id_col,
+        )
+        for row in curation_funnel(annotated).collect():
+            self.funnel_totals[row["stage"]] = (
+                self.funnel_totals.get(row["stage"], 0) + row["rows"]
+            )
+
+
+def accepted_dataset(spark, out_path: str) -> DataFrame:
+    """Read everything the sink has accepted so far (all ingest batches,
+    hive-partitioned by ingest_batch/lang/split)."""
+    return spark.read.option("basePath", out_path).parquet(
+        f"{out_path}/ingest_batch=*"
+    )

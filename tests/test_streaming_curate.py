@@ -1,0 +1,118 @@
+"""CurationSink: continuous ingest with a growing dedup index.
+
+Gates: (1) later micro-batches dedup against earlier ones (the growing
+index IS the cross-batch state); (2) sequential sink calls accept
+exactly what the batch-mode curate+add loop accepts; (3) a replayed
+micro-batch (foreachBatch at-least-once) changes neither the output nor
+future outcomes; (4) the sink runs inside a real StreamingQuery."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_cassandra_plugin_spark.catalog import Catalog
+from kafka_cassandra_plugin_spark.operators import pipeline as PL
+from kafka_cassandra_plugin_spark.operators.dedup_index import MinHashIndex
+from kafka_cassandra_plugin_spark.streaming.curate import (
+    CurationSink,
+    accepted_dataset,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return Catalog(spark, sf_dir).documents.select("doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def corpus(docs):
+    return docs.filter(F.col("doc_id") % 3 == 0)
+
+
+def make_batches(docs):
+    """Two deterministic micro-batches: batch2 re-sends copies of
+    batch1 docs (cross-batch dups) plus fresh docs."""
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2_fresh = docs.filter(F.col("doc_id") % 3 == 2)
+    b2_dups = b1.filter(F.col("doc_id") % 5 == 1).select(
+        (F.col("doc_id") + 7_000_000).alias("doc_id"), "text"
+    )
+    return b1, b2_fresh.unionByName(b2_dups)
+
+
+def fresh_sink(spark, corpus, tmp_path, **kwargs):
+    idx_path = str(tmp_path / "idx")
+    MinHashIndex.build(corpus).save(idx_path)
+    return CurationSink(idx_path, str(tmp_path / "out"), **kwargs)
+
+
+class TestSequentialBatches:
+    def test_cross_batch_dedup_and_funnel(self, spark, corpus, docs, tmp_path):
+        sink = fresh_sink(spark, corpus, tmp_path)
+        b1, b2 = make_batches(docs)
+        sink(b1, 0)
+        sink(b2, 1)
+        out = accepted_dataset(spark, sink.out_path)
+        got = {r.doc_id for r in out.collect()}
+        # every batch2 copy of an ACCEPTED batch1 doc must be rejected
+        accepted_b1 = got & {r.doc_id for r in b1.collect()}
+        resent = {d + 7_000_000 for d in accepted_b1 if d % 5 == 1}
+        assert resent and not (resent & got)
+        assert sink.funnel_totals.get("near_dup_corpus", 0) >= len(resent)
+        assert sum(sink.funnel_totals.values()) == b1.count() + b2.count()
+
+    def test_matches_batch_mode_loop(self, spark, corpus, docs, tmp_path):
+        sink = fresh_sink(spark, corpus, tmp_path / "s")
+        b1, b2 = make_batches(docs)
+        sink(b1, 0)
+        sink(b2, 1)
+        streamed = {
+            r.doc_id for r in accepted_dataset(spark, sink.out_path).collect()
+        }
+
+        idx_path = str(tmp_path / "b" / "idx")
+        loop_idx = MinHashIndex.build(corpus).save(idx_path)
+        batch_mode = set()
+        for b in (b1, b2):
+            ann = PL.curate_annotated(b, index=loop_idx)
+            acc = ann.filter(F.col("reject_reason").isNull())
+            batch_mode |= {r.doc_id for r in acc.collect()}
+            loop_idx = loop_idx.add_batch(acc.select("doc_id", "text"))
+        assert streamed == batch_mode
+
+    def test_replay_is_idempotent(self, spark, corpus, docs, tmp_path):
+        sink = fresh_sink(spark, corpus, tmp_path)
+        b1, b2 = make_batches(docs)
+        sink(b1, 0)
+        before = accepted_dataset(spark, sink.out_path).count()
+        sink(b1, 0)  # foreachBatch replay after a simulated failure
+        assert accepted_dataset(spark, sink.out_path).count() == before
+        # and the replay didn't poison the index for the next batch
+        sink(b2, 1)
+        out = accepted_dataset(spark, sink.out_path)
+        assert out.filter(F.col("doc_id") >= 7_000_000).count() == 0
+
+    def test_empty_batch_noop(self, spark, corpus, docs, tmp_path):
+        sink = fresh_sink(spark, corpus, tmp_path)
+        sink(docs.filter(F.lit(False)), 0)
+        assert sink.funnel_totals == {}
+
+
+class TestRealStream:
+    def test_foreachbatch_wiring(self, spark, corpus, docs, tmp_path):
+        from kafka_cassandra_plugin_spark.streaming.ops import replay_stream
+
+        sink = fresh_sink(spark, corpus, tmp_path)
+        b1, _ = make_batches(docs)
+        stream = replay_stream(spark, b1, str(tmp_path / "src"))
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = accepted_dataset(spark, sink.out_path)
+        assert out.count() == sink.funnel_totals.get("accepted", 0) > 0
+        assert {"lang", "split"} <= set(out.columns)
