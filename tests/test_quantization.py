@@ -1,0 +1,83 @@
+"""PQ gates: encode determinism, codebook save/load fidelity, ADC
+shortlist quality (recall@10 vs brute force after exact re-rank), and
+the compression contract (m codes per vector, all < n_codes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_cassandra_plugin_spark.catalog import Catalog
+from kafka_cassandra_plugin_spark.operators import quantization as Q
+from kafka_cassandra_plugin_spark.operators import similarity as S
+
+DIM = 64
+M = 8
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return Catalog(spark, sf_dir).embeddings
+
+
+@pytest.fixture(scope="module")
+def codebook(emb):
+    return Q.PqCodebook.fit(emb, DIM, m=M, k=64, seed=42)
+
+
+class TestEncode:
+    def test_codes_shape_and_range(self, emb, codebook):
+        codes = codebook.encode(emb)
+        bad = codes.filter(
+            (F.size("codes") != M)
+            | F.exists("codes", lambda c: (c < 0) | (c >= codebook.k))
+        )
+        assert bad.count() == 0
+
+    def test_encode_deterministic(self, emb, codebook):
+        a = {(r.id, tuple(r.codes)) for r in codebook.encode(emb).collect()}
+        b = {(r.id, tuple(r.codes)) for r in codebook.encode(emb).collect()}
+        assert a == b
+
+    def test_same_seed_same_codebook(self, emb, codebook):
+        again = Q.PqCodebook.fit(emb, DIM, m=M, k=64, seed=42)
+        assert (again.centroids == codebook.centroids).all()
+
+
+class TestPersistence:
+    def test_roundtrip(self, spark, emb, codebook, tmp_path):
+        path = str(tmp_path / "pq")
+        codebook.save(spark, path)
+        loaded = Q.PqCodebook.load(spark, path)
+        assert loaded.dim == codebook.dim and loaded.m == codebook.m
+        assert (loaded.centroids == codebook.centroids).all()
+        a = {(r.id, tuple(r.codes)) for r in codebook.encode(emb).collect()}
+        b = {(r.id, tuple(r.codes)) for r in loaded.encode(emb).collect()}
+        assert a == b
+
+
+class TestSearchQuality:
+    K = 10
+
+    @pytest.fixture(scope="class")
+    def queries(self, emb):
+        return emb.filter(F.col("vec_id") % 10 == 0)
+
+    @pytest.fixture(scope="class")
+    def exact(self, emb, queries):
+        df = S.brute_force_topk(emb, queries, k=self.K)
+        df.cache().count()
+        return df
+
+    def test_rerank_recall_gate(self, emb, queries, exact, codebook):
+        approx = Q.pq_topk(
+            emb, queries, DIM, k=self.K, shortlist=100, codebook=codebook
+        )
+        r = S.recall_at_k(approx, exact, self.K)
+        assert r >= 0.85, f"PQ recall@{self.K} too low: {r}"
+
+    def test_shortlist_bounded_per_query(self, emb, queries, codebook):
+        codes = codebook.encode(emb)
+        short = codebook.adc_shortlist(codes, queries, r=25)
+        over = short.groupBy("query_id").count().filter(F.col("count") > 25)
+        assert over.count() == 0
