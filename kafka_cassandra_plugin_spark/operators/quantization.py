@@ -142,9 +142,12 @@ class PqCodebook:
     # -- encode / score ----------------------------------------------------
 
     def encode(self, df: DataFrame, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
-        """(id, codes array<int>): each subvector's nearest centroid, in
-        one Arrow map stage (normalize -> per-subspace argmin)."""
+               vec_col: str = "embedding",
+               keep: tuple[str, ...] = ()) -> DataFrame:
+        """(id, codes array<int> [, keep...]): each subvector's nearest
+        centroid, in one Arrow map stage (normalize -> per-subspace
+        argmin).  ``keep`` carries extra columns through (e.g. the IVF
+        ``list_id`` so codes stay probe-joinable)."""
         cents = self.centroids
         m, dim = self.m, self.dim
 
@@ -162,7 +165,8 @@ class PqCodebook:
             return pd.Series(list(codes))
 
         return ensure_min_parallelism(df).select(
-            F.col(id_col).alias("id"), _enc(F.col(vec_col)).alias("codes")
+            F.col(id_col).alias("id"), _enc(F.col(vec_col)).alias("codes"),
+            *[F.col(c) for c in keep]
         )
 
     def adc_shortlist(self, codes: DataFrame, queries: DataFrame,
@@ -174,16 +178,22 @@ class PqCodebook:
         Output: (query_id, neighbor_id, adc_score), <= r rows per query.
 
         Group size = the candidate stream per query; bound it upstream
-        (IVF probes) for corpora beyond scan budget."""
-        cents = self.centroids
-        m, dim = self.m, self.dim
-
+        (IVF probes, :func:`ivf_pq_topk`) for corpora beyond scan
+        budget."""
         q = queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         )
         paired = codes.withColumnsRenamed({"id": "neighbor_id"}).join(
             F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
         )
+        return self._adc_topr(paired, r)
+
+    def _adc_topr(self, paired: DataFrame, r: int) -> DataFrame:
+        """Top-``r`` per query over a (query_id, q_vec, neighbor_id,
+        codes) candidate stream: one LUT per query group, m lookups +
+        sum per candidate, deterministic (score desc, id asc) cut."""
+        cents = self.centroids
+        m, dim = self.m, self.dim
 
         def score(pdf: pd.DataFrame) -> pd.DataFrame:
             qv = np.asarray(pdf["q_vec"].iloc[0], dtype="float64")
@@ -232,11 +242,17 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
+    return _exact_rerank(short, c, q, k)
+
+
+def _exact_rerank(short: DataFrame, corpus_vecs: DataFrame,
+                  queries_named: DataFrame, k: int) -> DataFrame:
+    """Exact-cosine top-k over an ADC shortlist.  The shortlist is Q x r
+    rows - broadcast it so the corpus-vector fetch streams the corpus
+    without a shuffle."""
     rescored = (
-        # shortlist is Q x r rows - broadcast it so the corpus-vector
-        # fetch streams the corpus without a shuffle
-        c.join(F.broadcast(short), "neighbor_id")
-        .join(F.broadcast(q), "query_id")
+        corpus_vecs.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(queries_named), "query_id")
         .withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -247,3 +263,37 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def ivf_pq_topk(index, codebook: PqCodebook, queries: DataFrame,
+                k: int = 10, nprobe: int = 10, shortlist: int = 100,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """The FAISS-style IVF-PQ composition: IVF probes bound WHICH
+    candidates each query sees (nprobe lists of an
+    :class:`.similarity.IvfIndex`), PQ codes bound what each candidate
+    COSTS to score and ship (m bytes instead of a full vector), and the
+    exact re-rank restores metric fidelity on the shortlist.
+
+    Plan shape: the probe table (Q x nprobe rows) is broadcast against
+    the encoded lists, so the corpus-side codes never shuffle into the
+    join; the only wide exchange is the grouped ADC scoring, whose rows
+    carry codes instead of vectors - the shuffle-width win that makes
+    this the 100 TB formulation.  Each ADC group is one query's probed
+    candidates: ~N * nprobe / nlist rows regardless of corpus size."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    q_lists = index._probe_lists(q, nprobe)
+    codes = codebook.encode(
+        index.assigned, id_col="neighbor_id", vec_col="c_vec",
+        keep=("list_id",),
+    ).withColumnsRenamed({"id": "neighbor_id"})
+    paired = (
+        codes.join(F.broadcast(q_lists), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "q_vec", "neighbor_id", "codes")
+    )
+    short = codebook._adc_topr(paired, shortlist)
+    c = index.assigned.select("neighbor_id", "c_vec")
+    return _exact_rerank(short, c, q, k)
