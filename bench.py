@@ -78,7 +78,8 @@ def main() -> None:
     # measured every round instead of assumed.  NOT counted in `value` -
     # the driver gate compares the declared set only.
     extra = {}
-    for name, fn in _xxhash64_variants(sf_dir).items():
+    extra_fns = {**_xxhash64_variants(sf_dir), **_depth_ops(sf_dir)}
+    for name, fn in extra_fns.items():
         extra[name] = _steady_state(lambda: materialize(fn(spark)))
 
     print(
@@ -134,6 +135,36 @@ def _xxhash64_variants(sf_dir):
         "dedup_minhash_lsh[xxhash64]": minhash_xxh,
         "dedup_simhash[xxhash64]": simhash_xxh,
     }
+
+
+def _depth_ops(sf_dir):
+    """Non-declared depth operators (round 3+): the end-to-end curation
+    funnel and the IVF-PQ composition.  Tracked per round for perf
+    visibility; not part of the driver-gated declared set (the 50-query
+    registry is capped and alphabetically checked)."""
+    from pyspark.sql import functions as F
+
+    from kafka_cassandra_plugin_spark.catalog import Catalog
+    from kafka_cassandra_plugin_spark.operators import pipeline as PL
+    from kafka_cassandra_plugin_spark.operators import quantization as Q
+    from kafka_cassandra_plugin_spark.operators.similarity import IvfIndex
+
+    def curation_funnel(spark):
+        docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+        return PL.curate_annotated(docs)
+
+    _state = {}
+
+    def ivf_pq(spark):
+        emb = Catalog(spark, sf_dir).embeddings
+        if "idx" not in _state:  # build-once/probe-many, like sim_ivf_ann
+            _state["idx"] = IvfIndex.build(emb, nlist=16, seed=42)
+            _state["cb"] = Q.PqCodebook.fit(emb, 64, m=8, k=64, seed=42)
+        q = emb.filter(F.col("vec_id") % 10 == 0)
+        return Q.ivf_pq_topk(_state["idx"], _state["cb"], q, k=10,
+                             nprobe=10, shortlist=100)
+
+    return {"curation_funnel": curation_funnel, "sim_ivf_pq": ivf_pq}
 
 
 if __name__ == "__main__":
