@@ -27,9 +27,12 @@ from .operators import changes as _changes
 from .operators import dedup as _dedup
 from .operators import kv as _kv
 from .operators import membership as _membership
+from .operators import pipeline as _pipeline
+from .operators import quantization as _quantization
 from .operators import sampling as _sampling
 from .operators import similarity as _similarity
 from .operators import text as _text
+from .operators.dedup_index import MinHashIndex
 from .session import ensure_engine_confs, get_spark
 
 
@@ -100,3 +103,16 @@ class Engine:
     text_profile = staticmethod(_text.text_profile)
     hash_split = staticmethod(_sampling.hash_split)
     deterministic_sample = staticmethod(_sampling.deterministic_sample)
+
+    # -- recurring-ingest depth ops (round 3+: SURVEY §2.5 tier D) -----------
+    build_dedup_index = staticmethod(MinHashIndex.build)
+
+    def load_dedup_index(self, path: str) -> MinHashIndex:
+        return MinHashIndex.load(self.spark, path)
+
+    curate = staticmethod(_pipeline.curate)
+    curate_annotated = staticmethod(_pipeline.curate_annotated)
+    curation_funnel = staticmethod(_pipeline.curation_funnel)
+    curate_and_write = staticmethod(_pipeline.curate_and_write)
+    pq_topk = staticmethod(_quantization.pq_topk)
+    ivf_pq_topk = staticmethod(_quantization.ivf_pq_topk)

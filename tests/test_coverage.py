@@ -51,6 +51,19 @@ class TestEngineFacade:
         docs = eng.table("documents")
         assert "quality" in eng.text_profile(docs).columns
 
+    def test_depth_ops_binding(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        eng = Engine(spark, sf_dir)
+        docs = eng.table("documents").select("doc_id", "text")
+        idx = eng.build_dedup_index(docs.filter(F.col("doc_id") % 2 == 0))
+        idx.save(str(tmp_path / "idx"))
+        loaded = eng.load_dedup_index(str(tmp_path / "idx"))
+        assert loaded.params == idx.params
+        out = eng.curate_annotated(docs.filter(F.col("doc_id") % 2 == 1),
+                                   index=loaded)
+        assert {"reject_reason", "split"} <= set(out.columns)
+
 
 class TestSaltedJoin:
     def test_equals_plain_join(self, spark, sf_dir):
