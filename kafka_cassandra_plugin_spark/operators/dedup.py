@@ -277,28 +277,27 @@ def _signatures_from_exploded(exploded: DataFrame, num_hashes: int,
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
-                        rows_per_band: int = 4,
-                        bucket_key: str = "xxhash64") -> DataFrame:
-    """LSH banding: split each signature into ``bands`` slices of
-    ``rows_per_band`` values; docs agreeing on any whole band become a
-    candidate pair.  Implementation: explode to (band_idx, band_slice) and
-    self-join on equality - at scale this is an equi-shuffle on the band
-    hash, never an all-pairs comparison.
+def banded_buckets(signatures: DataFrame, bands: int = 16,
+                   rows_per_band: int = 4,
+                   bucket_key: str = "xxhash64") -> DataFrame:
+    """(id, band, bucket) rows: each signature sliced into ``bands``
+    bands of ``rows_per_band`` values, keyed per band.  THE banding
+    definition - shared by the intra-frame candidate join below and the
+    persisted corpus index (:class:`.dedup_index.MinHashIndex`), so the
+    two can never propose different candidates for the same parameters.
 
-    ``bucket_key='xxhash64'`` joins on a 64-bit hash of the slice (fixed
-    8-byte shuffle key - at-scale default; a hash collision can only add
-    a candidate, which downstream exact-verify removes).
-    ``bucket_key='concat'`` joins on the ':'-joined slice values -
-    collision-free and engine-portable, used when the pipeline must be
-    oracle-exact."""
+    ``bucket_key='xxhash64'``: 64-bit hash of (band, slice) - fixed
+    8-byte join key, at-scale default (a collision only adds a
+    candidate, which exact-verify removes).  ``bucket_key='concat'``:
+    ':'-joined slice values - collision-free and engine-portable, for
+    oracle-exact pipelines."""
     if bucket_key == "concat":
         key = lambda s: F.concat_ws(  # noqa: E731
             ":", F.transform(s, lambda x: x.cast("string"))
         )
     else:
         key = lambda s: F.xxhash64(F.col("band"), s)  # noqa: E731
-    b = signatures.select(
+    return signatures.select(
         "id",
         F.posexplode(
             F.array(
@@ -308,7 +307,17 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
                 ]
             )
         ).alias("band", "slice"),
-    ).withColumn("bucket", key(F.col("slice")))
+    ).select("id", "band", key(F.col("slice")).alias("bucket"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
+                        rows_per_band: int = 4,
+                        bucket_key: str = "xxhash64") -> DataFrame:
+    """LSH banding candidates: docs agreeing on any whole band become a
+    candidate pair.  Implementation: :func:`banded_buckets` + self-join
+    on equality - at scale this is an equi-shuffle on the band hash,
+    never an all-pairs comparison."""
+    b = banded_buckets(signatures, bands, rows_per_band, bucket_key)
     x, y = b.alias("x"), b.alias("y")
     return (
         x.join(

@@ -43,7 +43,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import _signatures_from_exploded, exploded_shingles
+from .dedup import (
+    _signatures_from_exploded,
+    banded_buckets,
+    exploded_shingles,
+)
 
 
 class MinHashIndex:
@@ -79,28 +83,17 @@ class MinHashIndex:
     @staticmethod
     def _band_table(exploded: DataFrame, params: dict) -> DataFrame:
         """(id, band, bucket) rows from DISTINCT (id, shingle) rows -
-        the same banding as :func:`.dedup.lsh_candidate_pairs`, factored
-        so index build and batch probe share one formulation."""
+        signatures through :func:`.dedup.banded_buckets` (the ONE
+        banding definition, shared with the intra-frame pipeline), with
+        the bucket cast to string for a uniform stored schema across
+        hash families."""
         num_hashes, bands = params["num_hashes"], params["bands"]
-        rows_per_band = num_hashes // bands
         sigs = _signatures_from_exploded(exploded, num_hashes, params["hash_fn"])
-        if params["hash_fn"] == "md5":
-            key = F.concat_ws(
-                ":", F.transform(F.col("slice"), lambda x: x.cast("string"))
-            )
-        else:
-            key = F.xxhash64(F.col("band"), F.col("slice"))
-        return sigs.select(
-            "id",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.slice("signature", i * rows_per_band + 1, rows_per_band)
-                        for i in range(bands)
-                    ]
-                )
-            ).alias("band", "slice"),
-        ).select("id", "band", key.cast("string").alias("bucket"))
+        b = banded_buckets(
+            sigs, bands, num_hashes // bands,
+            bucket_key="concat" if params["hash_fn"] == "md5" else "xxhash64",
+        )
+        return b.select("id", "band", F.col("bucket").cast("string").alias("bucket"))
 
     # -- persistence -------------------------------------------------------
 

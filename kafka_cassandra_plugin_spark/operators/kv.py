@@ -215,6 +215,27 @@ def current_leaders(heartbeats: DataFrame, now, ttl_seconds: float,
 # Leader-election replay (R15) - inherently sequential per resource
 # --------------------------------------------------------------------------
 
+def _lease_fold(pdf: "pd.DataFrame", ttl: float, candidate_col: str,
+                ts_col: str, owner=None, owner_ts=None):
+    """THE lease state machine - single definition shared by the plain
+    and chunked replays so the TTL boundary / tie-break semantics cannot
+    drift between them.  Left-to-right fold of ts-sorted heartbeats from
+    optional carried (owner, owner_ts) state; returns (owners, actions,
+    final_owner, final_owner_ts)."""
+    owners, actions = [], []
+    for cand, t in zip(pdf[candidate_col], pdf[ts_col]):
+        expired = owner is None or (t - owner_ts).total_seconds() >= ttl
+        if expired:
+            owner, owner_ts, action = cand, t, "acquire"
+        elif cand == owner:
+            owner_ts, action = t, "renew"
+        else:
+            action = "reject"
+        owners.append(owner)
+        actions.append(action)
+    return owners, actions, owner, owner_ts
+
+
 def leader_timeline(heartbeats: DataFrame, ttl_seconds: float,
                     resource_col: str = "resource",
                     candidate_col: str = "candidate",
@@ -245,18 +266,9 @@ def leader_timeline(heartbeats: DataFrame, ttl_seconds: float,
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([ts_col, candidate_col], kind="mergesort")
-        owner, owner_ts = None, None
-        owners, actions = [], []
-        for cand, t in zip(pdf[candidate_col], pdf[ts_col]):
-            expired = owner is None or (t - owner_ts).total_seconds() >= ttl
-            if expired:
-                owner, owner_ts, action = cand, t, "acquire"
-            elif cand == owner:
-                owner_ts, action = t, "renew"
-            else:
-                action = "reject"
-            owners.append(owner)
-            actions.append(action)
+        owners, actions, _, _ = _lease_fold(
+            pdf, ttl, candidate_col, ts_col
+        )
         pdf = pdf[[resource_col, candidate_col, ts_col]].copy()
         pdf["owner"] = owners
         pdf["action"] = actions
@@ -344,17 +356,9 @@ def leader_timeline_chunked(heartbeats: DataFrame, ttl_seconds: float,
         else:
             owner = state["owner"].iloc[0]
             owner_ts = pd.Timestamp(state["owner_ts"].iloc[0])
-        owners, actions = [], []
-        for cand, t in zip(beats[candidate_col], beats[ts_col]):
-            expired = owner is None or (t - owner_ts).total_seconds() >= ttl
-            if expired:
-                owner, owner_ts, action = cand, t, "acquire"
-            elif cand == owner:
-                owner_ts, action = t, "renew"
-            else:
-                action = "reject"
-            owners.append(owner)
-            actions.append(action)
+        owners, actions, owner, owner_ts = _lease_fold(
+            beats, ttl, candidate_col, ts_col, owner, owner_ts
+        )
         out = beats[[resource_col, candidate_col, ts_col]].copy()
         out["owner"] = owners
         out["action"] = actions

@@ -85,7 +85,18 @@ def curate_annotated(
 ) -> DataFrame:
     """Every batch row, annotated + tagged: ``reject_reason`` (null =
     accepted) and ``split`` (null for rejected rows).  See module doc
-    for stage order and scale shape."""
+    for stage order and scale shape.
+
+    When ``index`` is given, the intra-batch near-dup stage reuses the
+    INDEX's MinHash parameters (n, num_hashes, bands, hash_fn) so stages
+    4 and 5 apply one near-dup definition - an index built with
+    non-default parameters must not silently dedup the batch under the
+    defaults."""
+    mh_params = (
+        {k: index.params[k] for k in ("n", "num_hashes", "bands", "hash_fn")}
+        if index is not None
+        else {}
+    )
     ann = annotate(batch, text_col).localCheckpoint()
 
     gate = F.when(F.col("quality") < min_quality, "low_quality")
@@ -106,7 +117,7 @@ def curate_annotated(
 
     # stage 4: intra-batch near-dup clusters keep their min-id member
     pairs = minhash_lsh_dedup_pairs(
-        surv, text_col, id_col, threshold=near_dup_threshold
+        surv, text_col, id_col, threshold=near_dup_threshold, **mh_params
     ).select("id_a", "id_b")
     kept = survivors_from_pairs(surv, pairs, id_col=id_col)
     near_rej = surv.join(

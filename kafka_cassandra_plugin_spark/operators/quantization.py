@@ -28,7 +28,11 @@ Scale shape:
   function of (data, seed), identical for any partitioning or cluster
   size.  The codebook itself is tiny (m * 256 * D/m floats).
 - Encoding is one Arrow map stage (einsum argmin per subspace) - no
-  shuffle; codes persist as a parquet table next to the ids.
+  shuffle.  For a recurring query workload, encode ONCE and persist the
+  (id, codes) frame as a parquet table next to the ids (plain
+  ``df.write.parquet``); both search entry points take a ``codes``
+  argument so probes reuse the stored codes instead of re-encoding the
+  corpus per call.
 - ADC scoring streams (query_id, id, codes) groups through
   ``applyInPandas`` with the LUT built once per group.  Feed it bounded
   candidate groups - every-code-vs-every-query is only for corpora that
@@ -63,8 +67,13 @@ def _kmeans_np(X: np.ndarray, k: int, seed: int, iters: int = 12) -> np.ndarray:
     if len(centroids) < k:  # tiny fit set: pad with jittered repeats
         reps = X[rng.choice(n, size=k - len(centroids), replace=True)]
         centroids = np.vstack([centroids, reps + rng.normal(0, 1e-6, reps.shape)])
+    x2 = (X**2).sum(axis=1, keepdims=True)  # (n, 1), loop-invariant
     for _ in range(iters):
-        d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 via one (n, k) matmul -
+        # NOT the broadcasted (n, k, d) tensor, which at the default
+        # 50k-row fit set would be ~800 MB per iteration
+        c2 = (centroids**2).sum(axis=1)  # (k,)
+        d2 = x2 - 2.0 * (X @ centroids.T) + c2[None, :]
         assign = d2.argmin(axis=1)
         for j in range(k):
             pts = X[assign == j]
@@ -191,9 +200,14 @@ class PqCodebook:
     def _adc_topr(self, paired: DataFrame, r: int) -> DataFrame:
         """Top-``r`` per query over a (query_id, q_vec, neighbor_id,
         codes) candidate stream: one LUT per query group, m lookups +
-        sum per candidate, deterministic (score desc, id asc) cut."""
+        sum per candidate, deterministic (score desc, id asc) cut.
+        Output id types mirror the input's (string/int/... ids all
+        work, like the relational search paths)."""
         cents = self.centroids
         m, dim = self.m, self.dim
+        qt = paired.schema["query_id"].dataType.simpleString()
+        nt = paired.schema["neighbor_id"].dataType.simpleString()
+        out_schema = f"query_id {qt}, neighbor_id {nt}, adc_score double"
 
         def score(pdf: pd.DataFrame) -> pd.DataFrame:
             qv = np.asarray(pdf["q_vec"].iloc[0], dtype="float64")
@@ -214,26 +228,27 @@ class PqCodebook:
                 ["adc_score", "neighbor_id"], ascending=[False, True]
             ).head(r)
 
-        return paired.groupBy("query_id").applyInPandas(
-            score, "query_id long, neighbor_id long, adc_score double"
-        )
+        return paired.groupBy("query_id").applyInPandas(score, out_schema)
 
 
 def pq_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
             m: int = 8, n_codes: int = 256, shortlist: int = 100,
             seed: int = 42, id_col: str = "vec_id",
             vec_col: str = "embedding",
-            codebook: PqCodebook | None = None) -> DataFrame:
+            codebook: PqCodebook | None = None,
+            codes: DataFrame | None = None) -> DataFrame:
     """PQ shortlist-then-rerank top-k: fit (or reuse) the codebook,
-    encode the corpus, ADC-shortlist ``shortlist`` candidates per query,
-    exact-cosine re-rank only those (one equi-join on id fetches the
-    shortlist's full vectors).  Same output contract as
-    :func:`.similarity.brute_force_topk`."""
+    encode the corpus (or reuse persisted ``codes`` - an (id, codes)
+    frame from :meth:`PqCodebook.encode`), ADC-shortlist ``shortlist``
+    candidates per query, exact-cosine re-rank only those (one equi-join
+    on id fetches the shortlist's full vectors).  Same output contract
+    as :func:`.similarity.brute_force_topk`."""
     cb = codebook or PqCodebook.fit(
         corpus, dim, m=m, k=n_codes, seed=seed,
         id_col=id_col, vec_col=vec_col,
     )
-    codes = cb.encode(corpus, id_col, vec_col)
+    if codes is None:
+        codes = cb.encode(corpus, id_col, vec_col)
     short = cb.adc_shortlist(codes, queries, r=shortlist, id_col=id_col,
                              vec_col=vec_col)
     c = corpus.select(
@@ -267,8 +282,8 @@ def _exact_rerank(short: DataFrame, corpus_vecs: DataFrame,
 
 def ivf_pq_topk(index, codebook: PqCodebook, queries: DataFrame,
                 k: int = 10, nprobe: int = 10, shortlist: int = 100,
-                id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                codes: DataFrame | None = None) -> DataFrame:
     """The FAISS-style IVF-PQ composition: IVF probes bound WHICH
     candidates each query sees (nprobe lists of an
     :class:`.similarity.IvfIndex`), PQ codes bound what each candidate
@@ -285,10 +300,14 @@ def ivf_pq_topk(index, codebook: PqCodebook, queries: DataFrame,
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
     q_lists = index._probe_lists(q, nprobe)
-    codes = codebook.encode(
-        index.assigned, id_col="neighbor_id", vec_col="c_vec",
-        keep=("list_id",),
-    ).withColumnsRenamed({"id": "neighbor_id"})
+    if codes is None:
+        # one-shot convenience; recurring workloads should encode once
+        # (keep=("list_id",)) and persist, passing the frame back here
+        codes = codebook.encode(
+            index.assigned, id_col="neighbor_id", vec_col="c_vec",
+            keep=("list_id",),
+        )
+    codes = codes.withColumnsRenamed({"id": "neighbor_id"})
     paired = (
         codes.join(F.broadcast(q_lists), "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -88,17 +88,34 @@ def compact_parquet(spark: SparkSession, path: str, out_path: str,
 
     ``out_path`` must be a distinct location: Spark reads lazily and
     ``mode('overwrite')`` deletes the target first, so an in-place
-    compaction would destroy the source before it was fully read.
+    compaction would destroy the source before it was fully read.  The
+    guard compares the two paths FULLY QUALIFIED through the Hadoop
+    FileSystem (scheme + authority + normalized path), so equivalent
+    spellings ('file:///data/t' vs '/data/t') cannot slip past a plain
+    string comparison; local paths are additionally realpath-resolved
+    to catch symlinked aliases.
     """
-    if os.path.abspath(out_path) == os.path.abspath(path):
+    jvm = spark._jvm
+    jsc = spark._jsc
+    conf = jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+    hout = jvm.org.apache.hadoop.fs.Path(out_path)
+    q_in = fs.makeQualified(hpath).toUri()
+    q_out = hout.getFileSystem(conf).makeQualified(hout).toUri()
+
+    def _resolved(uri) -> str:
+        # local filesystem: resolve symlinks too; other schemes have no
+        # symlink notion worth chasing
+        if uri.getScheme() in (None, "file"):
+            return "file:" + os.path.realpath(uri.getPath())
+        return str(uri)
+
+    if _resolved(q_in) == _resolved(q_out):
         raise ValueError(
             f"compact_parquet: out_path must differ from path ({path!r}); "
             "overwrite deletes the target before the lazy read completes"
         )
-    jvm = spark._jvm
-    jsc = spark._jsc
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
     total = fs.getContentSummary(hpath).getLength()
     n = max(1, -(-int(total) // (target_file_mb * 1024 * 1024)))
     spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(out_path)

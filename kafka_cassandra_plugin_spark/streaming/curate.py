@@ -58,9 +58,13 @@ class CurationSink:
     from-scratch ingest; an index needs at least one document so the
     stored tables carry a schema).  ``curate_kwargs`` pass through to
     :func:`curate_annotated` (min_quality, langs, near_dup_threshold,
-    split_fractions, split_salt).  ``funnel_totals`` accumulates stage
-    counts across micro-batches on the driver (a dict of ints - the
-    observability hook, not a data path)."""
+    split_fractions, split_salt).  ``funnel_totals`` sums stage counts
+    across micro-batches on the driver (the observability hook, not a
+    data path); counts are keyed per batch_id internally, so a replayed
+    micro-batch REPLACES its own entry instead of double-counting - the
+    totals stay one-count-per-ingested-row under at-least-once
+    delivery (within this sink instance; a driver restart starts the
+    accounting fresh, as any in-process metric does)."""
 
     def __init__(self, index_path: str, out_path: str,
                  text_col: str = "text", id_col: str = "doc_id",
@@ -70,7 +74,15 @@ class CurationSink:
         self.text_col = text_col
         self.id_col = id_col
         self.curate_kwargs = curate_kwargs
-        self.funnel_totals: dict[str, int] = {}
+        self.funnel_by_batch: dict[int, dict[str, int]] = {}
+
+    @property
+    def funnel_totals(self) -> dict[str, int]:
+        totals: dict[str, int] = {}
+        for counts in self.funnel_by_batch.values():
+            for stage, n in counts.items():
+                totals[stage] = totals.get(stage, 0) + n
+        return totals
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
@@ -94,15 +106,27 @@ class CurationSink:
             accepted.select(self.id_col, self.text_col),
             text_col=self.text_col, id_col=self.id_col,
         )
-        for row in curation_funnel(annotated).collect():
-            self.funnel_totals[row["stage"]] = (
-                self.funnel_totals.get(row["stage"], 0) + row["rows"]
-            )
+        self.funnel_by_batch[batch_id] = {
+            row["stage"]: row["rows"]
+            for row in curation_funnel(annotated).collect()
+        }
 
 
 def accepted_dataset(spark, out_path: str) -> DataFrame:
     """Read everything the sink has accepted so far (all ingest batches,
-    hive-partitioned by ingest_batch/lang/split)."""
-    return spark.read.option("basePath", out_path).parquet(
-        f"{out_path}/ingest_batch=*"
-    )
+    hive-partitioned by ingest_batch/lang/split).  Raises
+    ``FileNotFoundError`` with a clear message when no micro-batch has
+    committed yet - an empty frame would need a schema no batch has
+    established."""
+    try:
+        return spark.read.option("basePath", out_path).parquet(
+            f"{out_path}/ingest_batch=*"
+        )
+    except Exception as e:  # AnalysisException: empty glob / missing path
+        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+            raise FileNotFoundError(
+                f"no accepted micro-batches under {out_path!r} yet "
+                "(the sink writes ingest_batch=<id>/ on its first "
+                "non-empty batch)"
+            ) from e
+        raise

@@ -129,3 +129,43 @@ class TestWrite:
         import pyarrow.dataset as ds
 
         assert ds.dataset(out, format="parquet", partitioning="hive").count_rows() == spark_count
+
+
+class TestIndexParamsForwarded:
+    def test_intra_batch_stage_uses_index_params(self, spark, docs, batch):
+        """Stages 4 and 5 must apply ONE near-dup definition: the
+        intra-batch pairs under a non-default index must be the pairs
+        of minhash_lsh_dedup_pairs under the INDEX's parameters."""
+        from kafka_cassandra_plugin_spark.operators import dedup as D
+
+        params = dict(n=2, num_hashes=32, bands=8, hash_fn="md5")
+        idx = MinHashIndex.build(
+            docs.filter(F.col("doc_id") % 2 == 0), **params
+        )
+        out = PL.curate_annotated(batch, index=idx)
+        got_near = {
+            r.doc_id
+            for r in out.filter(
+                F.col("reject_reason") == "near_dup_batch"
+            ).collect()
+        }
+        # recompute expected under the index's params over the same
+        # stage-3 survivors (quality gate + exact dedup first)
+        from pyspark.sql.window import Window as W
+
+        ann = PL.annotate(batch)
+        gated = ann.filter(F.col("quality") >= 0.5)
+        rn = F.row_number().over(
+            W.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+        )
+        surv = gated.withColumn("__rn", rn).filter(F.col("__rn") == 1)
+        pairs = D.minhash_lsh_dedup_pairs(
+            surv, "text", "doc_id", threshold=0.8, **params
+        ).select("id_a", "id_b")
+        kept = D.survivors_from_pairs(surv, pairs, id_col="doc_id")
+        expected = {
+            r.doc_id
+            for r in surv.join(kept.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id").collect()
+        }
+        assert got_near == expected

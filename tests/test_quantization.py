@@ -105,3 +105,28 @@ class TestIvfPqComposition:
         assert r >= 0.8, f"IVF-PQ recall@{self.K} too low: {r}"
         per_q = approx.groupBy("query_id").count()
         assert per_q.filter(F.col("count") > self.K).count() == 0
+
+
+class TestNonBigintIds:
+    def test_string_ids_flow_through(self, spark, emb):
+        """pq_topk's output contract follows brute_force_topk: id-type
+        agnostic (the ADC schema mirrors the input id types)."""
+        s = emb.select(
+            F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias("vec_id"),
+            "embedding",
+        )
+        q = s.filter(F.col("vec_id").endswith("0")).limit(5)
+        out = Q.pq_topk(s, q, DIM, k=3, shortlist=20,
+                        codebook=None, m=M, n_codes=32)
+        row = out.first()
+        assert isinstance(row.query_id, str) and isinstance(row.neighbor_id, str)
+
+    def test_precomputed_codes_reused(self, emb, codebook):
+        codes = codebook.encode(emb)
+        q = emb.filter(F.col("vec_id") % 10 == 0)
+        a = {(r.query_id, r.neighbor_id)
+             for r in Q.pq_topk(emb, q, DIM, k=5, codebook=codebook).collect()}
+        b = {(r.query_id, r.neighbor_id)
+             for r in Q.pq_topk(emb, q, DIM, k=5, codebook=codebook,
+                                codes=codes).collect()}
+        assert a == b

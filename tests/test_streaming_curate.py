@@ -116,3 +116,21 @@ class TestRealStream:
         out = accepted_dataset(spark, sink.out_path)
         assert out.count() == sink.funnel_totals.get("accepted", 0) > 0
         assert {"lang", "split"} <= set(out.columns)
+
+
+class TestReplayAccounting:
+    def test_funnel_totals_not_double_counted(self, spark, corpus, docs,
+                                              tmp_path):
+        sink = fresh_sink(spark, corpus, tmp_path)
+        b1, _ = make_batches(docs)
+        sink(b1, 0)
+        once = dict(sink.funnel_totals)
+        sink(b1, 0)  # at-least-once replay
+        assert sink.funnel_totals == once
+        assert sum(once.values()) == b1.count()
+
+    def test_accepted_dataset_before_first_batch(self, spark, tmp_path):
+        import pytest as _pytest
+
+        with _pytest.raises(FileNotFoundError, match="no accepted"):
+            accepted_dataset(spark, str(tmp_path / "nothing_here"))
