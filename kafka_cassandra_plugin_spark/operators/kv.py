@@ -19,7 +19,7 @@ Batch-tier atomicity note (SURVEY §4.3): these operators give CAS
 *semantics* (the merge result a serial executor would produce), not CAS
 *atomicity* - the batch tier assumes single-writer-per-table discipline.
 The serving tier gets real atomicity from Cassandra LWTs via the
-streaming ``foreachBatch`` sink (streaming/cassandra_sink.py).
+``foreachBatch`` sink (sources/__init__.py ``CassandraLwtForeachBatch``).
 
 Scale: every operator is a join/window over the key columns - shuffles
 partition by key, small "delta" sides are broadcast when they fit, and

@@ -78,8 +78,35 @@ EXTRA = {
     "S10": "ListenerHub foreachBatch; Cassandra LWT sink",
     "S11": "tests/test_streaming.py::TestCheckpointedSink",
     "G55": "also operators/dedup.py minhash/simhash + planted-dup recall tests (tests/test_llm_ops.py)",
-    "G61": "recall gates: tests/test_llm_ops.py::TestAnnRecall (LSH 0.61, IVF 0.78 @10)",
+    "G61": "recall gates >= 0.85: tests/test_llm_ops.py::TestAnnRecall (round-3 measured: LSH 1.00, IVF 0.94 @10)",
     "G62": "also tests/test_multimodal.py (schema round-trip, Arrow batching, metadata plans)",
+}
+
+# SURVEY §2.5 tier D: depth operators beyond the 50-query declared set
+# (the driver checks the first 50 declared queries alphabetically, so
+# these are gated by pytest + tracked in bench.py extra_queries instead).
+TIER_D = {
+    "D1": ("incremental near-dup index (MinHashIndex)",
+           "operators/dedup_index.py",
+           "equivalence with one-shot pairs; save/load round-trip; "
+           "broadcast-vs-shuffle guard equivalence (tests/test_dedup_index.py)"),
+    "D2": ("curation funnel (curate_annotated / curate_and_write)",
+           "operators/pipeline.py",
+           "funnel partitions input; per-stage planted offenders; "
+           "deterministic splits (tests/test_pipeline.py); benched as "
+           "extra_queries['curation_funnel']"),
+    "D3": ("streaming curation sink (CurationSink)",
+           "streaming/curate.py",
+           "cross-batch dedup; batch-loop equivalence; replay idempotence "
+           "(tests/test_streaming_curate.py)"),
+    "D4": ("product quantization (PqCodebook, pq_topk)",
+           "operators/quantization.py",
+           "encode determinism; codebook round-trip; recall@10 >= 0.85 "
+           "(measured 0.96) (tests/test_quantization.py)"),
+    "D5": ("IVF-PQ composition (ivf_pq_topk)",
+           "operators/quantization.py",
+           "recall@10 >= 0.8 (measured 0.92); ADC group-size bound; benched "
+           "as extra_queries['sim_ivf_pq'] (tests/test_quantization.py)"),
 }
 
 
@@ -109,6 +136,13 @@ def main() -> None:
         if not qs and not extra:
             missing.append(oid)
         lines.append(f"| {oid} | {label} | {qs} | {extra} |")
+    lines.append("")
+    lines.append("## Tier D — depth operators (SURVEY §2.5, non-declared)")
+    lines.append("")
+    lines.append("| id | operator | module | test / bench coverage |")
+    lines.append("|---|---|---|---|")
+    for did, (label, module, cover) in TIER_D.items():
+        lines.append(f"| {did} | {label} | {module} | {cover} |")
     lines.append("")
     n_q = len(reg)
     n_oracle = sum(1 for q in reg.values() if q.sql)
