@@ -129,7 +129,8 @@ class MinHashIndex:
 
     def match_batch(self, new_docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id",
-                    threshold: float = 0.8) -> DataFrame:
+                    threshold: float = 0.8,
+                    max_broadcast_rows: int = 2_000_000) -> DataFrame:
         """Verified near-dup links (new_id, corpus_id, jaccard) between a
         new batch and the indexed corpus.
 
@@ -139,16 +140,24 @@ class MinHashIndex:
         scan.  Exact verify then touches corpus shingle sets only for
         candidate ids (left-semi prune before the join).  Ids shared by
         batch and corpus are treated as the same document and never
-        matched to themselves."""
+        matched to themselves.
+
+        The broadcast is guarded: when the batch's exploded shingle rows
+        exceed ``max_broadcast_rows`` (someone fed a corpus-sized
+        "batch"), the probe falls back to plain shuffle equi-joins -
+        same result, no driver/executor OOM from a giant broadcast.  The
+        count is free: the exploded frame is already localCheckpoint'd."""
         exploded = exploded_shingles(
             new_docs, text_col, id_col, self.params["n"]
         ).localCheckpoint()
+        batch_fits = exploded.count() <= max_broadcast_rows
+        maybe_broadcast = F.broadcast if batch_fits else (lambda df: df)
         new_bands = self._band_table(exploded, self.params).withColumnsRenamed(
             {"id": "new_id"}
         )
         cands = (
             self.bands.join(
-                F.broadcast(new_bands),
+                maybe_broadcast(new_bands),
                 ["band", "bucket"],
             )
             .filter(F.col("id") != F.col("new_id"))
@@ -157,7 +166,9 @@ class MinHashIndex:
         )
         new_sh = exploded.groupBy("id").agg(F.collect_set("sh").alias("sh_new"))
         corpus_sh = self.shingles.join(
-            F.broadcast(cands.select(F.col("corpus_id").alias("id")).distinct()),
+            maybe_broadcast(
+                cands.select(F.col("corpus_id").alias("id")).distinct()
+            ),
             "id",
             "left_semi",
         )
@@ -167,7 +178,7 @@ class MinHashIndex:
                 "corpus_id",
             )
             .join(
-                F.broadcast(new_sh.withColumnsRenamed({"id": "new_id"})),
+                maybe_broadcast(new_sh.withColumnsRenamed({"id": "new_id"})),
                 "new_id",
             )
             .withColumn(
@@ -176,15 +187,13 @@ class MinHashIndex:
                 / F.size(F.array_union("sh_new", "sh_c")),
             )
             .filter(F.col("__j_raw") >= threshold)
-            .select(
-                "new_id", "corpus_id",
-                F.round(F.col("__j_raw"), 4).alias("jaccard"),
-            )
             # a replayed (at-least-once) add_batch can leave duplicate
-            # index rows; identical shingle sets give identical links,
-            # so a distinct over the small verified set restores
-            # exactly-once output links
-            .dropDuplicates(["new_id", "corpus_id"])
+            # index rows for an id; identical shingle sets give identical
+            # links, and a re-added id with CHANGED text keeps its
+            # highest verified similarity - max() makes the surviving
+            # jaccard deterministic where dropDuplicates would not be
+            .groupBy("new_id", "corpus_id")
+            .agg(F.round(F.max("__j_raw"), 4).alias("jaccard"))
         )
 
     def dedup_batch(self, new_docs: DataFrame, text_col: str = "text",

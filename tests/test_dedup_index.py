@@ -92,6 +92,57 @@ class TestMatchBatch:
         plan = P.formatted_plan(index.match_batch(batch))
         assert "BroadcastHashJoin" in plan
 
+    def test_broadcast_guard_fallback_same_results(self, batch, index):
+        """max_broadcast_rows=0 forces the shuffle-join fallback; links
+        must be identical to the broadcast path."""
+        bcast = {(r.corpus_id, r.new_id, r.jaccard)
+                 for r in index.match_batch(batch).collect()}
+        shuffle = {(r.corpus_id, r.new_id, r.jaccard)
+                   for r in index.match_batch(
+                       batch, max_broadcast_rows=0).collect()}
+        assert bcast == shuffle and len(bcast) > 0
+
+    def test_broadcast_guard_plan_shapes(self, spark, batch, index):
+        """With auto-broadcast disabled, the guarded-off path must not
+        broadcast (no hint is planted), while the default path still
+        broadcast-joins via the explicit hint."""
+        from kafka_cassandra_plugin_spark import plans as P
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            off = P.formatted_plan(index.match_batch(batch, max_broadcast_rows=0))
+            on = P.formatted_plan(index.match_batch(batch))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "BroadcastHashJoin" not in off
+        assert "BroadcastHashJoin" in on
+
+    def test_readded_id_changed_text_keeps_max_jaccard(self, spark, corpus,
+                                                       tmp_path_factory):
+        """An id re-added with different text leaves two index rows; the
+        surviving link similarity is the deterministic max."""
+        path = str(tmp_path_factory.mktemp("mhidx_readd"))
+        seed = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string",
+        )
+        idx = MinHashIndex.build(seed).save(path)
+        # re-add id 1 with changed (but overlapping) text: duplicate
+        # index rows for the same id, different shingle sets
+        idx = idx.add_batch(spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta CHANGED")],
+            "doc_id long, text string",
+        ))
+        probe = spark.createDataFrame(
+            [(99, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string",
+        )
+        links = idx.match_batch(probe, threshold=0.1).collect()
+        assert len(links) == 1
+        # probe matches the ORIGINAL text exactly -> max survives at 1.0
+        assert links[0].jaccard == 1.0
+
     def test_dedup_batch_keeps_novel_drops_dups(self, batch, index):
         kept = {r.doc_id for r in index.dedup_batch(batch).collect()}
         novel = {r.doc_id for r in batch.filter(F.col("doc_id") >= 2_000_000).collect()}
