@@ -59,10 +59,27 @@ from .text import (
 )
 
 
+# Columns the funnel writes; an input batch carrying one of these would
+# be silently overwritten by withColumn, corrupting user data.
+ANNOTATION_COLS = ("quality", "lang", "n_tokens", "n_tokens_bpe", "fingerprint")
+OUTPUT_COLS = ANNOTATION_COLS + ("split", "reject_reason")
+
+
+def _check_reserved(df: DataFrame, reserved: tuple[str, ...], op: str) -> None:
+    clash = [c for c in df.columns if c in reserved]
+    if clash:
+        raise ValueError(
+            f"{op} writes reserved column(s) {clash} which already exist "
+            f"on the input - rename them first (reserved: {list(reserved)})"
+        )
+
+
 def annotate(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document metadata columns (pure column arithmetic, map-only):
     quality score, language ID, whitespace + BPE-ish token counts, and
-    the rolling-hash content fingerprint."""
+    the rolling-hash content fingerprint.  Raises if the input already
+    carries one of the annotation columns (they would be overwritten)."""
+    _check_reserved(df, ANNOTATION_COLS, "annotate()")
     return (
         df.withColumn("quality", quality_score(text_col))
         .withColumn("lang", lang_id(text_col))
@@ -92,6 +109,7 @@ def curate_annotated(
     4 and 5 apply one near-dup definition - an index built with
     non-default parameters must not silently dedup the batch under the
     defaults."""
+    _check_reserved(batch, OUTPUT_COLS, "curate_annotated()")
     mh_params = (
         {k: index.params[k] for k in ("n", "num_hashes", "bands", "hash_fn")}
         if index is not None

@@ -180,24 +180,48 @@ class PqCodebook:
 
     def adc_shortlist(self, codes: DataFrame, queries: DataFrame,
                       r: int = 100, id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> DataFrame:
+                      vec_col: str = "embedding",
+                      chunks: int = 16) -> DataFrame:
         """Top-``r`` candidates per query from codes alone: broadcast the
         (small) query set against the codes stream, then score each
-        (query, candidates) group with the query's LUT built once.
+        group with the query's LUT built once.
         Output: (query_id, neighbor_id, adc_score), <= r rows per query.
 
-        Group size = the candidate stream per query; bound it upstream
-        (IVF probes, :func:`ivf_pq_topk`) for corpora beyond scan
-        budget."""
+        Group size is BOUNDED: candidates are salted into ``chunks``
+        hash buckets, each (query, chunk) group takes its local top-r,
+        and a window merge keeps the global top-r - identical result
+        (same (score desc, id asc) order both passes; every global
+        top-r row is in its chunk's top-r), but one executor never
+        holds more than ~corpus/chunks code rows.  Raise ``chunks``
+        with corpus size - or better, bound WHICH candidates each
+        query sees at all with IVF probes (:func:`ivf_pq_topk`), the
+        composition meant for corpora beyond a full-scan budget.
+        ``chunks=1`` restores the single-group path (what
+        :func:`ivf_pq_topk` uses - its groups are already bounded)."""
         q = queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         )
         paired = codes.withColumnsRenamed({"id": "neighbor_id"}).join(
             F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
         )
-        return self._adc_topr(paired, r)
+        if chunks <= 1:
+            return self._adc_topr(paired, r)
+        paired = paired.withColumn(
+            "__chunk",
+            F.pmod(F.xxhash64(F.col("neighbor_id").cast("string")), F.lit(chunks)),
+        )
+        per_chunk = self._adc_topr(paired, r, group_cols=("query_id", "__chunk"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc_score").desc(), F.col("neighbor_id")
+        )
+        return (
+            per_chunk.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= r)
+            .select("query_id", "neighbor_id", "adc_score")
+        )
 
-    def _adc_topr(self, paired: DataFrame, r: int) -> DataFrame:
+    def _adc_topr(self, paired: DataFrame, r: int,
+                  group_cols: tuple[str, ...] = ("query_id",)) -> DataFrame:
         """Top-``r`` per query over a (query_id, q_vec, neighbor_id,
         codes) candidate stream: one LUT per query group, m lookups +
         sum per candidate, deterministic (score desc, id asc) cut.
@@ -228,7 +252,7 @@ class PqCodebook:
                 ["adc_score", "neighbor_id"], ascending=[False, True]
             ).head(r)
 
-        return paired.groupBy("query_id").applyInPandas(score, out_schema)
+        return paired.groupBy(*group_cols).applyInPandas(score, out_schema)
 
 
 def pq_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
@@ -236,13 +260,20 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
             seed: int = 42, id_col: str = "vec_id",
             vec_col: str = "embedding",
             codebook: PqCodebook | None = None,
-            codes: DataFrame | None = None) -> DataFrame:
+            codes: DataFrame | None = None,
+            adc_chunks: int = 16) -> DataFrame:
     """PQ shortlist-then-rerank top-k: fit (or reuse) the codebook,
     encode the corpus (or reuse persisted ``codes`` - an (id, codes)
     frame from :meth:`PqCodebook.encode`), ADC-shortlist ``shortlist``
     candidates per query, exact-cosine re-rank only those (one equi-join
     on id fetches the shortlist's full vectors).  Same output contract
-    as :func:`.similarity.brute_force_topk`."""
+    as :func:`.similarity.brute_force_topk`.
+
+    This path SCANS every code per query (chunked so no single ADC
+    group exceeds ~corpus/adc_chunks rows - see
+    :meth:`PqCodebook.adc_shortlist`); it is the right tool up to a
+    scan budget.  Beyond that, use :func:`ivf_pq_topk`, which bounds
+    the candidates per query to the probed IVF lists."""
     cb = codebook or PqCodebook.fit(
         corpus, dim, m=m, k=n_codes, seed=seed,
         id_col=id_col, vec_col=vec_col,
@@ -250,7 +281,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     if codes is None:
         codes = cb.encode(corpus, id_col, vec_col)
     short = cb.adc_shortlist(codes, queries, r=shortlist, id_col=id_col,
-                             vec_col=vec_col)
+                             vec_col=vec_col, chunks=adc_chunks)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )

@@ -117,16 +117,19 @@ def accepted_dataset(spark, out_path: str) -> DataFrame:
     hive-partitioned by ingest_batch/lang/split).  Raises
     ``FileNotFoundError`` with a clear message when no micro-batch has
     committed yet - an empty frame would need a schema no batch has
-    established."""
-    try:
-        return spark.read.option("basePath", out_path).parquet(
-            f"{out_path}/ingest_batch=*"
+    established.  The no-batches-yet case is detected by globbing the
+    output directory through the Hadoop FS API (works for any scheme
+    the session can read), not by parsing Spark exception text - error
+    class names are not stable across Spark versions."""
+    jvm = spark.sparkContext._jvm
+    glob = jvm.org.apache.hadoop.fs.Path(f"{out_path}/ingest_batch=*")
+    fs = glob.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.globStatus(glob):
+        raise FileNotFoundError(
+            f"no accepted micro-batches under {out_path!r} yet "
+            "(the sink writes ingest_batch=<id>/ on its first "
+            "non-empty batch)"
         )
-    except Exception as e:  # AnalysisException: empty glob / missing path
-        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
-            raise FileNotFoundError(
-                f"no accepted micro-batches under {out_path!r} yet "
-                "(the sink writes ingest_batch=<id>/ on its first "
-                "non-empty batch)"
-            ) from e
-        raise
+    return spark.read.option("basePath", out_path).parquet(
+        f"{out_path}/ingest_batch=*"
+    )

@@ -50,6 +50,18 @@ def annotated(batch):
     return df
 
 
+class TestReservedColumns:
+    def test_annotate_rejects_clashing_input(self, batch):
+        with pytest.raises(ValueError, match="reserved column"):
+            PL.annotate(batch.withColumn("lang", F.lit("en")))
+
+    def test_curate_rejects_output_col_clash(self, batch):
+        """split/reject_reason are outputs of the funnel, not annotation
+        columns - they must be reserved too."""
+        with pytest.raises(ValueError, match="reserved column"):
+            PL.curate_annotated(batch.withColumn("split", F.lit("train")))
+
+
 class TestFunnel:
     def test_partitions_the_input(self, batch, annotated):
         n = batch.count()

@@ -82,6 +82,20 @@ class TestSearchQuality:
         over = short.groupBy("query_id").count().filter(F.col("count") > 25)
         assert over.count() == 0
 
+    def test_chunked_adc_identical_to_single_group(self, emb, queries, codebook):
+        """The chunked (bounded-group) ADC path is a pure refactoring of
+        the single-group scan: local top-r per hash chunk + window merge
+        keeps exactly the global top-r, ties and all."""
+        codes = codebook.encode(emb).cache()
+        one = {(r.query_id, r.neighbor_id, round(r.adc_score, 9))
+               for r in codebook.adc_shortlist(codes, queries, r=25,
+                                               chunks=1).collect()}
+        many = {(r.query_id, r.neighbor_id, round(r.adc_score, 9))
+                for r in codebook.adc_shortlist(codes, queries, r=25,
+                                                chunks=16).collect()}
+        codes.unpersist()
+        assert one == many and len(one) > 0
+
 
 class TestIvfPqComposition:
     K = 10
@@ -105,6 +119,34 @@ class TestIvfPqComposition:
         assert r >= 0.8, f"IVF-PQ recall@{self.K} too low: {r}"
         per_q = approx.groupBy("query_id").count()
         assert per_q.filter(F.col("count") > self.K).count() == 0
+
+
+class TestPersistedCodesPlan:
+    def test_stored_codes_skip_encode_stage(self, spark, emb, codebook, tmp_path):
+        """quantization.py promises persisted codes avoid re-encoding:
+        with ``codes=stored`` the ivf_pq_topk plan must contain no
+        scalar pandas-UDF (ArrowEvalPython) stage - the only Python is
+        the grouped ADC (FlatMapGroupsInPandas).  Without stored codes
+        the _enc stage appears."""
+        from kafka_cassandra_plugin_spark import plans as P
+        from kafka_cassandra_plugin_spark.operators.similarity import IvfIndex
+
+        idx = IvfIndex.build(emb, nlist=8, seed=42)
+        queries = emb.filter(F.col("vec_id") % 50 == 0)
+        path = str(tmp_path / "codes")
+        codebook.encode(
+            idx.assigned, id_col="neighbor_id", vec_col="c_vec",
+            keep=("list_id",),
+        ).write.parquet(path)
+        stored = spark.read.parquet(path)
+
+        with_stored = P.formatted_plan(
+            Q.ivf_pq_topk(idx, codebook, queries, k=5, codes=stored))
+        assert "ArrowEvalPython" not in with_stored
+        assert "FlatMapGroupsInPandas" in with_stored
+
+        without = P.formatted_plan(Q.ivf_pq_topk(idx, codebook, queries, k=5))
+        assert "ArrowEvalPython" in without
 
 
 class TestNonBigintIds:
