@@ -236,3 +236,34 @@ class MinHashIndex:
             F.collect_set("sh").alias("sh")
         ).write.mode("append").parquet(f"{self.path}/shingles")
         return MinHashIndex.load(self.bands.sparkSession, self.path)
+
+    def compact(self, target_file_mb: int = 256) -> "MinHashIndex":
+        """Rewrite the stored bands/shingles into ~``target_file_mb``
+        files (bands keep their ``band=`` partition layout so probes
+        still prune).  Every :meth:`add_batch` appends new parquet
+        files; under a streaming sink at a sub-second trigger that is a
+        small-files factory - thousands of KB files turn each probe's
+        corpus scan into listing/open overhead.  Runs via
+        :func:`..sources.compact_parquet` into a sibling directory,
+        then swaps it in (delete + rename through the Hadoop FS, so any
+        scheme works).  The swap is not atomic - run it from the ingest
+        process between batches (see ``CurationSink(compact_every=)``),
+        not concurrently with probes."""
+        if self.path is None:
+            raise ValueError("compact requires a saved index (use save())")
+        from ..sources import compact_parquet
+
+        spark = self.bands.sparkSession
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        for sub, pby in (("bands", ("band",)), ("shingles", ())):
+            src = f"{self.path}/{sub}"
+            tmp = f"{self.path}/{sub}__compacting"
+            compact_parquet(spark, src, tmp, target_file_mb, partition_by=pby)
+            hsrc = jvm.org.apache.hadoop.fs.Path(src)
+            htmp = jvm.org.apache.hadoop.fs.Path(tmp)
+            fs = hsrc.getFileSystem(conf)
+            fs.delete(hsrc, True)
+            if not fs.rename(htmp, hsrc):
+                raise IOError(f"compact: rename {tmp} -> {src} failed")
+        return MinHashIndex.load(spark, self.path)

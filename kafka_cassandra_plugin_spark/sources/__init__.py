@@ -76,8 +76,14 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: Sequence[str],
 
 
 def compact_parquet(spark: SparkSession, path: str, out_path: str,
-                    target_file_mb: int = 256) -> int:
+                    target_file_mb: int = 256,
+                    partition_by: Sequence[str] = ()) -> int:
     """Rewrite a parquet directory into ~``target_file_mb`` files.
+
+    ``partition_by`` preserves a hive-partitioned layout: rows are
+    clustered on the partition columns before the write so each
+    partition directory ends up with ~1 file per writer task that owns
+    it, instead of every task contributing a sliver to every partition.
 
     The small-files problem is the classic silent killer of a streaming
     ingest at scale: thousands of KB-sized files per partition turn every
@@ -118,7 +124,13 @@ def compact_parquet(spark: SparkSession, path: str, out_path: str,
         )
     total = fs.getContentSummary(hpath).getLength()
     n = max(1, -(-int(total) // (target_file_mb * 1024 * 1024)))
-    spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(out_path)
+    df = spark.read.parquet(path)
+    if partition_by:
+        df.repartition(n, *[F.col(c) for c in partition_by]).write.mode(
+            "overwrite"
+        ).partitionBy(*partition_by).parquet(out_path)
+    else:
+        df.repartition(n).write.mode("overwrite").parquet(out_path)
     return n
 
 

@@ -64,17 +64,32 @@ class CurationSink:
     micro-batch REPLACES its own entry instead of double-counting - the
     totals stay one-count-per-ingested-row under at-least-once
     delivery (within this sink instance; a driver restart starts the
-    accounting fresh, as any in-process metric does)."""
+    accounting fresh, as any in-process metric does).
+
+    ``compact_every``: every N index-growing micro-batches, rewrite the
+    index's band/shingle parquet into ``compact_target_mb`` files
+    (:meth:`MinHashIndex.compact`).  add_batch appends files per batch;
+    at the engine's 500 ms reference trigger cadence an uncompacted
+    index accretes ~7k files/hour/table - the classic streaming
+    small-files decay.  Compaction runs between batches on the sink's
+    own thread, which is exactly the non-concurrent window the swap
+    needs.  It is maintenance, not semantics: probes return identical
+    links before and after (pinned by test)."""
 
     def __init__(self, index_path: str, out_path: str,
                  text_col: str = "text", id_col: str = "doc_id",
+                 compact_every: int | None = None,
+                 compact_target_mb: int = 256,
                  **curate_kwargs):
         self.index_path = index_path
         self.out_path = out_path
         self.text_col = text_col
         self.id_col = id_col
+        self.compact_every = compact_every
+        self.compact_target_mb = compact_target_mb
         self.curate_kwargs = curate_kwargs
         self.funnel_by_batch: dict[int, dict[str, int]] = {}
+        self._adds = 0
 
     @property
     def funnel_totals(self) -> dict[str, int]:
@@ -102,10 +117,13 @@ class CurationSink:
             .partitionBy("lang", "split")
             .parquet(f"{self.out_path}/ingest_batch={batch_id}")
         )
-        index.add_batch(
+        index = index.add_batch(
             accepted.select(self.id_col, self.text_col),
             text_col=self.text_col, id_col=self.id_col,
         )
+        self._adds += 1
+        if self.compact_every and self._adds % self.compact_every == 0:
+            index.compact(self.compact_target_mb)
         self.funnel_by_batch[batch_id] = {
             row["stage"]: row["rows"]
             for row in curation_funnel(annotated).collect()

@@ -187,3 +187,41 @@ class TestPersistence:
     def test_in_memory_add_batch_refused(self, index, batch):
         with pytest.raises(ValueError):
             index.add_batch(batch)
+
+    def test_compact_same_results_bounded_files(self, spark, batch, index,
+                                                tmp_path_factory):
+        """After K appends + compact: match_batch output identical, and
+        each band partition holds a bounded file count (appends pile up
+        one+ file per batch; compaction collapses them)."""
+        import os
+
+        path = str(tmp_path_factory.mktemp("mhidx_compact"))
+        loaded = index.save(path)
+        # K=3 small appends -> >=4 files per band partition
+        for i in range(3):
+            add = batch.filter(F.col("doc_id") >= 2_000_000).select(
+                (F.col("doc_id") + (i + 1) * 10_000_000).alias("doc_id"),
+                "text",
+            )
+            loaded = loaded.add_batch(add)
+
+        def files_per_band():
+            return {
+                d: len([f for f in os.listdir(f"{path}/bands/{d}")
+                        if f.endswith(".parquet")])
+                for d in os.listdir(f"{path}/bands") if d.startswith("band=")
+            }
+
+        before_links = {(r.corpus_id, r.new_id, r.jaccard)
+                        for r in loaded.match_batch(batch).collect()}
+        assert max(files_per_band().values()) >= 4
+        compacted = loaded.compact()
+        after = files_per_band()
+        assert max(after.values()) <= 2 and len(after) == index.params["bands"]
+        after_links = {(r.corpus_id, r.new_id, r.jaccard)
+                       for r in compacted.match_batch(batch).collect()}
+        assert after_links == before_links and len(after_links) > 0
+
+    def test_compact_in_memory_refused(self, index):
+        with pytest.raises(ValueError):
+            index.compact()

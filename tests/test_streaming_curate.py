@@ -118,6 +118,42 @@ class TestRealStream:
         assert {"lang", "split"} <= set(out.columns)
 
 
+class TestCompactionHook:
+    def test_compact_every_batch_bounded_files_same_results(
+            self, spark, corpus, docs, tmp_path):
+        """compact_every=1: identical acceptance decisions to the
+        uncompacted sink, and each band partition stays at ~1 file no
+        matter how many micro-batches ran."""
+        import os
+
+        plain = fresh_sink(spark, corpus, tmp_path / "plain")
+        compacting = fresh_sink(spark, corpus, tmp_path / "cmp",
+                                compact_every=1)
+        b1, b2 = make_batches(docs)
+        for sink in (plain, compacting):
+            sink(b1, 0)
+            sink(b2, 1)
+        a = {r.doc_id for r in accepted_dataset(spark, plain.out_path).collect()}
+        b = {r.doc_id
+             for r in accepted_dataset(spark, compacting.out_path).collect()}
+        assert a == b and len(a) > 0
+        bands_dir = f"{compacting.index_path}/bands"
+        per_band = [
+            len([f for f in os.listdir(f"{bands_dir}/{d}")
+                 if f.endswith(".parquet")])
+            for d in os.listdir(bands_dir) if d.startswith("band=")
+        ]
+        assert per_band and max(per_band) <= 2
+        # uncompacted control: build + 2 appends -> >=3 files somewhere
+        plain_bands = f"{plain.index_path}/bands"
+        plain_max = max(
+            len([f for f in os.listdir(f"{plain_bands}/{d}")
+                 if f.endswith(".parquet")])
+            for d in os.listdir(plain_bands) if d.startswith("band=")
+        )
+        assert plain_max >= 3
+
+
 class TestReplayAccounting:
     def test_funnel_totals_not_double_counted(self, spark, corpus, docs,
                                               tmp_path):
