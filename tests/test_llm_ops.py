@@ -327,3 +327,28 @@ class TestSurvivorsFromPairs:
             comp.setdefault(find(x), set()).add(x)
         expected = {min(m) for m in comp.values()}
         assert ids == expected
+
+
+class TestAdaptiveIndexGeometry:
+    """The corpus-adaptive sizing rules that keep ANN candidate work
+    bounded at scale (similarity.adaptive_n_planes / adaptive_nlist).
+    Measured motivation (round 4 sf1 smoke): fixed geometry tuned for
+    the 2k-vector corpus grew 71x (LSH) / 40x (IVF) wall at a 10x
+    scale-up because per-bucket/per-list size grew with the corpus."""
+
+    def test_small_corpus_matches_anchored_geometry(self):
+        # at the 2k-vector test corpus the rules reproduce the exact
+        # parameters every recall gate and bench anchor was measured at
+        assert S.adaptive_n_planes(2000) == 6
+        assert S.adaptive_nlist(2000) == 16
+
+    def test_growth_tracks_corpus(self):
+        assert S.adaptive_n_planes(20_000) == 10   # ~32/bucket held
+        assert S.adaptive_nlist(20_000) == 160     # ~125/list held
+        assert S.adaptive_nlist(500_000) == 4000   # N/125, below the cap
+
+    def test_bounds(self):
+        assert S.adaptive_n_planes(10) == 6          # floor
+        assert S.adaptive_n_planes(10**12) == 16     # cap (codegen-able probes)
+        assert S.adaptive_nlist(10) == 16            # floor
+        assert S.adaptive_nlist(10**12) == 4096      # cap (KMeans fit cost)

@@ -125,9 +125,11 @@ class TestPersistedCodesPlan:
     def test_stored_codes_skip_encode_stage(self, spark, emb, codebook, tmp_path):
         """quantization.py promises persisted codes avoid re-encoding:
         with ``codes=stored`` the ivf_pq_topk plan must contain no
-        scalar pandas-UDF (ArrowEvalPython) stage - the only Python is
-        the grouped ADC (FlatMapGroupsInPandas).  Without stored codes
-        the _enc stage appears."""
+        ``_enc`` pandas-UDF stage over the corpus.  (The query-side
+        ``probe`` UDF - bounded by the tiny query set - is present
+        either way, so the assertion pins the encode stage by name, not
+        ArrowEvalPython generically.)  Without stored codes the _enc
+        stage appears."""
         from kafka_cassandra_plugin_spark import plans as P
         from kafka_cassandra_plugin_spark.operators.similarity import IvfIndex
 
@@ -142,11 +144,11 @@ class TestPersistedCodesPlan:
 
         with_stored = P.formatted_plan(
             Q.ivf_pq_topk(idx, codebook, queries, k=5, codes=stored))
-        assert "ArrowEvalPython" not in with_stored
+        assert "_enc(" not in with_stored
         assert "FlatMapGroupsInPandas" in with_stored
 
         without = P.formatted_plan(Q.ivf_pq_topk(idx, codebook, queries, k=5))
-        assert "ArrowEvalPython" in without
+        assert "_enc(" in without
 
 
 class TestNonBigintIds:
