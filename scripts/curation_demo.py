@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""End-to-end curation pipeline demo — the README's ingest story, run.
+
+One scripted pass over the engine's training-data path:
+
+1. **Seed**: build a MinHashIndex from a seed corpus (documents with
+   ``doc_id % 3 == 0``) and save it.
+2. **Stream**: feed 3 micro-batches of new documents (including planted
+   cross-batch and vs-corpus near-duplicates) through a file-source
+   stream into :class:`~kafka_cassandra_plugin_spark.streaming.curate.
+   CurationSink` — per batch: quality/lang gates, exact dedup,
+   intra-batch near-dup, near-dup vs the *growing* index; accepted rows
+   land hive-partitioned under ``out/ingest_batch=*/lang=*/split=*``
+   and join the index so later batches dedup against them.
+3. **Compact**: the sink compacts the index every 2 add-batches
+   (streaming appends are a small-files factory; compaction bounds the
+   file count without changing probe results).
+4. **Report**: print the funnel (stage -> rows), the accepted dataset's
+   partition profile, and the index file counts.
+
+Run:  python scripts/curation_demo.py   (sandbox-green, ~1 min; uses
+/root/testdata/sf0.001 by default, override with --sf-dir)
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kafka_cassandra_plugin_spark.catalog import Catalog  # noqa: E402
+from kafka_cassandra_plugin_spark.operators.dedup_index import (  # noqa: E402
+    MinHashIndex,
+)
+from kafka_cassandra_plugin_spark.session import get_spark  # noqa: E402
+from kafka_cassandra_plugin_spark.streaming.curate import (  # noqa: E402
+    CurationSink,
+    accepted_dataset,
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--keep", metavar="DIR", default=None,
+                    help="keep artifacts under DIR instead of a tempdir")
+    args = ap.parse_args()
+
+    work = args.keep or tempfile.mkdtemp(prefix="curation_demo_")
+    index_path = os.path.join(work, "index")
+    out_path = os.path.join(work, "accepted")
+    src_path = os.path.join(work, "incoming")
+    ckpt_path = os.path.join(work, "ckpt")
+
+    spark = get_spark("curation-demo")
+    docs = Catalog(spark, args.sf_dir).documents.select("doc_id", "text")
+
+    # -- 1. seed corpus -> persisted index --------------------------------
+    seed = docs.filter(F.col("doc_id") % 3 == 0)
+    n_seed = seed.count()
+    index = MinHashIndex.build(seed).save(index_path)
+    print(f"[1] seeded index with {n_seed} corpus docs -> {index_path}")
+
+    # -- 2. three micro-batches, with planted duplicates ------------------
+    # batch 1: fresh docs; batch 2: fresh + copies of batch-1 docs
+    # (cross-batch dups); batch 3: fresh + copies of SEED docs (vs-corpus
+    # dups).  Copies get new ids, so only near-dup tiers can catch them.
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 2 == 0)).unionByName(
+        b1.filter(F.col("doc_id") % 5 == 1)
+        .select((F.col("doc_id") + 7_000_000).alias("doc_id"), "text")
+    )
+    b3 = docs.filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 2 == 1)).unionByName(
+        seed.filter(F.col("doc_id") % 5 == 2)
+        .select((F.col("doc_id") + 8_000_000).alias("doc_id"), "text")
+    )
+    os.makedirs(src_path, exist_ok=True)
+    for i, b in enumerate((b1, b2, b3), start=1):
+        b.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src_path, f"batch_{i}")
+        )
+        print(f"[2] staged micro-batch {i}: {b.count()} docs")
+
+    sink = CurationSink(index_path, out_path, compact_every=2)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src_path, "batch_*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    print(f"[2] stream done: {len(sink.funnel_by_batch)} micro-batches")
+
+    # -- 3 + 4. report ----------------------------------------------------
+    print("\n[3] curation funnel (summed over micro-batches):")
+    for stage, rows in sink.funnel_totals.items():
+        print(f"      {stage:<28s} {rows:>6d}")
+
+    acc = accepted_dataset(spark, out_path)
+    print("\n[4] accepted dataset by (ingest_batch, split):")
+    for r in (
+        acc.groupBy("ingest_batch", "split").count()
+        .orderBy("ingest_batch", "split").collect()
+    ):
+        print(f"      batch={r['ingest_batch']}  {r['split']:<6s} {r['count']:>6d}")
+
+    n_band_files = len(glob.glob(os.path.join(index_path, "bands", "**", "*.parquet"),
+                                 recursive=True))
+    n_shingle_files = len(glob.glob(os.path.join(index_path, "shingles", "**", "*.parquet"),
+                                    recursive=True))
+    final_corpus = (
+        MinHashIndex.load(spark, index_path)
+        .shingles.select("id").distinct().count()
+    )
+    print(f"\n[4] index after ingest+compaction: {final_corpus} docs, "
+          f"{n_band_files} band files / {n_shingle_files} shingle files")
+
+    spark.stop()
+    if not args.keep:
+        shutil.rmtree(work, ignore_errors=True)
+    print("\ndemo complete")
+
+
+if __name__ == "__main__":
+    main()
