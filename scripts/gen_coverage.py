@@ -66,7 +66,7 @@ EXTRA = {
     "R16": "session.py ENGINE_DEFAULTS layering (defaults < env < overrides)",
     "G3": "sources/kafka_stream option-builder; tests/test_streaming.py (skips without broker jar)",
     "G4": "sources/write_cassandra + CassandraLwtForeachBatch; LWT statements unit-tested",
-    "S1": "streaming/ops.py trigger cadence; bounded tests use availableNow",
+    "S1": "streaming/ops.py trigger cadence; bounded tests use availableNow; SLOs MEASURED round 4 (streaming/slo.py, tests/test_streaming_slo.py): change-notification p50 0.59 s / p90 0.82 s vs <= 1 s target at the live 500 ms trigger; lease failover worst 2.49 s vs <= 2.5 s target (event-time replay, exact)",
     "S2": "sources/_project_kafka from_json(value); plumbing test",
     "S3": "withWatermark in every streaming agg (streaming/ops.py)",
     "S4": "tests/test_streaming.py::TestWindowEquivalence::test_tumbling",
@@ -78,7 +78,7 @@ EXTRA = {
     "S10": "ListenerHub foreachBatch; Cassandra LWT sink",
     "S11": "tests/test_streaming.py::TestCheckpointedSink",
     "G55": "also operators/dedup.py minhash/simhash + planted-dup recall tests (tests/test_llm_ops.py)",
-    "G61": "recall gates >= 0.85: tests/test_llm_ops.py::TestAnnRecall (round-3 measured: LSH 1.00, IVF 0.94 @10)",
+    "G61": "recall gates >= 0.85: tests/test_llm_ops.py::TestAnnRecall (round-3 measured: LSH 1.00, IVF 0.94 @10); round 4: corpus-adaptive geometry (adaptive_n_planes/adaptive_nlist, anchored params reproduced at the small corpus, pinned in TestAdaptiveIndexGeometry) + vectorized probe kernels; sf1 smoke in bench.py sf1_queries",
     "G62": "also tests/test_multimodal.py (schema round-trip, Arrow batching, metadata plans)",
 }
 
