@@ -90,6 +90,7 @@ def measure_change_notification_latency(
     warmup: int = 2,
     trigger_ms: int = 500,
     state_partitions: int = 4,
+    preload_keys: int = 0,
     timeout_s: float = 90.0,
 ) -> dict:
     """Wall-clock the change-notification path at the reference cadence.
@@ -112,11 +113,30 @@ def measure_change_notification_latency(
     python-worker round-trips for a single-key stream, which alone
     exceeds the 500 ms poll budget.
 
+    ``preload_keys`` > 0 first streams one bulk file of that many
+    distinct keys through the query (counted as state population, not a
+    measurement) so the per-change readings are taken against a LARGE
+    resident state - the scale question for a stateful watcher is not
+    the single-key round-trip but whether latency holds once the state
+    store carries the full watched key-set (HDFS-backed state rewrites
+    a per-partition snapshot each batch, so this is the term that grows).
+
     Returns ``{"n", "p50_s", "p90_s", "max_s", "raw", "trigger_ms"}``.
     """
     src_dir = os.path.join(work_dir, "src")
     os.makedirs(src_dir, exist_ok=True)
     ckpt = os.path.join(work_dir, f"ckpt_{uuid.uuid4().hex[:8]}")
+    if preload_keys:
+        ts = datetime.utcnow()
+        bulk = pa.table(
+            {
+                "key": pa.array([f"bk{i}" for i in range(preload_keys)]),
+                "value": pa.array(["bulk"] * preload_keys),
+                "poll_ts": pa.array([ts] * preload_keys,
+                                    type=pa.timestamp("us")),
+            }
+        )
+        pq.write_table(bulk, os.path.join(src_dir, "evt_-1_preload.parquet"))
 
     recv: dict[str, float] = {}
 
