@@ -213,6 +213,26 @@ def _depth_ops(sf_dir):
         docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
         return PL.curate_annotated(docs)
 
+    def decontaminate(spark):
+        # corpus vs a benchmark set with planted contamination (copies
+        # of corpus docs, first word dropped) - the D6 scale shape:
+        # benchmark side broadcast, corpus never reshuffles
+        from kafka_cassandra_plugin_spark.operators.contamination import (
+            decontaminate as _decon,
+        )
+
+        docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+        corpus = docs.filter(F.col("doc_id") % 3 != 0)
+        bench_set = docs.filter(F.col("doc_id") % 3 == 0).limit(50).unionByName(
+            corpus.filter((F.col("doc_id") % 7 == 1) & (F.instr("text", " ") > 0))
+            .limit(25)
+            .select(
+                (F.col("doc_id") + 5_000_000).alias("doc_id"),
+                F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+            )
+        )
+        return _decon(corpus, bench_set, threshold=0.5)
+
     _state = {}
 
     def ivf_pq(spark):
@@ -228,7 +248,8 @@ def _depth_ops(sf_dir):
         return Q.ivf_pq_topk(_state["idx"], _state["cb"], q, k=10,
                              nprobe=10, shortlist=100)
 
-    return {"curation_funnel": curation_funnel, "sim_ivf_pq": ivf_pq}
+    return {"curation_funnel": curation_funnel, "sim_ivf_pq": ivf_pq,
+            "decontaminate": decontaminate}
 
 
 if __name__ == "__main__":

@@ -24,9 +24,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import Catalog
 from .operators import changes as _changes
+from .operators import contamination as _contamination
 from .operators import dedup as _dedup
+from .operators import export as _export
 from .operators import kv as _kv
 from .operators import membership as _membership
+from .operators import packing as _packing
 from .operators import pipeline as _pipeline
 from .operators import quantization as _quantization
 from .operators import sampling as _sampling
@@ -116,3 +119,14 @@ class Engine:
     curate_and_write = staticmethod(_pipeline.curate_and_write)
     pq_topk = staticmethod(_quantization.pq_topk)
     ivf_pq_topk = staticmethod(_quantization.ivf_pq_topk)
+
+    # -- training-export depth ops (round 4: SURVEY §2.5 tier D) -------------
+    contamination_links = staticmethod(_contamination.contamination_links)
+    decontaminate = staticmethod(_contamination.decontaminate)
+    shard_assignments = staticmethod(_export.shard_assignments)
+    export_shards = staticmethod(_export.export_shards)
+    pack_sequences = staticmethod(_packing.pack_sequences)
+    packing_stats = staticmethod(_packing.packing_stats)
+
+    def read_shards(self, path: str, shards=None) -> DataFrame:
+        return _export.read_shards(self.spark, path, shards)

@@ -1,0 +1,135 @@
+"""Sequence packing: binpack documents into fixed token budgets.
+
+Training consumes fixed-length sequences; feeding one short document per
+sequence wastes the budget on padding.  Packing assigns documents to
+"packs" whose token sums stay <= the budget, maximizing fill.  Optimal
+binpacking is NP-hard and inherently serial - the scale answer is
+partition-local first-fit-decreasing (FFD):
+
+- documents are routed to ``num_groups`` groups by a portable hash of
+  the id - deterministic for any input partitioning or cluster size
+  (``num_groups`` is a SEMANTIC parameter, not the physical partition
+  count: changing the cluster must not change the packing);
+- each group packs its own documents with FFD in (tokens desc, id)
+  order inside one ``applyInPandas`` kernel - embarrassingly parallel,
+  no cross-group coordination;
+- the waste bound is local: FFD fills >= ~70% worst-case and the only
+  cross-group loss is at most one underfull pack per group, negligible
+  when groups hold thousands of documents (pick ``num_groups`` so a
+  group's documents fit one executor's memory: ~budget x packs_per_group
+  tokens).
+
+Documents longer than the budget get a singleton pack flagged
+``oversize`` - truncation policy belongs to the caller.
+
+Reference provenance: no counterpart in /root/reference; LLM-pipeline
+closure (SURVEY §2.5).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from .text import token_count
+
+_OUT_FIELDS = [
+    StructField("group", LongType()),
+    StructField("pack", LongType()),
+    StructField("slot", LongType()),
+    StructField("n_tokens", LongType()),
+    StructField("oversize", BooleanType()),
+]
+
+
+def pack_sequences(df: DataFrame, max_tokens: int,
+                   id_col: str = "doc_id", tokens_col: str | None = None,
+                   text_col: str = "text",
+                   num_groups: int = 64, seed: int = 42) -> DataFrame:
+    """(id, group, pack, slot, n_tokens, oversize) - a deterministic
+    pack assignment for every input document.
+
+    ``pack`` ids are unique across groups (``group * 2^40 + local``);
+    ``slot`` is the document's position inside its pack (FFD insertion
+    order).  Token counts come from ``tokens_col`` when given, else the
+    whitespace :func:`.text.token_count` of ``text_col``.
+    """
+    if tokens_col is None:
+        df = df.withColumn("__nt", token_count(text_col).cast("long"))
+    else:
+        df = df.withColumn("__nt", F.col(tokens_col).cast("long"))
+    routed = df.select(
+        F.col(id_col).alias("id"),
+        "__nt",
+        F.pmod(
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)),
+            F.lit(num_groups),
+        ).alias("group"),
+    )
+    out_schema = StructType(
+        [StructField("id", routed.schema["id"].dataType)] + _OUT_FIELDS
+    )
+    budget = int(max_tokens)
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        # FFD in (tokens desc, id) order; the linear first-fit scan is
+        # O(docs x open packs) - fine at thousands of docs per group
+        # (size num_groups so that holds)
+        pdf = pdf.sort_values(
+            ["__nt", "id"], ascending=[False, True], kind="mergesort"
+        )
+        group = int(pdf["group"].iloc[0])
+        rem: list[int] = []    # remaining budget per pack (-1 = closed)
+        slots: list[int] = []  # next slot index per pack
+        rows = []
+        for doc_id, nt in zip(pdf["id"], pdf["__nt"]):
+            nt = int(nt)
+            if nt > budget:
+                rem.append(-1)  # oversize singleton, never refilled
+                slots.append(1)
+                rows.append((doc_id, group, len(rem) - 1, 0, nt, True))
+                continue
+            for i, r in enumerate(rem):
+                if r >= nt:
+                    rows.append((doc_id, group, i, slots[i], nt, False))
+                    rem[i] = r - nt
+                    slots[i] += 1
+                    break
+            else:
+                rem.append(budget - nt)
+                slots.append(1)
+                rows.append((doc_id, group, len(rem) - 1, 0, nt, False))
+        out = pd.DataFrame(
+            rows, columns=["id", "group", "pack", "slot", "n_tokens", "oversize"]
+        )
+        out["pack"] = group * (1 << 40) + out["pack"]
+        return out
+
+    return (
+        routed.groupBy("group")
+        .applyInPandas(ffd, schema=out_schema)
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def packing_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
+    """One row per pack: doc count, token sum, fill ratio.  The
+    aggregate tests gate on (`every non-oversize pack <= max_tokens`,
+    mean fill) - the packing quality metric."""
+    return (
+        packed.groupBy("pack")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.max(F.col("oversize").cast("int")).cast("boolean").alias("oversize"),
+        )
+        .withColumn("fill", F.round(F.col("tokens") / F.lit(max_tokens), 4))
+    )

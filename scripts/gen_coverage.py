@@ -107,6 +107,19 @@ TIER_D = {
            "operators/quantization.py",
            "recall@10 >= 0.8 (measured 0.92); ADC group-size bound; benched "
            "as extra_queries['sim_ivf_pq'] (tests/test_quantization.py)"),
+    "D6": ("benchmark decontamination (contamination_links/decontaminate)",
+           "operators/contamination.py",
+           "planted benchmark copies removed; broadcast-plan assertion; "
+           "benched as extra_queries['decontaminate'] "
+           "(tests/test_training_export.py)"),
+    "D7": ("deterministic shard export (export_shards/read_shards)",
+           "operators/export.py",
+           "contents+order identical across input partitionings; one file "
+           "per shard; partition pruning (tests/test_training_export.py)"),
+    "D8": ("sequence packing (pack_sequences/packing_stats)",
+           "operators/packing.py",
+           "budget respected; deterministic across partitionings; FFD fill "
+           "(tests/test_training_export.py)"),
 }
 
 

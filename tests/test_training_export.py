@@ -1,0 +1,173 @@
+"""Tier-D training-export ops: decontamination, shard export, packing.
+
+Gates:
+- decontaminate: planted benchmark copies (exact and perturbed) are
+  removed, clean docs survive, links carry the right jaccard; the
+  benchmark side is broadcast in the plan (scale shape).
+- export_shards: shard contents AND in-shard order are identical for
+  different input partitionings (determinism is a function of the data
+  alone); one file per shard; read_shards prunes.
+- pack_sequences: no pack exceeds the budget (except flagged oversize
+  singletons); assignment is deterministic under repartitioning; fill
+  is FFD-quality, not one-doc-per-pack.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_cassandra_plugin_spark.catalog import Catalog
+from kafka_cassandra_plugin_spark.operators.contamination import (
+    contamination_links,
+    decontaminate,
+)
+from kafka_cassandra_plugin_spark.operators.export import (
+    export_shards,
+    read_shards,
+    shard_assignments,
+)
+from kafka_cassandra_plugin_spark.operators.packing import (
+    pack_sequences,
+    packing_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return Catalog(spark, sf_dir).documents.select("doc_id", "text")
+
+
+class TestDecontamination:
+    @pytest.fixture(scope="class")
+    def corpus_and_bench(self, docs):
+        corpus = docs.filter(F.col("doc_id") % 3 != 0)
+        # benchmarks: held-out docs + planted contamination = copies of
+        # corpus docs (new ids, one leading word dropped -> near-dup,
+        # not exact)
+        clean_bench = docs.filter(F.col("doc_id") % 3 == 0).limit(40)
+        planted = (
+            corpus.filter((F.col("doc_id") % 7 == 1) & (F.instr("text", " ") > 0))
+            .limit(20)
+            .select(
+                (F.col("doc_id") + 5_000_000).alias("doc_id"),
+                F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+            )
+        )
+        bench = clean_bench.unionByName(planted)
+        contaminated_ids = {
+            r.doc_id - 5_000_000 for r in planted.select("doc_id").collect()
+        }
+        return corpus, bench, contaminated_ids
+
+    def test_links_find_planted_contamination(self, corpus_and_bench):
+        corpus, bench, planted_ids = corpus_and_bench
+        links = contamination_links(corpus, bench, threshold=0.5)
+        found = {r.corpus_id for r in links.select("corpus_id").collect()}
+        assert planted_ids <= found
+        lk = links.collect()
+        assert all(0.5 <= r.jaccard <= 1.0 for r in lk)
+
+    def test_decontaminate_removes_exactly_linked_ids(self, corpus_and_bench):
+        corpus, bench, _ = corpus_and_bench
+        links = contamination_links(corpus, bench, threshold=0.5)
+        dirty = {r.corpus_id for r in links.select("corpus_id").distinct().collect()}
+        kept = {
+            r.doc_id
+            for r in decontaminate(corpus, bench, threshold=0.5)
+            .select("doc_id").collect()
+        }
+        everyone = {r.doc_id for r in corpus.select("doc_id").collect()}
+        assert kept == everyone - dirty
+        assert dirty.isdisjoint(kept)
+
+    def test_benchmark_side_is_broadcast(self, corpus_and_bench):
+        from kafka_cassandra_plugin_spark import plans as P
+
+        corpus, bench, _ = corpus_and_bench
+        plan = P.formatted_plan(contamination_links(corpus, bench))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestShardExport:
+    N = 8
+
+    def test_deterministic_across_partitionings(self, spark, docs, tmp_path):
+        a_path, b_path = str(tmp_path / "a"), str(tmp_path / "b")
+        export_shards(docs, a_path, self.N)
+        export_shards(docs.repartition(13), b_path, self.N)
+        for k in range(self.N):
+            rows_a = [
+                (r.doc_id, r.text)
+                for r in spark.read.parquet(f"{a_path}/shard={k}").collect()
+            ]
+            rows_b = [
+                (r.doc_id, r.text)
+                for r in spark.read.parquet(f"{b_path}/shard={k}").collect()
+            ]
+            assert rows_a == rows_b  # same contents AND same order
+            assert len(rows_a) > 0
+
+    def test_one_file_per_shard_and_coverage(self, spark, docs, tmp_path):
+        import glob
+
+        path = str(tmp_path / "s")
+        export_shards(docs, path, self.N)
+        for k in range(self.N):
+            files = glob.glob(f"{path}/shard={k}/*.parquet")
+            assert len(files) == 1, f"shard {k}: {files}"
+        total = read_shards(spark, path).count()
+        assert total == docs.count()
+
+    def test_read_shards_prunes(self, spark, docs, tmp_path):
+        path = str(tmp_path / "p")
+        export_shards(docs, path, self.N)
+        some = read_shards(spark, path, shards=[0, 3])
+        assert {r.shard for r in some.select("shard").distinct().collect()} == {0, 3}
+
+    def test_seed_reshuffles(self, docs):
+        a = shard_assignments(docs, self.N, seed=1).select("doc_id", "shard")
+        b = shard_assignments(docs, self.N, seed=2).select("doc_id", "shard")
+        moved = a.join(b.withColumnRenamed("shard", "shard2"), "doc_id").filter(
+            F.col("shard") != F.col("shard2")
+        )
+        assert moved.count() > 0
+
+
+class TestPacking:
+    BUDGET = 256
+
+    @pytest.fixture(scope="class")
+    def packed(self, docs):
+        return pack_sequences(docs, self.BUDGET, num_groups=8).cache()
+
+    def test_every_doc_assigned_once(self, docs, packed):
+        assert packed.count() == docs.count()
+        assert packed.select("doc_id").distinct().count() == docs.count()
+
+    def test_budget_respected(self, packed):
+        stats = packing_stats(packed, self.BUDGET)
+        over = stats.filter(
+            (~F.col("oversize")) & (F.col("tokens") > self.BUDGET)
+        )
+        assert over.count() == 0
+
+    def test_oversize_docs_are_flagged_singletons(self, packed):
+        big = packed.filter(F.col("oversize"))
+        if big.take(1):
+            per_pack = big.groupBy("pack").count()
+            assert per_pack.filter(F.col("count") > 1).count() == 0
+            assert big.filter(F.col("n_tokens") <= self.BUDGET).count() == 0
+
+    def test_fill_beats_one_doc_per_pack(self, docs, packed):
+        n_docs = docs.count()
+        n_packs = packed.select("pack").distinct().count()
+        assert n_packs < n_docs * 0.6  # packing actually packs
+
+    def test_deterministic_across_partitionings(self, docs, packed):
+        again = pack_sequences(docs.repartition(17), self.BUDGET, num_groups=8)
+        a = {(r.doc_id, r.pack, r.slot) for r in packed.collect()}
+        b = {(r.doc_id, r.pack, r.slot) for r in again.collect()}
+        assert a == b
