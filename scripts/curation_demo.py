@@ -17,6 +17,10 @@ One scripted pass over the engine's training-data path:
    file count without changing probe results).
 4. **Report**: print the funnel (stage -> rows), the accepted dataset's
    partition profile, and the index file counts.
+5. **Decontaminate**: drop accepted docs that near-duplicate a
+   benchmark set (planted: perturbed copies of accepted docs).
+6. **Pack + export**: first-fit-decreasing pack the clean docs into
+   512-token budgets, then write 4 deterministic training shards.
 
 Run:  python scripts/curation_demo.py   (sandbox-green, ~1 min; uses
 /root/testdata/sf0.001 by default, override with --sf-dir)
@@ -128,6 +132,45 @@ def main() -> None:
     )
     print(f"\n[4] index after ingest+compaction: {final_corpus} docs, "
           f"{n_band_files} band files / {n_shingle_files} shingle files")
+
+    # -- 5. decontaminate vs a benchmark set ------------------------------
+    from kafka_cassandra_plugin_spark.operators.contamination import (
+        decontaminate,
+    )
+    from kafka_cassandra_plugin_spark.operators.export import export_shards
+    from kafka_cassandra_plugin_spark.operators.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+
+    clean_docs = acc.select("doc_id", "text")
+    bench_set = (
+        clean_docs.filter((F.col("doc_id") % 11 == 3) & (F.instr("text", " ") > 0))
+        .limit(25)
+        .select(
+            (F.col("doc_id") + 9_000_000).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+    )
+    decon = decontaminate(clean_docs, bench_set, threshold=0.5)
+    n_before, n_after = clean_docs.count(), decon.count()
+    print(f"\n[5] decontamination vs {bench_set.count()} benchmark docs: "
+          f"{n_before} -> {n_after} (dropped {n_before - n_after})")
+
+    # -- 6. pack + shard export ------------------------------------------
+    packed = pack_sequences(decon, 512, num_groups=8)
+    stats = packing_stats(packed, 512)
+    n_packs = stats.count()
+    fill = stats.agg(F.avg("fill")).first()[0]
+    print(f"[6] packed {n_after} docs into {n_packs} x 512-token packs "
+          f"(mean fill {fill:.3f})")
+    shards_path = os.path.join(work, "shards")
+    export_shards(decon, shards_path, 4)
+    for r in (
+        spark.read.parquet(shards_path).groupBy("shard").count()
+        .orderBy("shard").collect()
+    ):
+        print(f"      shard={r['shard']}  {r['count']:>6d} docs")
 
     spark.stop()
     if not args.keep:
