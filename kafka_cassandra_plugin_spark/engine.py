@@ -106,6 +106,8 @@ class Engine:
     text_profile = staticmethod(_text.text_profile)
     hash_split = staticmethod(_sampling.hash_split)
     deterministic_sample = staticmethod(_sampling.deterministic_sample)
+    stratified_sample = staticmethod(_sampling.stratified_sample)
+    mix_sources = staticmethod(_sampling.mix_sources)
 
     # -- recurring-ingest depth ops (round 3+: SURVEY §2.5 tier D) -----------
     build_dedup_index = staticmethod(MinHashIndex.build)

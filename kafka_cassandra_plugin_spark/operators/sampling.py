@@ -69,3 +69,72 @@ def deterministic_sample(df: DataFrame, key_col: str, fraction: float,
     kept or dropped forever (given the salt), so downstream joins against
     the sample stay consistent across pipeline runs."""
     return df.filter(split_bucket(key_col, salt) < int(round(fraction * BUCKETS)))
+
+
+def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
+                      fractions: dict, default_fraction: float = 0.0,
+                      salt: str = "") -> DataFrame:
+    """Deterministic per-stratum sampling: keep ``fractions[stratum]`` of
+    each stratum's rows by hash bucket (the re-runnable ``sampleBy``).
+    Strata absent from ``fractions`` keep ``default_fraction``.
+
+    Same guarantees as :func:`deterministic_sample` - membership is a
+    pure function of (key, salt), so rebalancing a skewed corpus (e.g.
+    downsampling an over-represented language) is reproducible across
+    runs, clusters, and engines, and still a map-stage filter."""
+    b = split_bucket(key_col, salt)
+    thresh = None
+    for stratum, frac in fractions.items():
+        cut = F.lit(int(round(frac * BUCKETS)))
+        cond = F.col(strata_col) == stratum
+        thresh = F.when(cond, cut) if thresh is None else thresh.when(cond, cut)
+    thresh = (
+        thresh.otherwise(F.lit(int(round(default_fraction * BUCKETS))))
+        if thresh is not None
+        else F.lit(int(round(default_fraction * BUCKETS)))
+    )
+    return df.filter(b < thresh)
+
+
+def mix_sources(df: DataFrame, key_col: str, source_col: str,
+                weights: dict, salt: str = "") -> DataFrame:
+    """Weighted dataset mixture (the Pile/LLaMA-style recipe): per
+    source, ``weights[source]`` is the expected number of EPOCHS of that
+    source in the mixture - 0.5 keeps a deterministic half, 2.5 repeats
+    every row twice plus a deterministic half, missing sources drop.
+
+    Output adds an ``epoch`` column (0-based repeat index) so each
+    repeat is a distinct training row downstream (e.g. for
+    :func:`.export.export_shards`, where the shard hash should include
+    the epoch: pass a composed id).  Mechanics are map-only and
+    deterministic: the integer part repeats rows via a literal-sequence
+    explode (no data-dependent fanout), the fractional part keeps a hash
+    slice - same discipline as :func:`deterministic_sample`, salted per
+    source so slices are independent across sources."""
+    import math
+
+    out = None
+    for source, w in weights.items():
+        if w <= 0:
+            continue
+        whole, frac = int(math.floor(w)), w - math.floor(w)
+        part = df.filter(F.col(source_col) == source)
+        pieces = []
+        if whole:
+            pieces.append(
+                part.withColumn(
+                    "epoch",
+                    F.explode(F.sequence(F.lit(0), F.lit(whole - 1))),
+                )
+            )
+        if frac > 0:
+            pieces.append(
+                deterministic_sample(
+                    part, key_col, frac, salt=f"{salt}|mix|{source}"
+                ).withColumn("epoch", F.lit(whole))
+            )
+        for p in pieces:
+            out = p if out is None else out.unionByName(p)
+    if out is None:
+        raise ValueError("mix_sources: no source has positive weight")
+    return out

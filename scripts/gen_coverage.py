@@ -120,6 +120,11 @@ TIER_D = {
            "operators/packing.py",
            "budget respected; deterministic across partitionings; FFD fill "
            "(tests/test_training_export.py)"),
+    "D9": ("stratified sampling + source mixing "
+           "(stratified_sample/mix_sources)",
+           "operators/sampling.py",
+           "per-stratum rates + determinism; exact epoch counts; "
+           "(doc, epoch) uniqueness (tests/test_training_export.py)"),
 }
 
 

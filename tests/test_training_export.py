@@ -171,3 +171,72 @@ class TestPacking:
         a = {(r.doc_id, r.pack, r.slot) for r in packed.collect()}
         b = {(r.doc_id, r.pack, r.slot) for r in again.collect()}
         assert a == b
+
+
+class TestStratifiedSampleAndMix:
+    @pytest.fixture(scope="class")
+    def docs_src(self, spark, sf_dir):
+        return Catalog(spark, sf_dir).documents.select(
+            "doc_id", "text", "lang", "source"
+        )
+
+    def test_stratified_rates_and_determinism(self, docs_src):
+        from kafka_cassandra_plugin_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        by_n = sorted(
+            docs_src.groupBy("lang").count().collect(),
+            key=lambda r: -r["count"],
+        )
+        big, small = by_n[0].lang, by_n[1].lang  # largest stratum first
+        fr = {big: 0.25, small: 1.0}
+        samp = stratified_sample(docs_src, "doc_id", "lang", fr)
+        base = {r.lang: r["count"] for r in docs_src.groupBy("lang").count().collect()}
+        got = {r.lang: r["count"] for r in samp.groupBy("lang").count().collect()}
+        # full stratum kept exactly; sampled stratum near its rate;
+        # default_fraction=0 drops everything else
+        assert got[small] == base[small]
+        # hash-slice rate has binomial-like variance; the table is small
+        # (hundreds of docs per stratum), so gate at ~3 sigma
+        assert abs(got[big] / base[big] - 0.25) < 0.12
+        assert set(got) == {big, small}
+        # determinism: identical membership under repartitioning
+        again = stratified_sample(docs_src.repartition(13), "doc_id", "lang", fr)
+        assert {r.doc_id for r in samp.select("doc_id").collect()} == {
+            r.doc_id for r in again.select("doc_id").collect()
+        }
+
+    def test_mix_sources_epochs_and_fractions(self, docs_src):
+        from kafka_cassandra_plugin_spark.operators.sampling import mix_sources
+
+        srcs = [r.source for r in docs_src.select("source").distinct().collect()]
+        up, down = srcs[0], srcs[1]
+        mixed = mix_sources(
+            docs_src, "doc_id", "source", {up: 2.5, down: 0.5}
+        )
+        base = {
+            r.source: r["count"] for r in docs_src.groupBy("source").count().collect()
+        }
+        got = {r.source: r["count"] for r in mixed.groupBy("source").count().collect()}
+        assert set(got) == {up, down}  # unweighted sources drop
+        # 2.5 epochs: two full copies + ~half; epochs 0,1 exact
+        per_epoch = {
+            (r.source, r.epoch): r["count"]
+            for r in mixed.groupBy("source", "epoch").count().collect()
+        }
+        assert per_epoch[(up, 0)] == base[up]
+        assert per_epoch[(up, 1)] == base[up]
+        assert abs(per_epoch[(up, 2)] / base[up] - 0.5) < 0.1
+        assert abs(got[down] / base[down] - 0.5) < 0.1
+        # repeats are distinct training rows: (doc_id, epoch) unique
+        assert (
+            mixed.groupBy("doc_id", "epoch").count().filter(F.col("count") > 1).count()
+            == 0
+        )
+
+    def test_mix_requires_positive_weight(self, docs_src):
+        from kafka_cassandra_plugin_spark.operators.sampling import mix_sources
+
+        with pytest.raises(ValueError):
+            mix_sources(docs_src, "doc_id", "source", {"nope": 0.0})
