@@ -240,3 +240,53 @@ class TestStratifiedSampleAndMix:
 
         with pytest.raises(ValueError):
             mix_sources(docs_src, "doc_id", "source", {"nope": 0.0})
+
+
+class TestTrainingExportPlans:
+    """Plan-shape gates for the scale claims: sampling/mixing are pure
+    map stages (zero Exchange); shard export is exactly ONE shuffle."""
+
+    def test_stratified_sample_no_shuffle(self, docs_src_plans):
+        from kafka_cassandra_plugin_spark import plans as P
+        from kafka_cassandra_plugin_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        plan = P.formatted_plan(
+            stratified_sample(docs_src_plans, "doc_id", "lang", {"en": 0.5})
+        )
+        assert "Exchange" not in plan
+
+    def test_mix_sources_no_shuffle(self, docs_src_plans):
+        from kafka_cassandra_plugin_spark import plans as P
+        from kafka_cassandra_plugin_spark.operators.sampling import mix_sources
+
+        plan = P.formatted_plan(
+            mix_sources(docs_src_plans, "doc_id", "source",
+                        {"src0": 2.5, "src1": 0.5})
+        )
+        assert "Exchange" not in plan
+
+    def test_export_shards_single_shuffle(self, docs_src_plans):
+        from kafka_cassandra_plugin_spark import plans as P
+        from kafka_cassandra_plugin_spark.operators.export import (
+            shard_assignments,
+        )
+
+        staged = (
+            shard_assignments(docs_src_plans, 8)
+            .repartition(8, "shard")
+            .sortWithinPartitions("shard", "__ord")
+        )
+        plan = P.formatted_plan(staged)
+        # formatted plans print each node twice (tree + detail); count
+        # detail headers "(n) Exchange" - exactly one shuffle node
+        assert plan.count(") Exchange") == 1
+        assert "rangepartitioning" not in plan.lower()  # no global sort
+
+
+@pytest.fixture(scope="module")
+def docs_src_plans(spark, sf_dir):
+    return Catalog(spark, sf_dir).documents.select(
+        "doc_id", "text", "lang", "source"
+    )
