@@ -8,6 +8,8 @@ CassandraPluginLocator.scala:32-53).  The Spark-native equivalent: an
 - the relational surface (``table`` / ``sql`` - Catalyst does the rest),
 - the reference-semantics library (kv/cas/lease/cdc) bound to DataFrames,
 - the LLM-pipeline operators (dedup / similarity / text / multimodal),
+- the training-export tier (decontamination, shard export, packing,
+  stratified sampling, source mixing),
 - streaming pipelines (watch -> foreachBatch fan-out / sinks).
 
     from kafka_cassandra_plugin_spark import Engine
