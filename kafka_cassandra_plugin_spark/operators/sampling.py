@@ -106,35 +106,35 @@ def mix_sources(df: DataFrame, key_col: str, source_col: str,
     Output adds an ``epoch`` column (0-based repeat index) so each
     repeat is a distinct training row downstream (e.g. for
     :func:`.export.export_shards`, where the shard hash should include
-    the epoch: pass a composed id).  Mechanics are map-only and
-    deterministic: the integer part repeats rows via a literal-sequence
-    explode (no data-dependent fanout), the fractional part keeps a hash
-    slice - same discipline as :func:`deterministic_sample`, salted per
-    source so slices are independent across sources."""
+    the epoch: pass a composed id).
+
+    Mechanics are ONE corpus scan, map-only, deterministic: the weight
+    rides in as a literal map keyed by source; each row computes its
+    epoch count = floor(weight) + (1 if its salted hash slice falls
+    inside the fractional part) and explodes a 0..count-1 sequence
+    (explode drops the count=0 and unweighted-source rows).  A
+    union-of-filters formulation would rescan the corpus once per
+    source - at 100 TB that is |sources| scans for one mixture.  The
+    hash slice is salted with the source so per-source slices are
+    independent, same discipline as :func:`deterministic_sample`."""
     import math
 
-    out = None
+    pairs = []
     for source, w in weights.items():
-        if w <= 0:
-            continue
-        whole, frac = int(math.floor(w)), w - math.floor(w)
-        part = df.filter(F.col(source_col) == source)
-        pieces = []
-        if whole:
-            pieces.append(
-                part.withColumn(
-                    "epoch",
-                    F.explode(F.sequence(F.lit(0), F.lit(whole - 1))),
-                )
-            )
-        if frac > 0:
-            pieces.append(
-                deterministic_sample(
-                    part, key_col, frac, salt=f"{salt}|mix|{source}"
-                ).withColumn("epoch", F.lit(whole))
-            )
-        for p in pieces:
-            out = p if out is None else out.unionByName(p)
-    if out is None:
+        if w > 0:
+            pairs += [F.lit(source), F.lit(float(w))]
+    if not pairs:
         raise ValueError("mix_sources: no source has positive weight")
-    return out
+    w = F.create_map(*pairs)[F.col(source_col)]
+    whole = F.floor(w).cast("int")
+    frac = w - F.floor(w)
+    salted_key = F.concat_ws(
+        "|", F.lit(f"{salt}|mix"), F.col(source_col),
+        F.col(key_col).cast("string"),
+    )
+    extra = (split_bucket(salted_key) < frac * BUCKETS).cast("int")
+    total = whole + extra
+    return df.withColumn(
+        "epoch",
+        F.explode(F.when(total > 0, F.sequence(F.lit(0), total - 1))),
+    )
