@@ -165,3 +165,68 @@ class TestHashSplitPartition:
             got = by.get(label, 0) / n
             tol = 4 * (frac * (1 - frac) / n) ** 0.5 + 0.02
             assert abs(got - frac) <= tol, (label, got, frac, tol)
+
+
+class TestPackingInvariants:
+    @SLOW
+    @given(
+        toks=st.lists(st.integers(1, 400), min_size=1, max_size=40),
+        budget=st.sampled_from([64, 128, 256]),
+    )
+    def test_budget_and_conservation(self, spark, toks, budget):
+        """For ARBITRARY token multisets: every non-oversize pack sums
+        <= budget, every doc appears exactly once, token mass is
+        conserved, and oversize docs are exactly those > budget."""
+        from kafka_cassandra_plugin_spark.operators.packing import (
+            pack_sequences,
+            packing_stats,
+        )
+
+        rows = [(i, int(t)) for i, t in enumerate(toks)]
+        df = spark.createDataFrame(rows, "doc_id long, nt long")
+        packed = pack_sequences(
+            df, budget, tokens_col="nt", num_groups=4
+        ).collect()
+        assert sorted(r.doc_id for r in packed) == [r[0] for r in rows]
+        assert sum(r.n_tokens for r in packed) == sum(toks)
+        by_pack: dict = {}
+        for r in packed:
+            by_pack.setdefault(r.pack, []).append(r)
+        for members in by_pack.values():
+            if any(m.oversize for m in members):
+                assert len(members) == 1
+                assert members[0].n_tokens > budget
+            else:
+                assert sum(m.n_tokens for m in members) <= budget
+
+
+class TestMixInvariants:
+    @SLOW
+    @given(
+        n_rows=st.integers(1, 30),
+        whole=st.integers(0, 3),
+        frac_bp=st.sampled_from([0, 2500, 5000, 9999]),
+    )
+    def test_epoch_counts(self, spark, n_rows, whole, frac_bp):
+        """Full epochs are EXACT copies of the source; the fractional
+        epoch is a subset; epochs are contiguous from 0; zero-weight
+        mixtures raise."""
+        from kafka_cassandra_plugin_spark.operators.sampling import mix_sources
+
+        w = whole + frac_bp / 10_000
+        rows = [(i, "s") for i in range(n_rows)]
+        df = spark.createDataFrame(rows, "doc_id long, src string")
+        if w == 0:
+            with pytest.raises(ValueError):
+                mix_sources(df, "doc_id", "src", {"s": w})
+            return
+        mixed = mix_sources(df, "doc_id", "src", {"s": w}).collect()
+        per_epoch: dict = {}
+        for r in mixed:
+            per_epoch.setdefault(r.epoch, set()).add(r.doc_id)
+        all_ids = {i for i, _ in rows}
+        for e in range(whole):
+            assert per_epoch.get(e, set()) == all_ids  # exact full copies
+        tail = per_epoch.get(whole, set())
+        assert tail <= all_ids                          # subset slice
+        assert set(per_epoch) <= set(range(whole + 1))  # contiguous epochs
