@@ -249,8 +249,11 @@ def _depth_ops(sf_dir):
 
         docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
         corpus = docs.filter(F.col("doc_id") % 3 != 0)
-        bench_set = docs.filter(F.col("doc_id") % 3 == 0).limit(50).unionByName(
+        # orderBy before limit: deterministic benchmark membership across
+        # the retry runs (an unordered limit may pick different rows)
+        bench_set = docs.filter(F.col("doc_id") % 3 == 0).orderBy("doc_id").limit(50).unionByName(
             corpus.filter((F.col("doc_id") % 7 == 1) & (F.instr("text", " ") > 0))
+            .orderBy("doc_id")
             .limit(25)
             .select(
                 (F.col("doc_id") + 5_000_000).alias("doc_id"),

@@ -28,28 +28,42 @@ Cassandra KV/lease code); this op belongs to the LLM-pipeline closure
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import exploded_shingles
+from .dedup import adaptive_bands, exploded_shingles
 from .dedup_index import MinHashIndex
 
 
 def contamination_links(corpus: DataFrame, benchmarks: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         threshold: float = 0.8, n: int = 3,
-                        num_hashes: int = 64, bands: int = 16,
+                        num_hashes: int = 64, bands: int | None = None,
                         hash_fn: str = "xxhash64") -> DataFrame:
     """(corpus_id, bench_id, jaccard) for every corpus document whose
     shingle-set Jaccard with some benchmark document is >= ``threshold``.
 
+    ``bands=None`` (default) derives the banding from ``threshold`` via
+    :func:`.dedup.adaptive_bands`, so the S-curve knee always sits at or
+    below the caller's threshold (candidate recall >= 95% at the
+    threshold).  A fixed 16x4 banding proposes only ~64% of j=0.5 pairs
+    - silent contamination leakage at the thresholds decontamination is
+    actually run at.  Pass ``bands`` explicitly to pin a geometry.
+
     Scale shape: benchmark bands and shingle sets are broadcast (the
     benchmark set is small by definition); the corpus is scanned once -
     shingle/band map-side, candidate equi-join on (band, bucket) against
-    the broadcast, exact verify against broadcast benchmark shingle
-    sets.  The only corpus-wide shuffle is the shingle-assembly window
-    inside :func:`.dedup.exploded_shingles` (one hash partition by id).
+    the broadcast, exact verify against corpus shingle sets semi-join
+    pruned to candidates.  The corpus-wide terms are the shingle-assembly
+    window inside :func:`.dedup.exploded_shingles` (one hash partition
+    by id) and a DISK_ONLY persist of the exploded shingles (consumed by
+    both the band and verify branches; persist - unlike a checkpoint -
+    is recomputable from lineage on executor loss and evictable, so no
+    corpus-sized state is pinned to non-replicated local storage).
     """
+    if bands is None:
+        bands = adaptive_bands(threshold, num_hashes)
     params = {"n": n, "num_hashes": num_hashes, "bands": bands,
               "hash_fn": hash_fn}
 
@@ -63,7 +77,9 @@ def contamination_links(corpus: DataFrame, benchmarks: DataFrame,
         F.collect_set("sh").alias("sh_bench")
     ).withColumnsRenamed({"id": "bench_id"})
 
-    corpus_ex = exploded_shingles(corpus, text_col, id_col, n).localCheckpoint()
+    corpus_ex = exploded_shingles(corpus, text_col, id_col, n).persist(
+        StorageLevel.DISK_ONLY
+    )
     corpus_bands = MinHashIndex._band_table(corpus_ex, params).withColumnsRenamed(
         {"id": "corpus_id"}
     )
@@ -103,7 +119,7 @@ def contamination_links(corpus: DataFrame, benchmarks: DataFrame,
 def decontaminate(corpus: DataFrame, benchmarks: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   threshold: float = 0.8, n: int = 3,
-                  num_hashes: int = 64, bands: int = 16,
+                  num_hashes: int = 64, bands: int | None = None,
                   hash_fn: str = "xxhash64") -> DataFrame:
     """The corpus minus every document contaminated by ``benchmarks``
     (left-anti join against :func:`contamination_links` ids).  Keeps the

@@ -310,6 +310,34 @@ def banded_buckets(signatures: DataFrame, bands: int = 16,
     ).select("id", "band", key(F.col("slice")).alias("bucket"))
 
 
+def adaptive_bands(threshold: float, num_hashes: int = 64,
+                   min_recall: float = 0.95) -> int:
+    """Band count whose LSH S-curve catches ``threshold``-Jaccard pairs
+    with probability >= ``min_recall``.
+
+    Banding ``b`` bands of ``r = num_hashes/b`` rows proposes a pair of
+    Jaccard ``j`` with probability ``1-(1-j^r)^b``; the curve's knee
+    sits near ``(1/b)^(1/r)``.  A FIXED (b, r) silently loses candidate
+    recall whenever the caller's threshold falls below that knee - e.g.
+    the 16x4 default proposes only ~64% of j=0.5 pairs, and no
+    downstream exact-verify can recover a pair the banding never
+    proposed.  This picks the largest ``r`` (fewest low-similarity
+    collisions, so the cheapest verify stage) whose candidate recall AT
+    the threshold still clears ``min_recall``; ``r=1`` (every hash its
+    own band) is the always-valid floor.  At the default threshold 0.8
+    this reproduces the anchored 16x4 geometry exactly.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    for r in range(num_hashes, 0, -1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        if 1.0 - (1.0 - threshold ** r) ** b >= min_recall:
+            return b
+    return num_hashes
+
+
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
                         rows_per_band: int = 4,
                         bucket_key: str = "xxhash64") -> DataFrame:

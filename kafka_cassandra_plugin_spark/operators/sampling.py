@@ -117,8 +117,6 @@ def mix_sources(df: DataFrame, key_col: str, source_col: str,
     source - at 100 TB that is |sources| scans for one mixture.  The
     hash slice is salted with the source so per-source slices are
     independent, same discipline as :func:`deterministic_sample`."""
-    import math
-
     pairs = []
     for source, w in weights.items():
         if w > 0:

@@ -652,17 +652,44 @@ def sim_lsh_ann(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
-_IVF_INDEXES: dict[str, "S.IvfIndex"] = {}
-_CORPUS_ROWS: dict[str, int] = {}
+_IVF_INDEXES: dict[tuple, "S.IvfIndex"] = {}
+_CORPUS_ROWS: dict[tuple, int] = {}
+
+
+def _emb_cache_key(sf_dir: str) -> tuple:
+    """Memo key for the embeddings table: (sf_dir, snapshot fingerprint)
+    where the fingerprint is the sorted (relpath, size, mtime_ns) of the
+    table's files.  A dataset rebuilt or resized at the same path gets a
+    new key, so the caches below can never serve a stale row count
+    (wrong adaptive geometry) or a stale IVF index - the failure mode of
+    keying on the path string alone.  Listing a parquet directory is a
+    metadata-only O(files) stat pass, negligible next to any query."""
+    import os
+
+    root = os.path.join(sf_dir, "embeddings.parquet")
+    entries = []
+    if os.path.isfile(root):
+        st = os.stat(root)
+        entries.append(("", st.st_size, st.st_mtime_ns))
+    else:
+        for dirpath, _, files in os.walk(root):
+            for fname in files:
+                p = os.path.join(dirpath, fname)
+                st = os.stat(p)
+                entries.append(
+                    (os.path.relpath(p, root), st.st_size, st.st_mtime_ns)
+                )
+    return (sf_dir, tuple(sorted(entries)))
 
 
 def _corpus_rows(spark, sf_dir: str) -> int:
-    """Embedding-corpus row count, memoized per sf_dir (one
+    """Embedding-corpus row count, memoized per dataset snapshot (one
     metadata-only parquet count; sizes the adaptive index geometry)."""
-    n = _CORPUS_ROWS.get(sf_dir)
+    key = _emb_cache_key(sf_dir)
+    n = _CORPUS_ROWS.get(key)
     if n is None:
         n = Catalog(spark, sf_dir).embeddings.count()
-        _CORPUS_ROWS[sf_dir] = n
+        _CORPUS_ROWS[key] = n
     return n
 
 
@@ -684,11 +711,12 @@ def _corpus_rows(spark, sf_dir: str) -> int:
 def sim_ivf_ann(spark, sf_dir):
     e = Catalog(spark, sf_dir).embeddings
     queries = e.filter(F.col("vec_id") % 10 == 0)
-    idx = _IVF_INDEXES.get(sf_dir)
+    key = _emb_cache_key(sf_dir)
+    idx = _IVF_INDEXES.get(key)
     if idx is None:
         nlist = S.adaptive_nlist(_corpus_rows(spark, sf_dir))
         idx = S.IvfIndex.build(e, nlist=nlist, seed=42)
-        _IVF_INDEXES[sf_dir] = idx
+        _IVF_INDEXES[key] = idx
     return idx.topk(queries, k=10, nprobe=10).orderBy("query_id", "rank")
 
 

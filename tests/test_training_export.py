@@ -45,9 +45,13 @@ class TestDecontamination:
         # benchmarks: held-out docs + planted contamination = copies of
         # corpus docs (new ids, one leading word dropped -> near-dup,
         # not exact)
-        clean_bench = docs.filter(F.col("doc_id") % 3 == 0).limit(40)
+        # orderBy before limit: the planted frame is evaluated twice
+        # (once to collect contaminated_ids, once inside the query) and
+        # an unordered limit may pick different rows per evaluation
+        clean_bench = docs.filter(F.col("doc_id") % 3 == 0).orderBy("doc_id").limit(40)
         planted = (
             corpus.filter((F.col("doc_id") % 7 == 1) & (F.instr("text", " ") > 0))
+            .orderBy("doc_id")
             .limit(20)
             .select(
                 (F.col("doc_id") + 5_000_000).alias("doc_id"),
@@ -89,6 +93,77 @@ class TestDecontamination:
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_adaptive_bands_knee_tracks_threshold(self):
+        from kafka_cassandra_plugin_spark.operators.dedup import adaptive_bands
+
+        # the anchored 16x4 geometry is reproduced at the 0.8 default
+        assert adaptive_bands(0.8, 64) == 16
+        # at 0.5 the fixed 16x4 proposes only ~64% of threshold pairs;
+        # the adaptive geometry widens to 32x2 (recall ~0.9999)
+        assert adaptive_bands(0.5, 64) == 32
+        for t in (0.3, 0.5, 0.7, 0.8, 0.9):
+            b = adaptive_bands(t, 64)
+            r = 64 // b
+            assert 1.0 - (1.0 - t**r) ** b >= 0.95, (t, b)
+
+    def test_near_threshold_contamination_is_found(self, docs):
+        """Pairs with exact Jaccard just above the 0.5 threshold must be
+        proposed by the banding (the fixed 16x4 geometry missed ~25-35%
+        of them - the ADVICE r4 leakage).  Perturbation: every 10th word
+        replaced -> ~70% of 3-shingles survive -> J ~= 0.7/1.3 ~= 0.54,
+        right in the weak zone of the old knee."""
+        from kafka_cassandra_plugin_spark.operators.dedup import exploded_shingles
+
+        corpus = (
+            docs.filter(
+                (F.col("doc_id") % 5 == 2) & (F.size(F.split("text", " ")) >= 30)
+            )
+            .orderBy("doc_id")
+            .limit(30)
+        )
+        words = F.split("text", " ")
+        perturbed = corpus.select(
+            (F.col("doc_id") + 9_000_000).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    words,
+                    lambda w, i: F.when(
+                        i % 10 == 9, F.concat(F.lit("zqx"), i.cast("string"))
+                    ).otherwise(w),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        a = (
+            exploded_shingles(corpus, "text", "doc_id", 3)
+            .groupBy("id")
+            .agg(F.collect_set("sh").alias("sa"))
+        )
+        b = (
+            exploded_shingles(perturbed, "text", "doc_id", 3)
+            .groupBy("id")
+            .agg(F.collect_set("sh").alias("sb"))
+            .withColumn("id", F.col("id") - 9_000_000)
+        )
+        jac = {
+            r["id"]: r["j"]
+            for r in a.join(b, "id")
+            .select(
+                "id",
+                (
+                    F.size(F.array_intersect("sa", "sb"))
+                    / F.size(F.array_union("sa", "sb"))
+                ).alias("j"),
+            )
+            .collect()
+        }
+        must_find = {i for i, v in jac.items() if v >= 0.5}
+        assert must_find, "construction should land pairs at/above threshold"
+        assert any(v < 0.7 for v in jac.values()), "pairs should be NEAR threshold"
+        links = contamination_links(corpus, perturbed, threshold=0.5)
+        found = {r.corpus_id for r in links.select("corpus_id").collect()}
+        assert must_find <= found
 
 
 class TestShardExport:
