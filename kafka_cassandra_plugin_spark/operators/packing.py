@@ -53,15 +53,36 @@ _OUT_FIELDS = [
 def pack_sequences(df: DataFrame, max_tokens: int,
                    id_col: str = "doc_id", tokens_col: str | None = None,
                    text_col: str = "text",
-                   num_groups: int = 64, seed: int = 42) -> DataFrame:
-    """(id, group, pack, slot, n_tokens, oversize) - a deterministic
-    pack assignment for every input document.
+                   num_groups: int | None = None,
+                   target_group_docs: int = 4096,
+                   max_group_docs: int = 262_144,
+                   seed: int = 42) -> DataFrame:
+    """(id, group, pack, slot, n_tokens, oversize, num_groups) - a
+    deterministic pack assignment for every input document.
 
     ``pack`` ids are unique across groups (``group * 2^40 + local``);
     ``slot`` is the document's position inside its pack (FFD insertion
     order).  Token counts come from ``tokens_col`` when given, else the
     whitespace :func:`.text.token_count` of ``text_col``.
+
+    Group sizing: ``num_groups=None`` (default) derives
+    ``ceil(rows / target_group_docs)`` from one map-only count, so a
+    50M-doc corpus gets ~12k groups instead of 64 - a FIXED default
+    would route ~800k docs into one applyInPandas kernel and OOM it.
+    The chosen value is recorded in every output row (``num_groups``
+    column) because it is part of the packing's identity: re-running
+    with the same (data, num_groups, seed) reproduces the assignment
+    bit-for-bit on any cluster, so pin the recorded value, not the
+    derivation, when re-materializing.  Passing ``num_groups``
+    explicitly skips the count (the 100 TB caller sizes by hand).
+    Either way a kernel-side guard raises when a group exceeds
+    ``max_group_docs`` (hash routing is uniform, so this only fires on
+    genuinely undersized ``num_groups``) - failing loudly beats an
+    executor OOM mid-job.
     """
+    if num_groups is None:
+        num_groups = max(1, -(-df.count() // int(target_group_docs)))
+    num_groups = int(num_groups)
     if tokens_col is None:
         df = df.withColumn("__nt", token_count(text_col).cast("long"))
     else:
@@ -78,11 +99,19 @@ def pack_sequences(df: DataFrame, max_tokens: int,
         [StructField("id", routed.schema["id"].dataType)] + _OUT_FIELDS
     )
     budget = int(max_tokens)
+    group_cap = int(max_group_docs)
 
     def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
         # FFD in (tokens desc, id) order; the linear first-fit scan is
         # O(docs x open packs) - fine at thousands of docs per group
         # (size num_groups so that holds)
+        if len(pdf) > group_cap:
+            raise ValueError(
+                f"pack_sequences: group {int(pdf['group'].iloc[0])} holds "
+                f"{len(pdf)} docs > max_group_docs={group_cap}; raise "
+                "num_groups (or lower target_group_docs) so each group "
+                "fits one executor's applyInPandas kernel"
+            )
         pdf = pdf.sort_values(
             ["__nt", "id"], ascending=[False, True], kind="mergesort"
         )
@@ -117,6 +146,7 @@ def pack_sequences(df: DataFrame, max_tokens: int,
         routed.groupBy("group")
         .applyInPandas(ffd, schema=out_schema)
         .withColumnRenamed("id", id_col)
+        .withColumn("num_groups", F.lit(num_groups))
     )
 
 

@@ -247,6 +247,24 @@ class TestPacking:
         b = {(r.doc_id, r.pack, r.slot) for r in again.collect()}
         assert a == b
 
+    def test_derived_num_groups_recorded_and_reproducible(self, docs):
+        n = docs.count()
+        derived = pack_sequences(docs, self.BUDGET, target_group_docs=100)
+        recorded = [r.num_groups for r in derived.select("num_groups").distinct().collect()]
+        assert recorded == [-(-n // 100)]  # ceil(rows / target)
+        # pinning the recorded value reproduces the assignment exactly -
+        # the recorded column IS the re-materialization contract
+        pinned = pack_sequences(docs, self.BUDGET, num_groups=recorded[0])
+        a = {(r.doc_id, r.pack, r.slot) for r in derived.collect()}
+        b = {(r.doc_id, r.pack, r.slot) for r in pinned.collect()}
+        assert a == b
+
+    def test_oversized_group_raises(self, docs):
+        with pytest.raises(Exception, match="max_group_docs"):
+            pack_sequences(
+                docs, self.BUDGET, num_groups=1, max_group_docs=50
+            ).collect()
+
 
 class TestStratifiedSampleAndMix:
     @pytest.fixture(scope="class")
