@@ -36,13 +36,25 @@ from .dedup import adaptive_bands, exploded_shingles
 from .dedup_index import MinHashIndex
 
 
-def contamination_links(corpus: DataFrame, benchmarks: DataFrame,
+def contamination_links(corpus: "DataFrame | MinHashIndex",
+                        benchmarks: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         threshold: float = 0.8, n: int = 3,
                         num_hashes: int = 64, bands: int | None = None,
                         hash_fn: str = "xxhash64") -> DataFrame:
     """(corpus_id, bench_id, jaccard) for every corpus document whose
     shingle-set Jaccard with some benchmark document is >= ``threshold``.
+
+    ``corpus`` may be a :class:`.dedup_index.MinHashIndex` instead of a
+    DataFrame: the probe then runs against the index's STORED band and
+    shingle tables - the daily-decontamination user who already
+    maintains the incremental index pays one broadcast band probe
+    instead of a full corpus re-shingle pass (at 100 TB, the difference
+    between a dimension-table job and a corpus scan).  The index's
+    build-time banding geometry is fixed; when its candidate recall at
+    ``threshold`` falls below 95% a warning says so (rebuild the index
+    with :func:`.dedup.adaptive_bands` geometry, or accept the
+    documented recall).
 
     ``bands=None`` (default) derives the banding from ``threshold`` via
     :func:`.dedup.adaptive_bands`, so the S-curve knee always sits at or
@@ -62,6 +74,9 @@ def contamination_links(corpus: DataFrame, benchmarks: DataFrame,
     is recomputable from lineage on executor loss and evictable, so no
     corpus-sized state is pinned to non-replicated local storage).
     """
+    if isinstance(corpus, MinHashIndex):
+        return _links_from_index(corpus, benchmarks, text_col, id_col,
+                                 threshold)
     if bands is None:
         bands = adaptive_bands(threshold, num_hashes)
     params = {"n": n, "num_hashes": num_hashes, "bands": bands,
@@ -116,17 +131,85 @@ def contamination_links(corpus: DataFrame, benchmarks: DataFrame,
     )
 
 
+def _links_from_index(index: MinHashIndex, benchmarks: DataFrame,
+                      text_col: str, id_col: str,
+                      threshold: float) -> DataFrame:
+    """Index-probing contamination links: only the BENCHMARK side is
+    shingled/banded (with the index's stored parameters); candidates
+    come from a broadcast equi-join against the stored band table and
+    the verify join touches stored corpus shingle sets semi-join-pruned
+    to candidate ids.  The executed plan contains no corpus-side shingle
+    assembly at all (plan-gated in tests) - the corpus terms are two
+    partition-pruned parquet scans of the index tables."""
+    import warnings
+
+    params = index.params
+    b, r = params["bands"], params["num_hashes"] // params["bands"]
+    recall = 1.0 - (1.0 - threshold ** r) ** b
+    if recall < 0.95:
+        warnings.warn(
+            f"MinHashIndex banding {b}x{r} proposes only ~{recall:.0%} of "
+            f"jaccard={threshold} pairs (S-curve knee ~"
+            f"{(1.0 / b) ** (1.0 / r):.2f}); rebuild the index with "
+            "adaptive_bands(threshold) geometry for full-recall "
+            "decontamination at this threshold",
+            stacklevel=3,
+        )
+    bench_ex = exploded_shingles(
+        benchmarks, text_col, id_col, params["n"]
+    ).localCheckpoint()
+    bench_bands = MinHashIndex._band_table(bench_ex, params).withColumnsRenamed(
+        {"id": "bench_id"}
+    )
+    bench_sh = bench_ex.groupBy("id").agg(
+        F.collect_set("sh").alias("sh_bench")
+    ).withColumnsRenamed({"id": "bench_id"})
+
+    cands = (
+        index.bands.withColumnsRenamed({"id": "corpus_id"})
+        .join(F.broadcast(bench_bands), ["band", "bucket"])
+        .select("corpus_id", "bench_id")
+        .distinct()
+    )
+    corpus_sh = (
+        index.shingles.join(
+            cands.select(F.col("corpus_id").alias("id")).distinct(),
+            "id", "left_semi",
+        )
+        .withColumnsRenamed({"id": "corpus_id", "sh": "sh_corpus"})
+    )
+    return (
+        cands.join(corpus_sh, "corpus_id")
+        .join(F.broadcast(bench_sh), "bench_id")
+        .withColumn(
+            "__j_raw",
+            F.size(F.array_intersect("sh_corpus", "sh_bench"))
+            / F.size(F.array_union("sh_corpus", "sh_bench")),
+        )
+        .filter(F.col("__j_raw") >= threshold)
+        # replayed add_batch can duplicate index rows for an id; max()
+        # keeps the surviving jaccard deterministic (same discipline as
+        # MinHashIndex.match_batch)
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.round(F.max("__j_raw"), 4).alias("jaccard"))
+    )
+
+
 def decontaminate(corpus: DataFrame, benchmarks: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   threshold: float = 0.8, n: int = 3,
                   num_hashes: int = 64, bands: int | None = None,
-                  hash_fn: str = "xxhash64") -> DataFrame:
+                  hash_fn: str = "xxhash64",
+                  index: MinHashIndex | None = None) -> DataFrame:
     """The corpus minus every document contaminated by ``benchmarks``
     (left-anti join against :func:`contamination_links` ids).  Keeps the
-    corpus schema unchanged."""
+    corpus schema unchanged.  Pass ``index`` (a MinHashIndex of the SAME
+    corpus) to probe stored bands instead of re-shingling the corpus -
+    one broadcast probe instead of a full corpus pass."""
     dirty = (
         contamination_links(
-            corpus, benchmarks, text_col, id_col, threshold,
+            index if index is not None else corpus,
+            benchmarks, text_col, id_col, threshold,
             n, num_hashes, bands, hash_fn,
         )
         .select(F.col("corpus_id").alias(id_col))

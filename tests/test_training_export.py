@@ -94,6 +94,55 @@ class TestDecontamination:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_index_probe_equivalent_to_frame_path(self, corpus_and_bench, tmp_path):
+        """contamination_links(MinHashIndex, bench) must return exactly
+        the frame-based links when the index carries the same banding
+        geometry (32x2 = what adaptive_bands picks at threshold 0.5)."""
+        from kafka_cassandra_plugin_spark.operators.dedup_index import MinHashIndex
+
+        corpus, bench, planted_ids = corpus_and_bench
+        idx = MinHashIndex.build(corpus, bands=32).save(str(tmp_path / "ix"))
+        via_frame = contamination_links(corpus, bench, threshold=0.5)
+        via_index = contamination_links(idx, bench, threshold=0.5)
+        a = {(r.corpus_id, r.bench_id, r.jaccard) for r in via_frame.collect()}
+        b = {(r.corpus_id, r.bench_id, r.jaccard) for r in via_index.collect()}
+        assert a == b
+        assert planted_ids <= {cid for cid, _, _ in b}
+
+    def test_index_probe_never_scans_corpus_text(self, corpus_and_bench, spark, tmp_path):
+        """The executed plan of the index probe must contain no corpus
+        scan and no corpus-side shingle assembly - the stored band and
+        shingle tables are the only corpus terms (that is the point of
+        reusing the index: broadcast probe, not corpus pass)."""
+        from kafka_cassandra_plugin_spark import plans as P
+        from kafka_cassandra_plugin_spark.operators.dedup_index import MinHashIndex
+
+        corpus, _, _ = corpus_and_bench
+        idx = MinHashIndex.build(corpus, bands=32).save(str(tmp_path / "ix2"))
+        bench_local = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+        )
+        plan = P.formatted_plan(contamination_links(idx, bench_local, threshold=0.5))
+        assert "documents.parquet" not in plan  # no corpus re-shingle scan
+        assert "Window" not in plan  # no corpus-side shingle window either
+        # contrast: the frame path necessarily scans the corpus text
+        frame_plan = P.formatted_plan(
+            contamination_links(corpus, bench_local, threshold=0.5)
+        )
+        assert "documents.parquet" in frame_plan
+
+    def test_index_probe_warns_on_low_recall_geometry(self, corpus_and_bench, tmp_path):
+        import warnings
+
+        from kafka_cassandra_plugin_spark.operators.dedup_index import MinHashIndex
+
+        corpus, bench, _ = corpus_and_bench
+        idx = MinHashIndex.build(corpus, bands=16).save(str(tmp_path / "ix3"))
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            contamination_links(idx, bench, threshold=0.5)
+        assert any("banding" in str(w.message) for w in caught)
+
     def test_adaptive_bands_knee_tracks_threshold(self):
         from kafka_cassandra_plugin_spark.operators.dedup import adaptive_bands
 
