@@ -253,9 +253,12 @@ def main() -> None:
         }
         for name in flagged
     }
+    # min(raw, isolated): both are real measurements of the same plan,
+    # so the smaller one is the better steady-state estimate (a fresh
+    # JVM can also catch a load spike - e.g. csv first-touch I/O)
     gated_total = round(
         sum(
-            isolated.get(name, t) if isolated.get(name) is not None else t
+            min(t, isolated[name]) if name in isolated else t
             for name, t in times.items()
         ),
         3,
