@@ -68,13 +68,18 @@ class CurationSink:
 
     ``compact_every``: every N index-growing micro-batches, rewrite the
     index's band/shingle parquet into ``compact_target_mb`` files
-    (:meth:`MinHashIndex.compact`).  add_batch appends files per batch;
-    at the engine's 500 ms reference trigger cadence an uncompacted
-    index accretes ~7k files/hour/table - the classic streaming
-    small-files decay.  Compaction runs between batches on the sink's
-    own thread, which is exactly the non-concurrent window the swap
-    needs.  It is maintenance, not semantics: probes return identical
-    links before and after (pinned by test)."""
+    (:meth:`MinHashIndex.compact`) AND coalesce the accepted dataset's
+    committed ``ingest_batch=<id>/`` directories into the oldest id
+    (:meth:`compact_accepted`).  add_batch appends files per batch and
+    the sink writes one output dir per batch; at the engine's 500 ms
+    reference trigger cadence an uncompacted ingest accretes ~7k
+    files/hour/table and ~7k dirs/hour - the classic streaming
+    small-files decay, where directory LISTING becomes the read
+    bottleneck after a month.  Compaction runs between batches on the
+    sink's own thread, which is exactly the non-concurrent window the
+    swap needs.  It is maintenance, not semantics: probes return
+    identical links, and ``accepted_dataset`` returns identical data
+    rows, before and after (pinned by test)."""
 
     def __init__(self, index_path: str, out_path: str,
                  text_col: str = "text", id_col: str = "doc_id",
@@ -124,10 +129,73 @@ class CurationSink:
         self._adds += 1
         if self.compact_every and self._adds % self.compact_every == 0:
             index.compact(self.compact_target_mb)
+            self.compact_accepted(spark, before_batch=batch_id)
         self.funnel_by_batch[batch_id] = {
             row["stage"]: row["rows"]
             for row in curation_funnel(annotated).collect()
         }
+
+    def compact_accepted(self, spark, before_batch: int) -> int:
+        """Coalesce committed ``ingest_batch=<id>`` dirs (id <
+        ``before_batch``) into the oldest such id; returns how many dirs
+        were merged (0 = nothing to do).
+
+        Replay safety: foreachBatch only ever replays the batch whose
+        commit is not yet in the streaming checkpoint - by the time
+        batch N runs, every id < N is durably committed and can never be
+        rewritten, so merging them cannot collide with a replay (the
+        current batch's dir is deliberately excluded).  The merged rows
+        keep their data columns and (lang, split) partitions bit-for-bit;
+        the ``ingest_batch`` partition value becomes the oldest merged id
+        - after compaction it reads as "ingested at or after", a
+        provenance floor, which is the price of bounding dir count.
+        The swap (write sibling, delete sources, rename) is the same
+        discipline as :meth:`MinHashIndex.compact` and equally
+        non-atomic: run it from the sink's own thread between batches
+        (which ``compact_every`` does), never concurrently with readers.
+        """
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        glob = jvm.org.apache.hadoop.fs.Path(f"{self.out_path}/ingest_batch=*")
+        fs = glob.getFileSystem(conf)
+        ids = []
+        for status in fs.globStatus(glob) or []:
+            name = status.getPath().getName()
+            try:
+                bid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if bid < before_batch:
+                ids.append(bid)
+        if len(ids) < 2:
+            return 0
+        dest = min(ids)
+        srcs = [f"{self.out_path}/ingest_batch={i}" for i in sorted(ids)]
+        df = spark.read.option("basePath", self.out_path).parquet(*srcs).drop(
+            "ingest_batch"
+        )
+        total_bytes = sum(
+            fs.getContentSummary(jvm.org.apache.hadoop.fs.Path(p)).getLength()
+            for p in srcs
+        )
+        nparts = max(1, -(-total_bytes // (self.compact_target_mb << 20)))
+        tmp = f"{self.out_path}/__compacting_accepted"
+        (
+            df.repartition(int(nparts), "lang", "split")
+            .write.mode("overwrite")
+            .partitionBy("lang", "split")
+            .parquet(tmp)
+        )
+        for p in srcs:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)
+        hdest = jvm.org.apache.hadoop.fs.Path(
+            f"{self.out_path}/ingest_batch={dest}"
+        )
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hdest):
+            raise IOError(
+                f"compact_accepted: rename {tmp} -> {hdest} failed"
+            )
+        return len(ids)
 
 
 def accepted_dataset(spark, out_path: str) -> DataFrame:

@@ -154,6 +154,55 @@ class TestCompactionHook:
         assert plain_max >= 3
 
 
+class TestAcceptedCompaction:
+    def test_compaction_bounds_dirs_same_rows(self, spark, corpus, docs,
+                                              tmp_path):
+        """After K micro-batches + compaction: accepted_dataset data
+        rows identical to the uncompacted sink's, committed dirs merged
+        into the oldest id (dir count bounded), and a replayed batch
+        after compaction still changes nothing."""
+        import glob as g
+
+        b1, b2 = make_batches(docs)
+        # fresh content for a third batch: reversed word order shares
+        # almost no 3-shingles with the originals already indexed
+        b3 = docs.filter(F.col("doc_id") % 3 == 1).select(
+            (F.col("doc_id") + 11_000_000).alias("doc_id"),
+            F.array_join(F.reverse(F.split("text", " ")), " ").alias("text"),
+        )
+        plain = fresh_sink(spark, corpus, tmp_path / "plain")
+        comp = fresh_sink(spark, corpus, tmp_path / "comp", compact_every=3)
+        for i, b in enumerate((b1, b2, b3)):
+            plain(b, i)
+            comp(b, i)
+
+        def rows(path):
+            return sorted(
+                (r.doc_id, r.text, r.lang, r.split)
+                for r in accepted_dataset(spark, path).collect()
+            )
+
+        assert rows(plain.out_path) == rows(comp.out_path)
+        assert len(g.glob(f"{plain.out_path}/ingest_batch=*")) == 3
+        # batches 0 and 1 merged into ingest_batch=0; batch 2 untouched
+        comp_dirs = sorted(g.glob(f"{comp.out_path}/ingest_batch=*"))
+        assert [d.rsplit("=", 1)[1] for d in comp_dirs] == ["0", "2"]
+        # ingest_batch of merged rows reads as the provenance floor
+        merged = accepted_dataset(spark, comp.out_path)
+        assert {r.ingest_batch for r in merged.select("ingest_batch").distinct().collect()} == {0, 2}
+        # replay of the current batch after compaction: still idempotent
+        comp(b3, 2)
+        assert rows(comp.out_path) == rows(plain.out_path)
+
+    def test_compact_accepted_noop_below_two_dirs(self, spark, corpus, docs,
+                                                  tmp_path):
+        sink = fresh_sink(spark, corpus, tmp_path)
+        b1, _ = make_batches(docs)
+        sink(b1, 0)
+        assert sink.compact_accepted(spark, before_batch=0) == 0  # nothing committed before 0
+        assert sink.compact_accepted(spark, before_batch=1) == 0  # one dir: noop
+
+
 class TestReplayAccounting:
     def test_funnel_totals_not_double_counted(self, spark, corpus, docs,
                                               tmp_path):
