@@ -31,8 +31,22 @@ Upsampling rules (deterministic, replica i in 0..9):
 - **events keep their timestamps** (10x density in the same window —
   how a busier stream actually looks); ids shift.
 
+**Clusterable variant** (``--clustered``): the sign-flip upsampling is
+adversarially uniform - within-label cosine ~= cross-label ~= 0 - so no
+index can beat scanned fraction there and sf1 ANN recall says nothing
+about real corpora (BASELINE.md round-4 note).  ``--clustered`` writes a
+SEPARATE embeddings-only dataset (``.scale/sf1_clustered/``) with the
+same schema and scale (20k x 64-dim) drawn from 200 Gaussian clusters:
+unit-norm centers, per-point noise sigma=0.05 => within-cluster cosine
+~0.86 vs cross-cluster ~0 +- 0.125 - the geometry real embedding
+corpora actually have (label = cluster id).  This is the corpus the
+"adaptive geometry holds recall on clusterable data" claim is measured
+on (scripts/clustered_recall.py; gated at reduced scale in
+tests/test_quantization.py).
+
 Usage: python scripts/build_sf1.py [--src /root/testdata/sf0.1]
                                    [--out /root/repo/.scale/sf1]
+                                   [--clustered]
 """
 
 from __future__ import annotations
@@ -143,6 +157,45 @@ def build(src: str, out: str) -> None:
         print(f"{name}: {base.num_rows} -> {grown.num_rows}")
 
 
+def build_clustered(out: str, n_vecs: int = 20_000, dim: int = 64,
+                    n_clusters: int = 200, sigma: float = 0.05,
+                    seed: int = 7) -> None:
+    """Write a clusterable ANN-recall corpus: ``n_vecs`` points drawn
+    around ``n_clusters`` unit-norm Gaussian centers (module docstring).
+    Same schema as the driver's embeddings table (vec_id, embedding,
+    label), with ``label`` = cluster id so recall analyses can condition
+    on cluster membership."""
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.integers(0, n_clusters, size=n_vecs)
+    mat = centers[labels] + sigma * rng.standard_normal(
+        (n_vecs, dim)
+    ).astype(np.float32)
+    table = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n_vecs, dtype=np.int64)),
+            "embedding": pa.array(list(mat), type=pa.list_(pa.float32())),
+            "label": pa.array(labels.astype(np.int32)),
+        }
+    )
+    pq.write_table(
+        table, os.path.join(out, "embeddings.parquet"), row_group_size=1 << 20
+    )
+    within = float(
+        np.mean(
+            np.sum(
+                (mat[:500] / np.linalg.norm(mat[:500], axis=1, keepdims=True))
+                * centers[labels[:500]],
+                axis=1,
+            )
+        )
+    )
+    print(f"clustered embeddings: {n_vecs} x {dim}, {n_clusters} clusters, "
+          f"mean point-to-own-center cosine {within:.3f}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
@@ -153,8 +206,14 @@ def main() -> None:
             ".scale", "sf1",
         ),
     )
+    ap.add_argument("--clustered", action="store_true",
+                    help="also write the clusterable ANN-recall corpus "
+                         "to <out>_clustered/")
     args = ap.parse_args()
-    build(args.src, args.out)
+    if args.clustered:
+        build_clustered(args.out.rstrip("/") + "_clustered")
+    else:
+        build(args.src, args.out)
 
 
 if __name__ == "__main__":
