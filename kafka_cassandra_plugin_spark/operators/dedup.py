@@ -344,7 +344,14 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
     """LSH banding candidates: docs agreeing on any whole band become a
     candidate pair.  Implementation: :func:`banded_buckets` + self-join
     on equality - at scale this is an equi-shuffle on the band hash,
-    never an all-pairs comparison."""
+    never an all-pairs comparison.
+
+    Skew bound (stress-tested with a 30%-of-corpus identical-text
+    clique): a hot bucket of k docs proposes the SAME C(k,2) pairs in
+    every band; the trailing distinct() collapses that to C(k,2) once -
+    the true near-dup set, which any correct dedup must materialize -
+    so band count multiplies per-band join work but never the candidate
+    set handed to the verify stage."""
     b = banded_buckets(signatures, bands, rows_per_band, bucket_key)
     x, y = b.alias("x"), b.alias("y")
     return (

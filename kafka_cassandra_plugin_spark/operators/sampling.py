@@ -116,7 +116,13 @@ def mix_sources(df: DataFrame, key_col: str, source_col: str,
     union-of-filters formulation would rescan the corpus once per
     source - at 100 TB that is |sources| scans for one mixture.  The
     hash slice is salted with the source so per-source slices are
-    independent, same discipline as :func:`deterministic_sample`."""
+    independent, same discipline as :func:`deterministic_sample`.
+
+    Skew bound (stress-tested with a weight-8.0 source): fanout is
+    STRUCTURAL - a row emits floor(w) + {0,1} copies, so a heavy source
+    multiplies its own rows by at most ceil(max weight) and the plan
+    remains a zero-Exchange map stage; there is no shuffle a hot source
+    could skew."""
     pairs = []
     for source, w in weights.items():
         if w > 0:
