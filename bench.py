@@ -285,6 +285,7 @@ def main() -> None:
         payload["sf1_queries"] = sf1_times
         if sf1_skipped:
             payload["sf1_skipped"] = sf1_skipped
+        payload["sf1_oracle"] = _sf1_oracle(spark, sf1_dir, registry)
 
     payload["isolated_retries"] = retries
     payload["raw_total"] = total
@@ -297,6 +298,43 @@ def main() -> None:
         json.dump(payload, f, indent=1)
     print(json.dumps(payload))
     spark.stop()
+
+
+# Scale CORRECTNESS, not just scale wall-clock: the DuckDB oracle re-run
+# at sf1 for the 10 most expensive oracle-checkable declared queries
+# (the driver's correctness gate stops at sf0.1 - a wrong-answer bug
+# that only manifests at scale, e.g. an overflow or a hash-collision
+# regime change, would otherwise pass every round).  Budgeted like the
+# smoke; cheap queries first so a budget truncation skips the most
+# expensive collect, with explicit skip markers.
+SF1_ORACLE = [
+    "agg_pricing_summary", "join_star_revenue", "agg_stats_profile",
+    "text_stats", "sim_topk_bruteforce", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "dedup_minhash_lsh", "dedup_simhash",
+    "cas_lifecycle",
+]
+
+
+def _sf1_oracle(spark, sf1_dir: str, registry,
+                budget_s: float = 540.0) -> dict:
+    from kafka_cassandra_plugin_spark import oracle
+
+    budget_s = float(os.environ.get("SPARK_GRAFT_SF1_ORACLE_BUDGET", budget_s))
+    con = oracle.duck_connect(sf1_dir)
+    start = time.perf_counter()
+    out = {}
+    for name in SF1_ORACLE:
+        if time.perf_counter() - start > budget_s:
+            out[name] = {"match": None, "rows": None, "err": "skipped_budget"}
+            continue
+        q = registry[name]
+        try:
+            rows = oracle.compare(q.build(spark, sf1_dir), con, q.sql, name)
+            out[name] = {"match": True, "rows": rows, "err": None}
+        except Exception as ex:  # record, never abort the artifact
+            out[name] = {"match": False, "rows": None, "err": str(ex)[:300]}
+    con.close()
+    return out
 
 
 # The 10 most expensive declared queries (by BENCH_r03) + the depth
@@ -471,8 +509,51 @@ def _depth_ops(sf_dir):
         return Q.ivf_pq_topk(_state["idx"], _state["cb"], q, k=10,
                              nprobe=10, shortlist=100)
 
+    # D7-D9 training-export rows (round 5): the staging plan of the
+    # deterministic shard export (assignment + the one shuffle + the
+    # partition-local sort - everything but the parquet writer), the
+    # single-scan weighted mixture, and the map-stage stratified sample.
+    def shard_export_staging(spark):
+        from kafka_cassandra_plugin_spark.operators.export import (
+            shard_assignments,
+        )
+
+        docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+        return (
+            shard_assignments(docs, n_shards=16)
+            .repartition(16, "shard")
+            .sortWithinPartitions("shard", "__ord")
+            .drop("__ord")
+        )
+
+    def mix(spark):
+        from kafka_cassandra_plugin_spark.operators.sampling import mix_sources
+
+        docs = Catalog(spark, sf_dir).documents.select(
+            "doc_id", "text", "source"
+        )
+        weights = {f"src{i}": w for i, w in enumerate(
+            [2.5, 0.5, 1.0, 8.0] + [1.0] * 16
+        )}
+        return mix_sources(docs, "doc_id", "source", weights)
+
+    def stratified(spark):
+        from kafka_cassandra_plugin_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        docs = Catalog(spark, sf_dir).documents.select(
+            "doc_id", "text", "lang"
+        )
+        return stratified_sample(
+            docs, "doc_id", "lang",
+            {"en": 0.25, "zh": 1.0, "es": 0.5}, default_fraction=0.1,
+        )
+
     return {"curation_funnel": curation_funnel, "sim_ivf_pq": ivf_pq,
-            "decontaminate": decontaminate}
+            "decontaminate": decontaminate,
+            "shard_export[staging]": shard_export_staging,
+            "mix_sources": mix, "stratified_sample": stratified}
 
 
 if __name__ == "__main__":

@@ -141,20 +141,12 @@ def _links_from_index(index: MinHashIndex, benchmarks: DataFrame,
     to candidate ids.  The executed plan contains no corpus-side shingle
     assembly at all (plan-gated in tests) - the corpus terms are two
     partition-pruned parquet scans of the index tables."""
-    import warnings
+    from .dedup import warn_if_low_banding_recall
 
     params = index.params
-    b, r = params["bands"], params["num_hashes"] // params["bands"]
-    recall = 1.0 - (1.0 - threshold ** r) ** b
-    if recall < 0.95:
-        warnings.warn(
-            f"MinHashIndex banding {b}x{r} proposes only ~{recall:.0%} of "
-            f"jaccard={threshold} pairs (S-curve knee ~"
-            f"{(1.0 / b) ** (1.0 / r):.2f}); rebuild the index with "
-            "adaptive_bands(threshold) geometry for full-recall "
-            "decontamination at this threshold",
-            stacklevel=3,
-        )
+    warn_if_low_banding_recall(
+        params["bands"], params["num_hashes"], threshold
+    )
     bench_ex = exploded_shingles(
         benchmarks, text_col, id_col, params["n"]
     ).localCheckpoint()

@@ -338,6 +338,32 @@ def adaptive_bands(threshold: float, num_hashes: int = 64,
     return num_hashes
 
 
+def warn_if_low_banding_recall(bands: int, num_hashes: int,
+                               threshold: float,
+                               min_recall: float = 0.95) -> float:
+    """Warn when a FIXED banding geometry proposes fewer than
+    ``min_recall`` of ``threshold``-Jaccard pairs; returns the computed
+    candidate recall.  Used by every probe path whose banding was frozen
+    at build time (a stored :class:`.dedup_index.MinHashIndex`, the
+    index-probing decontamination overload) - those cannot re-derive the
+    geometry per call the way :func:`adaptive_bands` callers do, so the
+    honest move is to say what the stored geometry actually delivers."""
+    import warnings
+
+    r = num_hashes // bands
+    recall = 1.0 - (1.0 - threshold ** r) ** bands
+    if recall < min_recall:
+        warnings.warn(
+            f"MinHash banding {bands}x{r} proposes only ~{recall:.0%} of "
+            f"jaccard={threshold} pairs (S-curve knee ~"
+            f"{(1.0 / bands) ** (1.0 / r):.2f}); rebuild with "
+            "adaptive_bands(threshold) geometry for full candidate "
+            "recall at this threshold",
+            stacklevel=3,
+        )
+    return recall
+
+
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
                         rows_per_band: int = 4,
                         bucket_key: str = "xxhash64") -> DataFrame:

@@ -146,7 +146,18 @@ class MinHashIndex:
         exceed ``max_broadcast_rows`` (someone fed a corpus-sized
         "batch"), the probe falls back to plain shuffle equi-joins -
         same result, no driver/executor OOM from a giant broadcast.  The
-        count is free: the exploded frame is already localCheckpoint'd."""
+        count is free: the exploded frame is already localCheckpoint'd.
+
+        The stored banding geometry is frozen at build time; probing at
+        a ``threshold`` below its S-curve knee silently misses
+        candidates no verify stage can recover, so a warning reports
+        the stored geometry's candidate recall when it falls below 95%
+        (:func:`.dedup.warn_if_low_banding_recall`)."""
+        from .dedup import warn_if_low_banding_recall
+
+        warn_if_low_banding_recall(
+            self.params["bands"], self.params["num_hashes"], threshold
+        )
         exploded = exploded_shingles(
             new_docs, text_col, id_col, self.params["n"]
         ).localCheckpoint()

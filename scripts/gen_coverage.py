@@ -97,8 +97,9 @@ TIER_D = {
            "extra_queries['curation_funnel']"),
     "D3": ("streaming curation sink (CurationSink)",
            "streaming/curate.py",
-           "cross-batch dedup; batch-loop equivalence; replay idempotence "
-           "(tests/test_streaming_curate.py)"),
+           "cross-batch dedup; batch-loop equivalence; replay idempotence; "
+           "index + accepted-dataset compaction: bounded dirs/files, "
+           "identical rows (tests/test_streaming_curate.py)"),
     "D4": ("product quantization (PqCodebook, pq_topk)",
            "operators/quantization.py",
            "encode determinism; codebook round-trip; recall@10 >= 0.85 "
@@ -110,21 +111,28 @@ TIER_D = {
     "D6": ("benchmark decontamination (contamination_links/decontaminate)",
            "operators/contamination.py",
            "planted benchmark copies removed; broadcast-plan assertion; "
-           "benched as extra_queries['decontaminate'] "
-           "(tests/test_training_export.py)"),
+           "threshold-adaptive banding + near-threshold recall; index-probe "
+           "overload equivalence with no-corpus-scan plan gate; benched as "
+           "extra_queries['decontaminate'] (tests/test_training_export.py)"),
     "D7": ("deterministic shard export (export_shards/read_shards)",
            "operators/export.py",
            "contents+order identical across input partitionings; one file "
-           "per shard; partition pruning (tests/test_training_export.py)"),
+           "per shard; partition pruning; benched as "
+           "extra_queries['shard_export[staging]'] "
+           "(tests/test_training_export.py)"),
     "D8": ("sequence packing (pack_sequences/packing_stats)",
            "operators/packing.py",
-           "budget respected; deterministic across partitionings; FFD fill "
-           "(tests/test_training_export.py)"),
+           "budget respected; deterministic across partitionings; FFD fill; "
+           "corpus-derived num_groups recorded + pin-reproducible; "
+           "group-width guard raises (tests/test_training_export.py)"),
     "D9": ("stratified sampling + source mixing "
            "(stratified_sample/mix_sources)",
            "operators/sampling.py",
            "per-stratum rates + determinism; exact epoch counts; "
-           "(doc, epoch) uniqueness (tests/test_training_export.py)"),
+           "(doc, epoch) uniqueness; weight-8.0 skew: fanout <= ceil(w), "
+           "zero-Exchange plan; benched as extra_queries['mix_sources'/"
+           "'stratified_sample'] (tests/test_training_export.py, "
+           "test_llm_ops.py)"),
 }
 
 
