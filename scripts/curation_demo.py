@@ -18,9 +18,13 @@ One scripted pass over the engine's training-data path:
 4. **Report**: print the funnel (stage -> rows), the accepted dataset's
    partition profile, and the index file counts.
 5. **Decontaminate**: drop accepted docs that near-duplicate a
-   benchmark set (planted: perturbed copies of accepted docs).
-6. **Pack + export**: first-fit-decreasing pack the clean docs into
-   512-token budgets, then write 4 deterministic training shards.
+   benchmark set (planted: perturbed copies of accepted docs;
+   threshold-adaptive banding, 32x2 at threshold 0.5).
+6. **Mix**: Pile-style weighted language mixture (epoch column; one
+   map-only corpus scan) with a composed (doc, epoch) id.
+7. **Pack + export**: first-fit-decreasing pack the mixture rows into
+   512-token budgets, then write 4 deterministic training shards keyed
+   by the composed id.
 
 Run:  python scripts/curation_demo.py   (sandbox-green, ~1 min; uses
 /root/testdata/sf0.001 by default, override with --sf-dir)
@@ -157,15 +161,32 @@ def main() -> None:
     print(f"\n[5] decontamination vs {bench_set.count()} benchmark docs: "
           f"{n_before} -> {n_after} (dropped {n_before - n_after})")
 
-    # -- 6. pack + shard export ------------------------------------------
-    packed = pack_sequences(decon, 512, num_groups=8)
+    # -- 6. weighted language mixture (Pile-style epochs) -----------------
+    from kafka_cassandra_plugin_spark.operators.sampling import mix_sources
+
+    with_lang = decon.join(
+        acc.select("doc_id", "lang").distinct(), "doc_id"
+    )
+    langs = sorted(r.lang for r in with_lang.select("lang").distinct().collect())
+    weights = {l: (2.0 if i % 3 == 0 else 0.5) for i, l in enumerate(langs)}
+    mixed = mix_sources(with_lang, "doc_id", "lang", weights).withColumn(
+        "mix_id", F.concat_ws("#", F.col("doc_id"), F.col("epoch"))
+    )
+    n_mixed = mixed.count()
+    print(f"\n[6] mixture over {len(langs)} languages "
+          f"(weights 2.0 / 0.5): {n_after} docs -> {n_mixed} training rows")
+
+    # -- 7. pack + shard export ------------------------------------------
+    # composed (doc, epoch) id: each mixture epoch is its own training
+    # row, exactly the mix_sources docstring contract
+    packed = pack_sequences(mixed, 512, id_col="mix_id", num_groups=8)
     stats = packing_stats(packed, 512)
     n_packs = stats.count()
     fill = stats.agg(F.avg("fill")).first()[0]
-    print(f"[6] packed {n_after} docs into {n_packs} x 512-token packs "
-          f"(mean fill {fill:.3f})")
+    print(f"[7] packed {n_mixed} mixture rows into {n_packs} x 512-token "
+          f"packs (mean fill {fill:.3f})")
     shards_path = os.path.join(work, "shards")
-    export_shards(decon, shards_path, 4)
+    export_shards(mixed, shards_path, 4, id_col="mix_id")
     for r in (
         spark.read.parquet(shards_path).groupBy("shard").count()
         .orderBy("shard").collect()
