@@ -102,6 +102,7 @@ class Engine:
     hashed_token_vectors = staticmethod(_dedup.hashed_token_vectors)
     embedding_cosine_pairs = staticmethod(_dedup.embedding_cosine_pairs)
     survivors_from_pairs = staticmethod(_dedup.survivors_from_pairs)
+    adaptive_bands = staticmethod(_dedup.adaptive_bands)
     brute_force_topk = staticmethod(_similarity.brute_force_topk)
     rp_lsh_topk = staticmethod(_similarity.rp_lsh_topk)
     ivf_topk = staticmethod(_similarity.ivf_topk)

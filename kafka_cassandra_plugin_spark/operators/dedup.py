@@ -324,8 +324,13 @@ def adaptive_bands(threshold: float, num_hashes: int = 64,
     proposed.  This picks the largest ``r`` (fewest low-similarity
     collisions, so the cheapest verify stage) whose candidate recall AT
     the threshold still clears ``min_recall``; ``r=1`` (every hash its
-    own band) is the always-valid floor.  At the default threshold 0.8
-    this reproduces the anchored 16x4 geometry exactly.
+    own band) is the floor, and since recall is monotone-decreasing in
+    ``r`` it is also the maximum recall ``num_hashes`` can buy - at
+    extreme thresholds (e.g. 0.06 with only 32 hashes) even that may sit
+    below ``min_recall``, in which case the floor is returned as the
+    best available geometry (raise ``num_hashes`` to actually hit the
+    target).  At the default threshold 0.8 this reproduces the anchored
+    16x4 geometry exactly.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")

@@ -230,3 +230,32 @@ class TestMixInvariants:
         tail = per_epoch.get(whole, set())
         assert tail <= all_ids                          # subset slice
         assert set(per_epoch) <= set(range(whole + 1))  # contiguous epochs
+
+
+class TestAdaptiveBandsInvariants:
+    """Pure-math invariants of the threshold-adaptive banding (no Spark
+    jobs - these run at full hypothesis example counts)."""
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        t=st.floats(0.05, 0.95),
+        num_hashes=st.sampled_from([32, 64, 128]),
+    )
+    def test_recall_guarantee_and_validity(self, t, num_hashes):
+        b = D.adaptive_bands(t, num_hashes)
+        assert 1 <= b <= num_hashes and num_hashes % b == 0
+        r = num_hashes // b
+        recall = 1.0 - (1.0 - t**r) ** b
+        # contract: >= 0.95, or the r=1 floor - the maximum recall this
+        # num_hashes can buy (recall is monotone-decreasing in r)
+        assert recall >= 0.95 or b == num_hashes
+
+    @settings(max_examples=50, deadline=None)
+    @given(num_hashes=st.sampled_from([32, 64, 128]))
+    def test_rows_per_band_monotone_in_threshold(self, num_hashes):
+        """Higher thresholds afford more selective geometry: bands never
+        increase as the threshold rises (rows-per-band never shrink)."""
+        bands = [
+            D.adaptive_bands(t / 100, num_hashes) for t in range(5, 100, 5)
+        ]
+        assert all(a >= b for a, b in zip(bands, bands[1:]))
