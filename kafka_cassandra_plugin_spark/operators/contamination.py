@@ -17,9 +17,12 @@ design:
   :meth:`~.dedup_index.MinHashIndex.match_batch`, which points the
   OTHER way - small batch vs large stored corpus).
 
-Banding parameters reuse the ONE shared banding definition
-(:func:`.dedup.banded_buckets` via :meth:`MinHashIndex._band_table`), so
-threshold semantics match the intra-frame LSH tier exactly.
+Banding reuses the ONE shared banding definition
+(:func:`.dedup.banded_buckets` via :meth:`MinHashIndex._band_table`);
+the geometry itself is derived from the caller's ``threshold``
+(:func:`.dedup.adaptive_bands`) so the S-curve knee always sits at or
+below it - candidate recall >= 95% at the threshold, where a fixed
+16x4 banding silently passes ~36% of j=0.5 contamination.
 
 Reference provenance: no counterpart in /root/reference (691 LoC of
 Cassandra KV/lease code); this op belongs to the LLM-pipeline closure

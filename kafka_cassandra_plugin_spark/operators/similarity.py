@@ -384,6 +384,28 @@ class IvfIndex:
         )
         return cls(assigned, centroids)
 
+    def list_stats(self) -> DataFrame:
+        """(list_id, n_vecs, share) - the index-balance diagnostic.
+
+        Probe cost is ``sum(size of probed lists)``; it stays at
+        ~nprobe/nlist of the corpus only while assignment is balanced.
+        A degenerate quantizer fit (fit sample unrepresentative of the
+        full corpus, heavily duplicated vectors, adversarial inserts
+        after build) concentrates rows in few lists and probe cost
+        silently degrades toward a scan with NO correctness signal -
+        recall stays fine, wall time doesn't.  At 100 TB this is the
+        number to alert on: re-fit when ``max(share) >> 1/nlist``.
+        One partial+final aggregate over the assigned table; no
+        driver-side loop."""
+        counts = self.assigned.groupBy("list_id").agg(
+            F.count(F.lit(1)).alias("n_vecs")
+        )
+        total = F.sum("n_vecs").over(Window.partitionBy())
+        return counts.select(
+            "list_id", "n_vecs",
+            F.round(F.col("n_vecs") / total, 6).alias("share"),
+        )
+
     def save(self, path: str) -> "IvfIndex":
         """Persist the index: assigned lists as parquet partitioned by
         ``list_id`` (so probes scan only ``nprobe`` partitions), the

@@ -117,6 +117,15 @@ class TestIvfIndexPersistence:
             r.asDict() for r in b.collect()
         ]
 
+    def test_list_stats_conserve_and_balance(self, emb, built):
+        stats = built.list_stats().collect()
+        assert sum(r.n_vecs for r in stats) == emb.count()
+        assert abs(sum(r.share for r in stats) - 1.0) < 1e-3
+        # the operational alert threshold: on this (uniform) corpus no
+        # list should hold a scan-sized share; 5x the balanced share is
+        # a loose but meaningful bound at nlist=16
+        assert max(r.share for r in stats) < 5 / 16
+
     def test_layout_partitioned_by_list_id(self, built, tmp_path_factory):
         path = str(tmp_path_factory.mktemp("ivf") / "idx")
         built.save(path)
