@@ -267,14 +267,31 @@ def main() -> None:
     # Field order matters downstream: the driver records the LAST 2000
     # chars of stdout, so the gating summary (isolated_retries, totals)
     # goes at the END of the JSON object and survives truncation.  The
-    # full payload is also written to bench_out.json alongside.
+    # full payload is also written to bench_out.json, REWRITTEN after
+    # every completed section: the sf1 smoke + oracle add minutes, and
+    # an external timeout mid-run must not cost the already-measured
+    # declared set (a partial artifact with the gated total beats no
+    # artifact).
     payload = {
         "metric": "declared_query_set_total_wall",
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "queries": times,
         "extra_queries": extra,
+        "isolated_retries": retries,
+        "raw_total": total,
+        "value": gated_total,
     }
+
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
+    )
+
+    def checkpoint_artifact() -> None:
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=1)
+
+    checkpoint_artifact()  # declared set + retries + gated total on disk
 
     sf1_dir = os.environ.get(
         "SPARK_GRAFT_SF1_DIR",
@@ -285,17 +302,15 @@ def main() -> None:
         payload["sf1_queries"] = sf1_times
         if sf1_skipped:
             payload["sf1_skipped"] = sf1_skipped
+        checkpoint_artifact()
         payload["sf1_oracle"] = _sf1_oracle(spark, sf1_dir, registry)
+        checkpoint_artifact()
 
-    payload["isolated_retries"] = retries
-    payload["raw_total"] = total
-    payload["value"] = gated_total
-
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"),
-        "w",
-    ) as f:
-        json.dump(payload, f, indent=1)
+    # re-order so the gating summary sits at the END of the printed line
+    # (driver tail truncation keeps the end)
+    for key in ("isolated_retries", "raw_total", "value"):
+        payload[key] = payload.pop(key)
+    checkpoint_artifact()
     print(json.dumps(payload))
     spark.stop()
 
