@@ -117,6 +117,53 @@ class TestRealStream:
         assert out.count() == sink.funnel_totals.get("accepted", 0) > 0
         assert {"lang", "split"} <= set(out.columns)
 
+    def test_restart_from_checkpoint_no_reprocess(self, spark, corpus, docs,
+                                                  tmp_path):
+        """The production resume path: a NEW StreamingQuery on the same
+        checkpoint with a FRESH sink instance processes only the files
+        that arrived since the stop - batch-1 output is neither
+        re-curated nor duplicated, and the restarted sink still dedups
+        against the index grown BEFORE the restart (cross-restart state
+        lives in the persisted index + checkpoint, never in the sink
+        object)."""
+        from kafka_cassandra_plugin_spark.streaming.ops import replay_stream
+
+        sink = fresh_sink(spark, corpus, tmp_path)
+        b1, b2 = make_batches(docs)
+        src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+        q = (
+            replay_stream(spark, b1, src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        after_1 = {r.doc_id for r in accepted_dataset(spark, sink.out_path).collect()}
+        assert after_1
+
+        b2.write.mode("append").parquet(src)  # new files arrive while down
+        sink2 = CurationSink(sink.index_path, sink.out_path)
+        q2 = (
+            spark.readStream.schema(b1.schema).parquet(src)
+            .writeStream.foreachBatch(sink2)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+
+        out = accepted_dataset(spark, sink.out_path)
+        got = {r.doc_id for r in out.collect()}
+        assert after_1 <= got                      # batch-1 output intact
+        assert out.count() == len(got)             # and never duplicated
+        # sink2 processed ONLY the new files (batch ids continue from the
+        # checkpoint), and b2's copies of accepted batch-1 docs are still
+        # rejected - the pre-restart index state is what rejected them
+        assert sink2.funnel_by_batch and 0 not in sink2.funnel_by_batch
+        resent = {d + 7_000_000 for d in after_1 if d % 5 == 1}
+        assert resent and not (resent & got)
+
 
 class TestCompactionHook:
     def test_compact_every_batch_bounded_files_same_results(
