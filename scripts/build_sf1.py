@@ -19,11 +19,18 @@ Upsampling rules (deterministic, replica i in 0..9):
   preserved by also replicating the dims customer/supplier/part).
 - **nation/region stay 25/5 rows** — real dims don't grow with fact
   data; the broadcast-join shape at sf1 is the honest one.
-- **documents text is word-rotated per replica** (rotate word order by
-  i): identical length/vocabulary distributions, but shingles differ,
-  so near-dup tiers see a realistic corpus instead of a pathological
-  90%-duplicate one (10 exact copies of every doc would measure
-  dup-explosion handling, not scan/join growth).
+- **documents text**: two modes.  ``rotate`` (default, the sf1
+  continuity mode) rotates word order per replica - identical
+  length/vocabulary distributions, NOT near-dup-free: rotation
+  preserves the token bag exactly (replica simhashes are identical)
+  and all 3-shingles except the wrap boundary (cross-replica jaccard
+  ~1), so the near-dup tiers see every replica group as a genuine
+  duplicate clique and their output grows ~replicas^2/2 per doc -
+  that run measures DUP-EXPLOSION handling (the sf10 rotate smoke:
+  24.7M true pairs processed).  ``perturb`` replica-tags ~30% of
+  words - cross-replica jaccard ~0.2 and simhash hamming >> 3, so
+  the same smoke measures SCAN/JOIN growth on genuinely distinct
+  documents.  Measure both; they answer different questions.
 - **embeddings are sign-flipped per replica** (seeded +-1 mask):
   norms and coordinate distributions unchanged, similarity structure
   not replicated, so ANN candidate counts scale like a real 10x
@@ -100,7 +107,30 @@ def _rotate_words(text: str, i: int) -> str:
     return " ".join(words[k:] + words[:k])
 
 
-def build(src: str, out: str) -> None:
+def _perturb_words(text: str, i: int, rate_pct: int = 30) -> str:
+    """Replica-tag ~``rate_pct``% of words (deterministic per (word
+    position, replica)).  Rotation preserves the token BAG (simhash
+    identical across replicas) and nearly all 3-shingles (jaccard ~1
+    across replicas) - so a rotated upsample measures true-duplicate
+    EXPLOSION in the near-dup tiers, not scan growth.  Tagging 30% of
+    words breaks both: cross-replica jaccard ~0.2 (< every threshold in
+    use) and simhash hamming >> 3, so the dedup tiers see a corpus of
+    genuinely distinct documents."""
+    if i == 0:
+        return text
+    words = text.split(" ")
+    if len(words) < 2:
+        return text
+    return " ".join(
+        (w + "r" + str(i))
+        if ((j * 2654435761 + i * 98765431) % 100) < rate_pct
+        else w
+        for j, w in enumerate(words)
+    )
+
+
+def build(src: str, out: str, replicas: int = REPLICAS,
+          text_mode: str = "rotate") -> None:
     os.makedirs(out, exist_ok=True)
     tables = {
         name: pq.read_table(os.path.join(src, f"{name}.parquet"))
@@ -123,8 +153,8 @@ def build(src: str, out: str) -> None:
 
     for name in GROWN_TABLES:
         base = tables[name]
-        replicas = []
-        for i in range(REPLICAS):
+        parts = []
+        for i in range(replicas):
             cols = {}
             for field in base.schema:
                 col = base[field.name]
@@ -132,8 +162,10 @@ def build(src: str, out: str) -> None:
                     shift = i * units[KEY_OWNERS[field.name]]
                     col = pc.add(col, pa.scalar(shift, type=field.type))
                 elif name == "documents" and field.name == "text":
+                    xform = (_perturb_words if text_mode == "perturb"
+                             else _rotate_words)
                     col = pa.array(
-                        [_rotate_words(t, i) for t in col.to_pylist()],
+                        [xform(t, i) for t in col.to_pylist()],
                         type=pa.string(),
                     )
                 elif name == "embeddings" and field.name == "embedding":
@@ -147,8 +179,8 @@ def build(src: str, out: str) -> None:
                         mat = mat * mask
                     col = pa.array(list(mat), type=field.type)
                 cols[field.name] = col
-            replicas.append(pa.table(cols))
-        grown = pa.concat_tables(replicas)
+            parts.append(pa.table(cols))
+        grown = pa.concat_tables(parts)
         pq.write_table(
             grown,
             os.path.join(out, f"{name}.parquet"),
@@ -209,11 +241,20 @@ def main() -> None:
     ap.add_argument("--clustered", action="store_true",
                     help="also write the clusterable ANN-recall corpus "
                          "to <out>_clustered/")
+    ap.add_argument("--replicas", type=int, default=REPLICAS,
+                    help="upsampling factor (10 = sf1, 100 = sf10); key "
+                         "shifts stay modulo-preserving for any count")
+    ap.add_argument("--text-mode", choices=["rotate", "perturb"],
+                    default="rotate",
+                    help="rotate: replicas are genuine near-dups of each "
+                         "other (dup-explosion measurement); perturb: "
+                         "replica-tagged words break cross-replica "
+                         "similarity (scan-growth measurement)")
     args = ap.parse_args()
     if args.clustered:
         build_clustered(args.out.rstrip("/") + "_clustered")
     else:
-        build(args.src, args.out)
+        build(args.src, args.out, args.replicas, args.text_mode)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""One-off scale smoke at an arbitrary upsampled dataset (round 5).
+
+`bench.py` smokes sf1 (10x the gated scale) every round; this script
+runs the same single-pass wall measurement at ANY upsampled directory -
+built for sf10 (100x: 60M lineitem, 500k documents, 200k embeddings,
+`build_sf1.py --replicas 100`), where "would this survive a 100x
+scale-up" stops being an extrapolation from 10x and becomes a number.
+Single-run by design (smoke, not anchor); budget-bounded with explicit
+skip markers, cheapest queries first so a truncation costs the least
+information.  Results are recorded in BASELINE.md, not gated per-round
+(a 100x run is a measurement campaign, not a regression test).
+
+Usage: python scripts/build_sf1.py --replicas 100 --out .scale/sf10
+       python scripts/scale_smoke.py /root/repo/.scale/sf10 [budget_s]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+from kafka_cassandra_plugin_spark.queries import load_all  # noqa: E402
+from kafka_cassandra_plugin_spark.session import get_spark  # noqa: E402
+
+# cheap -> expensive (sf1 readings x10 as the cost prior)
+DECLARED = [
+    "agg_pricing_summary", "join_star_revenue", "agg_stats_profile",
+    "cas_lifecycle", "dedup_ngram_jaccard", "dedup_simhash",
+    "text_stats", "dedup_minhash_lsh",
+]
+DEPTH = [
+    "stratified_sample", "shard_export[staging]", "mix_sources",
+    "decontaminate", "curation_funnel",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf10"
+    budget_s = float(sys.argv[2]) if len(sys.argv) > 2 else 1800.0
+    registry = load_all()
+    spark = get_spark(
+        "kcp-scale-smoke", master="local[32]",
+        overrides={"spark.sql.shuffle.partitions": "64"},
+    )
+    registry["agg_pricing_summary"].build(spark, sf_dir).count()  # warmup
+
+    depth_fns = bench._depth_ops(sf_dir)
+    start = time.perf_counter()
+    times, skipped = {}, []
+    for name in DECLARED + DEPTH:
+        if time.perf_counter() - start > budget_s:
+            skipped.append(name)
+            continue
+        t0 = time.perf_counter()
+        if name in registry:
+            bench.materialize(registry[name].build(spark, sf_dir))
+        else:
+            bench.materialize(depth_fns[name](spark))
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {times[name]} s", flush=True)
+    out = {"sf_dir": sf_dir, "queries": times, "skipped": skipped,
+           "total": round(sum(times.values()), 3)}
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
