@@ -565,10 +565,42 @@ def _depth_ops(sf_dir):
             {"en": 0.25, "zh": 1.0, "es": 0.5}, default_fraction=0.1,
         )
 
+    # D10/D11 rows (round 5): Gopher repetition signals (pure map
+    # stage) and exact 13-gram-collision decontamination (broadcast
+    # benchmark grams, map-only corpus explode; xxhash64 gram keys -
+    # the at-scale default, vs the raw-string keys the pytest oracle
+    # uses for engine portability).
+    def repetition(spark):
+        from kafka_cassandra_plugin_spark.queries.llm_ops import (
+            repetition_signals,
+        )
+
+        return repetition_signals(spark, sf_dir)
+
+    def decontam_ngram(spark):
+        from kafka_cassandra_plugin_spark.operators.contamination import (
+            decontaminate_ngrams,
+        )
+
+        docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+        corpus = docs.filter(F.col("doc_id") % 3 != 0)
+        bench_set = docs.filter(F.col("doc_id") % 3 == 0).orderBy("doc_id").limit(50).unionByName(
+            corpus.filter((F.col("doc_id") % 7 == 1) & (F.instr("text", " ") > 0))
+            .orderBy("doc_id")
+            .limit(25)
+            .select(
+                (F.col("doc_id") + 5_000_000).alias("doc_id"),
+                F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+            )
+        )
+        return decontaminate_ngrams(corpus, bench_set, n=13)
+
     return {"curation_funnel": curation_funnel, "sim_ivf_pq": ivf_pq,
             "decontaminate": decontaminate,
             "shard_export[staging]": shard_export_staging,
-            "mix_sources": mix, "stratified_sample": stratified}
+            "mix_sources": mix, "stratified_sample": stratified,
+            "repetition_signals": repetition,
+            "decontaminate_ngram13": decontam_ngram}
 
 
 if __name__ == "__main__":

@@ -107,6 +107,7 @@ class Engine:
     rp_lsh_topk = staticmethod(_similarity.rp_lsh_topk)
     ivf_topk = staticmethod(_similarity.ivf_topk)
     text_profile = staticmethod(_text.text_profile)
+    repetition_profile = staticmethod(_text.repetition_profile)
     hash_split = staticmethod(_sampling.hash_split)
     deterministic_sample = staticmethod(_sampling.deterministic_sample)
     stratified_sample = staticmethod(_sampling.stratified_sample)
@@ -128,6 +129,8 @@ class Engine:
     # -- training-export depth ops (round 4: SURVEY §2.5 tier D) -------------
     contamination_links = staticmethod(_contamination.contamination_links)
     decontaminate = staticmethod(_contamination.decontaminate)
+    ngram_collision_links = staticmethod(_contamination.ngram_collision_links)
+    decontaminate_ngrams = staticmethod(_contamination.decontaminate_ngrams)
     shard_assignments = staticmethod(_export.shard_assignments)
     export_shards = staticmethod(_export.export_shards)
     pack_sequences = staticmethod(_packing.pack_sequences)

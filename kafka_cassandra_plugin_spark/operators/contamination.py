@@ -190,6 +190,71 @@ def _links_from_index(index: MinHashIndex, benchmarks: DataFrame,
     )
 
 
+def ngram_collision_links(corpus: DataFrame, benchmarks: DataFrame,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          n: int = 13,
+                          hash_fn: str = "xxhash64") -> DataFrame:
+    """(corpus_id, bench_id, n_shared) for every corpus document sharing
+    at least one exact token ``n``-gram with a benchmark document - the
+    GPT-3/PaLM decontamination criterion (13-gram collision), the exact
+    complement to the Jaccard-threshold :func:`contamination_links`:
+    collisions catch verbatim spans embedded in otherwise-different
+    documents, which document-level Jaccard dilutes below any threshold.
+
+    ``n_shared`` counts DISTINCT shared n-grams per pair (both sides are
+    gram-deduped before the join, so repeated spans inside one document
+    don't inflate the count).
+
+    Scale shape: same asymmetry as the Jaccard path - the benchmark
+    gram set is deduped and **broadcast** (it is the dimension side);
+    the corpus side is a map-only gram explode into a broadcast-hash
+    join, so the only corpus-wide term is the final (corpus_id,
+    bench_id) pair aggregation, whose size is bounded by actual
+    contamination, not the corpus.  ``hash_fn="xxhash64"`` (default)
+    joins on a 64-bit gram hash - 8-byte join keys instead of ~80-byte
+    gram strings; ``"raw"`` joins on the gram text itself (engine-
+    portable - the DuckDB-oracled declared query uses it).
+
+    Reference provenance: no counterpart in /root/reference; LLM-
+    pipeline closure (SURVEY §2.5 D11).
+    """
+    from .text import token_ngrams, tokens
+
+    def gram_table(df: DataFrame, out_id: str) -> DataFrame:
+        grams = F.array_distinct(token_ngrams(tokens(text_col), n))
+        g = F.explode(grams).alias("__g")
+        t = df.select(F.col(id_col).alias(out_id), g)
+        if hash_fn == "xxhash64":
+            t = t.select(out_id, F.xxhash64("__g").alias("__g"))
+        elif hash_fn != "raw":
+            raise ValueError(f"hash_fn must be 'xxhash64' or 'raw': {hash_fn}")
+        return t
+
+    corpus_g = gram_table(corpus, "corpus_id")
+    bench_g = gram_table(benchmarks, "bench_id")
+    return (
+        corpus_g.join(F.broadcast(bench_g), "__g")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def decontaminate_ngrams(corpus: DataFrame, benchmarks: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n: int = 13,
+                         hash_fn: str = "xxhash64") -> DataFrame:
+    """The corpus minus every document that shares an exact token
+    ``n``-gram with ``benchmarks`` (left-anti against
+    :func:`ngram_collision_links` ids).  Schema unchanged."""
+    dirty = (
+        ngram_collision_links(corpus, benchmarks, text_col, id_col, n,
+                              hash_fn)
+        .select(F.col("corpus_id").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(F.broadcast(dirty), id_col, "left_anti")
+
+
 def decontaminate(corpus: DataFrame, benchmarks: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   threshold: float = 0.8, n: int = 3,

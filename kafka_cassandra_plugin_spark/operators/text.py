@@ -164,6 +164,131 @@ def rolling_hash_of(toks, mod: int = 1_000_000_007, base: int = 31) -> Column:
     )
 
 
+def token_ngrams(toks, n: int) -> Column:
+    """Array of space-joined token ``n``-grams (empty when the document
+    has fewer than ``n`` tokens).  The guard matters: Spark's
+    ``sequence(1, stop)`` generates a DESCENDING ``[1, 0]`` when
+    ``stop < 1`` instead of an empty array."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _top_gram_frac(grams, n: int, n_tok) -> Column:
+    """Fraction of tokens covered by the most frequent ``n``-gram
+    (token-count proxy for Gopher's top-n-gram character fraction):
+    ``max_count * n / n_tokens``.  O(grams x distinct) per document -
+    per-row arithmetic only, no shuffle."""
+    counts = F.transform(
+        F.array_distinct(grams),
+        lambda x: F.size(F.filter(grams, lambda y: y == x)),
+    )
+    top = F.array_max(counts)
+    return F.when(
+        F.size(grams) > 0, top * n / n_tok.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def _dup_gram_frac(grams) -> Column:
+    """Fraction of n-gram occurrences whose gram appears more than once
+    in the document (token proxy for Gopher's duplicate-n-gram character
+    fraction)."""
+    dup_occ = F.size(
+        F.filter(
+            grams,
+            lambda x: F.size(F.filter(grams, lambda y: y == x)) > 1,
+        )
+    )
+    return F.when(
+        F.size(grams) > 0, dup_occ / F.size(grams).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+# Gopher repetition thresholds (Rae et al. 2021, table A1) - the subset
+# expressible over token n-grams and lines, applied in
+# repetition_profile's passes_repetition column.
+REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_2gram_frac": 0.20,
+    "top_3gram_frac": 0.18,
+    "dup_5gram_frac": 0.15,
+}
+
+
+def repetition_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition signals (Gopher-style quality filters,
+    Rae et al. 2021 §A1.1): duplicate-line fraction, duplicate-line
+    character fraction, top-2/3-gram token fraction, duplicate-5-gram
+    fraction, plus a ``passes_repetition`` boolean applying
+    :data:`REPETITION_THRESHOLDS`.
+
+    Scale shape: pure map stage - every signal is array arithmetic over
+    one tokenization and one line-split of the row, no explode, no
+    shuffle, no state.  Per-row cost is O(grams x distinct grams), i.e.
+    quadratic in DOCUMENT length, constant in corpus size - the shape
+    that survives 100 TB (Gopher applies the same per-document rules
+    corpus-wide).  Character-fraction signals use token-count proxies
+    where Gopher counts characters; the thresholds are the published
+    ones.
+
+    Reference provenance: no counterpart in /root/reference (Cassandra
+    KV/lease code only); LLM-pipeline closure, SURVEY §2.5 D10.
+    """
+    lines = F.filter(
+        F.split(F.col(text_col), r"\n"), lambda l: F.length(F.trim(l)) > 0
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    # chars inside lines that occur more than once, over total line chars
+    line_chars = F.aggregate(
+        F.transform(lines, F.length), F.lit(0), lambda a, v: a + v
+    )
+    dup_line_chars = F.aggregate(
+        F.transform(
+            F.filter(
+                lines,
+                lambda l: F.size(F.filter(lines, lambda m: m == l)) > 1,
+            ),
+            F.length,
+        ),
+        F.lit(0),
+        lambda a, v: a + v,
+    )
+    dup_line_char_frac = F.when(
+        line_chars > 0, dup_line_chars / line_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+
+    df = df.withColumn("__toks", tokens(text_col))
+    t = F.col("__toks")
+    g2 = token_ngrams(t, 2)
+    g3 = token_ngrams(t, 3)
+    g5 = token_ngrams(t, 5)
+    out = df.select(
+        "*",
+        F.size(t).alias("n_tokens"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_line_char_frac.alias("dup_line_char_frac"),
+        _top_gram_frac(g2, 2, F.size(t)).alias("top_2gram_frac"),
+        _top_gram_frac(g3, 3, F.size(t)).alias("top_3gram_frac"),
+        _dup_gram_frac(g5).alias("dup_5gram_frac"),
+    ).drop("__toks")
+    th = REPETITION_THRESHOLDS
+    return out.withColumn(
+        "passes_repetition",
+        (F.col("dup_line_frac") <= th["dup_line_frac"])
+        & (F.col("dup_line_char_frac") <= th["dup_line_char_frac"])
+        & (F.col("top_2gram_frac") <= th["top_2gram_frac"])
+        & (F.col("top_3gram_frac") <= th["top_3gram_frac"])
+        & (F.col("dup_5gram_frac") <= th["dup_5gram_frac"]),
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All per-document text stats from ONE tokenization.
 

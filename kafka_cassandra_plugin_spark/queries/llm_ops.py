@@ -769,3 +769,150 @@ def split_assignment(spark, sf_dir):
         )
         .orderBy("split", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Pytest-oracled extras (SURVEY §2.5 D10/D11).  NOT in the declared
+# registry: the external driver's correctness window verdicts at most 50
+# queries and the registry sits at exactly 50 - registering more would
+# push the alphabetically-last declared queries out of their verdict.
+# These run through the SAME oracle harness (oracle.compare at sf0.01)
+# from tests/test_text_quality.py instead, and appear in bench extras.
+# --------------------------------------------------------------------------
+
+REPETITION_SIGNALS_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS toks,
+             list_filter(string_split(text, chr(10)),
+                         l -> length(trim(l)) > 0) AS lines
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, toks, lines, len(toks) AS n,
+             list_transform(generate_series(1, len(toks) - 1),
+                            i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+             list_transform(generate_series(1, len(toks) - 2),
+                            i -> array_to_string(toks[i:i+2], ' ')) AS g3,
+             list_transform(generate_series(1, len(toks) - 4),
+                            i -> array_to_string(toks[i:i+4], ' ')) AS g5
+      FROM t
+    ),
+    sig AS (
+      SELECT doc_id, n AS n_tokens,
+        CASE WHEN len(lines) > 0
+             THEN 1.0 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE)
+             ELSE 0.0 END AS dup_line_frac,
+        CASE WHEN coalesce(list_sum(list_transform(lines, l -> length(l))), 0) > 0
+             THEN coalesce(list_sum(list_transform(
+                    list_filter(lines,
+                      l -> len(list_filter(lines, m -> m = l)) > 1),
+                    l -> length(l))), 0)
+                  / CAST(list_sum(list_transform(lines, l -> length(l)))
+                         AS DOUBLE)
+             ELSE 0.0 END AS dup_line_char_frac,
+        CASE WHEN len(g2) > 0
+             THEN list_max(list_transform(list_distinct(g2),
+                    x -> len(list_filter(g2, y -> y = x)))) * 2
+                  / CAST(n AS DOUBLE)
+             ELSE 0.0 END AS top_2gram_frac,
+        CASE WHEN len(g3) > 0
+             THEN list_max(list_transform(list_distinct(g3),
+                    x -> len(list_filter(g3, y -> y = x)))) * 3
+                  / CAST(n AS DOUBLE)
+             ELSE 0.0 END AS top_3gram_frac,
+        CASE WHEN len(g5) > 0
+             THEN len(list_filter(g5,
+                    x -> len(list_filter(g5, y -> y = x)) > 1))
+                  / CAST(len(g5) AS DOUBLE)
+             ELSE 0.0 END AS dup_5gram_frac
+      FROM g
+    )
+    SELECT doc_id, n_tokens, dup_line_frac, dup_line_char_frac,
+           top_2gram_frac, top_3gram_frac, dup_5gram_frac,
+           (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+            AND top_2gram_frac <= 0.20 AND top_3gram_frac <= 0.18
+            AND dup_5gram_frac <= 0.15) AS passes_repetition
+    FROM sig
+    ORDER BY doc_id
+"""
+
+
+def repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021 A1.1)
+    over documents: duplicate-line fraction, duplicate-line char
+    fraction, top-2/3-gram token fraction, duplicate-5-gram fraction,
+    and the published-threshold pass flag.  Pure map stage - array
+    arithmetic over one tokenization per row, no explode, no shuffle."""
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    return (
+        T.repetition_profile(d)
+        .select(
+            "doc_id", "n_tokens", "dup_line_frac", "dup_line_char_frac",
+            "top_2gram_frac", "top_3gram_frac", "dup_5gram_frac",
+            "passes_repetition",
+        )
+        .orderBy("doc_id")
+    )
+
+
+DECONTAM_NGRAM13_SQL = r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0
+    ),
+    bench AS (
+      SELECT doc_id + 5000000 AS doc_id,
+             substring(text, strpos(text, ' ') + 1) AS text
+      FROM documents
+      WHERE doc_id % 3 != 0 AND doc_id % 7 = 1 AND strpos(text, ' ') > 0
+      UNION ALL
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+    ),
+    cg AS (
+      SELECT doc_id AS corpus_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 12),
+               i -> array_to_string(toks[i:i+12], ' ')))) AS g
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM corpus)
+    ),
+    bg AS (
+      SELECT doc_id AS bench_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 12),
+               i -> array_to_string(toks[i:i+12], ' ')))) AS g
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM bench)
+    )
+    SELECT corpus_id, bench_id, count(*) AS n_shared
+    FROM cg JOIN bg USING (g)
+    GROUP BY corpus_id, bench_id
+    ORDER BY corpus_id, bench_id
+"""
+
+
+def decontam_ngram13(spark, sf_dir):
+    """GPT-3/PaLM-style decontamination links: corpus documents sharing
+    at least one exact token 13-gram with a benchmark set (planted
+    in-query: first-word-dropped copies of every 7th corpus doc, plus
+    clean held-out docs).  n_shared counts DISTINCT shared 13-grams per
+    (corpus, bench) pair.  Benchmark grams broadcast; corpus side is a
+    map-only gram explode."""
+    from ..operators import contamination as C
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    planted = (
+        corpus.filter((F.col("doc_id") % 7 == 1) & (F.instr("text", " ") > 0))
+        .select(
+            (F.col("doc_id") + 5_000_000).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+    )
+    clean = d.filter(F.col("doc_id") % 3 == 0)
+    bench = planted.unionByName(clean)
+    return C.ngram_collision_links(corpus, bench, n=13, hash_fn="raw").orderBy(
+        "corpus_id", "bench_id"
+    )

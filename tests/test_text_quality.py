@@ -1,0 +1,128 @@
+"""Round-5 depth ops (SURVEY §2.5 D10/D11): Gopher-style repetition
+signals and exact 13-gram-collision decontamination.
+
+Both are oracle-compared against DuckDB at sf0.01 through the SAME
+harness the declared queries use (the driver's 50-query verdict window
+is full, so these run their oracle here instead - equal rigor, recorded
+by pytest rather than CORRECTNESS_r*.json).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_cassandra_plugin_spark import oracle
+from kafka_cassandra_plugin_spark.operators import contamination as C
+from kafka_cassandra_plugin_spark.operators import text as T
+from kafka_cassandra_plugin_spark.queries import llm_ops
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+class TestRepetitionProfile:
+    def test_repeated_token_doc_fails_thresholds(self, spark):
+        # "a a ... a": every 2-gram is "a a" -> top_2gram_frac well over
+        # the 0.20 threshold; every 5-gram duplicated -> dup_5gram 1.0
+        df = _docs(spark, [(1, " ".join(["a"] * 40))])
+        r = T.repetition_profile(df).collect()[0]
+        assert r.top_2gram_frac > 1.0  # overlapping-occurrence proxy
+        assert r.dup_5gram_frac == 1.0
+        assert not r.passes_repetition
+
+    def test_distinct_long_doc_passes(self, spark):
+        text = " ".join(f"w{i}" for i in range(60))
+        r = T.repetition_profile(_docs(spark, [(1, text)])).collect()[0]
+        assert r.dup_line_frac == 0.0
+        assert r.top_2gram_frac == pytest.approx(2 / 60)
+        assert r.dup_5gram_frac == 0.0
+        assert r.passes_repetition
+
+    def test_line_signals(self, spark):
+        # 3 non-empty lines, 'xx' duplicated: dup_line_frac = 1 - 2/3;
+        # dup chars = 4 of 7 total line chars
+        df = _docs(spark, [(1, "xx\nxx\nyyy\n\n")])
+        r = T.repetition_profile(df).collect()[0]
+        assert r.dup_line_frac == pytest.approx(1 - 2 / 3)
+        assert r.dup_line_char_frac == pytest.approx(4 / 7)
+
+    def test_short_doc_no_grams(self, spark):
+        # fewer tokens than the gram width -> zero signal, no [1,0]
+        # descending-sequence blowup
+        r = T.repetition_profile(_docs(spark, [(1, "one two")])).collect()[0]
+        assert r.top_3gram_frac == 0.0
+        assert r.dup_5gram_frac == 0.0
+
+    def test_map_only_plan(self, spark, sf_dir):
+        from kafka_cassandra_plugin_spark.catalog import Catalog
+
+        d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+        plan = T.repetition_profile(d)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # pure map stage: no shuffle at all
+
+    def test_oracle_match_sf001(self, spark, duck, oracle_sf_dir):
+        df = llm_ops.repetition_signals(spark, oracle_sf_dir)
+        n = oracle.compare(df, duck, llm_ops.REPETITION_SIGNALS_SQL,
+                           name="repetition_signals")
+        assert n > 0
+
+
+class TestNgramCollision:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        base = " ".join(f"tok{i}" for i in range(30))
+        other = " ".join(f"alt{i}" for i in range(30))
+        return _docs(spark, [(1, base), (2, other)])
+
+    def test_verbatim_span_is_caught(self, spark, corpus):
+        # benchmark doc embeds a 15-token span of doc 1 inside fresh text
+        span = " ".join(f"tok{i}" for i in range(5, 20))
+        bench = _docs(spark, [(100, f"intro words {span} outro words")])
+        links = C.ngram_collision_links(corpus, bench, n=13).collect()
+        assert [(r.corpus_id, r.bench_id) for r in links] == [(1, 100)]
+        # 15-token span -> 3 distinct shared 13-grams
+        assert links[0].n_shared == 3
+
+    def test_disjoint_docs_no_links(self, spark, corpus):
+        bench = _docs(spark, [(100, " ".join(f"b{i}" for i in range(30)))])
+        assert C.ngram_collision_links(corpus, bench, n=13).count() == 0
+
+    def test_repeated_span_counts_distinct_grams_once(self, spark, corpus):
+        span = " ".join(f"tok{i}" for i in range(0, 13))
+        bench = _docs(spark, [(100, f"{span} filler {span}")])
+        links = C.ngram_collision_links(corpus, bench, n=13).collect()
+        assert links[0].n_shared == 1
+
+    def test_hash_and_raw_paths_agree(self, spark, corpus):
+        span = " ".join(f"tok{i}" for i in range(10, 26))
+        bench = _docs(spark, [(100, f"x {span} y"), (101, "short doc")])
+        a = sorted(
+            C.ngram_collision_links(corpus, bench, n=13, hash_fn="raw").collect()
+        )
+        b = sorted(
+            C.ngram_collision_links(corpus, bench, n=13, hash_fn="xxhash64").collect()
+        )
+        assert a == b
+
+    def test_decontaminate_ngrams_removes_linked_only(self, spark, corpus):
+        span = " ".join(f"tok{i}" for i in range(5, 20))
+        bench = _docs(spark, [(100, f"q: {span} ?")])
+        kept = C.decontaminate_ngrams(corpus, bench, n=13)
+        assert [r.doc_id for r in kept.collect()] == [2]
+
+    def test_bench_side_is_broadcast(self, spark, corpus):
+        bench = _docs(spark, [(100, "a b c")])
+        plan = (
+            C.ngram_collision_links(corpus, bench, n=13)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_oracle_match_sf001(self, spark, duck, oracle_sf_dir):
+        df = llm_ops.decontam_ngram13(spark, oracle_sf_dir)
+        n = oracle.compare(df, duck, llm_ops.DECONTAM_NGRAM13_SQL,
+                           name="decontam_ngram13")
+        assert n > 0
