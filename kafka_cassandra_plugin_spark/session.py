@@ -33,6 +33,19 @@ ENGINE_DEFAULTS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # Split sizing for CPU-heavy map stages over compact columnar text:
+    # Spark floors a file's split size at openCostInBytes (default 4 MB),
+    # sized for scan-dominated work.  Text operators cost ~us/row on
+    # ~100 compressed bytes/row, so a 6 MB documents file is 8+ seconds
+    # of single-task HOF evaluation at the default floor (measured:
+    # text_stats at sf1 ran 2-way on 32 cores; the sf10 smoke's "15x at
+    # 10x data" was this, not a plan term).  256 KB keeps splits
+    # fine-grained when bytes-per-core is small; on real multi-TB inputs
+    # totalBytes/minPartitionNum dominates the max() and behavior is
+    # unchanged, and many-tiny-file dirs get LESS padding per file (fewer,
+    # fuller tasks).  Row-group layout still bounds effective parallelism
+    # (scripts/build_sf1.py writes >= 32 groups/table for this reason).
+    "spark.sql.files.openCostInBytes": str(256 * 1024),
     "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",

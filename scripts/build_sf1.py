@@ -181,12 +181,25 @@ def build(src: str, out: str, replicas: int = REPLICAS,
                 cols[field.name] = col
             parts.append(pa.table(cols))
         grown = pa.concat_tables(parts)
+        # Row-group sizing is the SCAN-PARALLELISM floor: Spark assigns
+        # byte-range splits, but a split can only process the row groups
+        # whose midpoint it contains - a table written as ONE row group
+        # is read by ONE task no matter how many splits or cores exist.
+        # The original 1<<20 default left documents (50k-500k rows) as a
+        # single group, which serialized every CPU-heavy text map stage
+        # onto one core and showed up as text_stats "15x growth at 10x
+        # data" in the sf10 smoke - a LAYOUT artifact, not a plan term.
+        # Real 100 TB corpora are thousands of files x ~128 MB row
+        # groups (always splittable); emulate that here by bounding
+        # groups so every table yields >= ~32 splits.
+        rg = max(1024, min(1 << 20, grown.num_rows // 32))
         pq.write_table(
             grown,
             os.path.join(out, f"{name}.parquet"),
-            row_group_size=1 << 20,
+            row_group_size=rg,
         )
-        print(f"{name}: {base.num_rows} -> {grown.num_rows}")
+        print(f"{name}: {base.num_rows} -> {grown.num_rows} "
+              f"(row_group_size={rg})")
 
 
 def build_clustered(out: str, n_vecs: int = 20_000, dim: int = 64,
