@@ -24,6 +24,8 @@ reject reasons are disjoint and the funnel partitions the input):
 
 1. ``low_quality``    - composite heuristic below ``min_quality``
 2. ``wrong_lang``     - language ID outside ``langs`` (when given)
+2b. ``repetitive``    - fails a Gopher repetition threshold (opt-in via
+    ``drop_repetitive=True``; still map-only column arithmetic)
 3. ``exact_dup``      - same sha256 content as a lower-id batch row
 4. ``near_dup_batch`` - MinHash-LSH near-dup cluster, non-min-id member
 5. ``near_dup_corpus``- near-dup of the existing corpus (when a
@@ -55,6 +57,7 @@ from .text import (
     fingerprint,
     lang_id,
     quality_score,
+    repetition_gate,
     token_count,
 )
 
@@ -96,6 +99,7 @@ def curate_annotated(
     id_col: str = "doc_id",
     min_quality: float = 0.5,
     langs: tuple[str, ...] | None = None,
+    drop_repetitive: bool = False,
     near_dup_threshold: float = 0.8,
     split_fractions: dict[str, float] | None = None,
     split_salt: str = "",
@@ -103,6 +107,15 @@ def curate_annotated(
     """Every batch row, annotated + tagged: ``reject_reason`` (null =
     accepted) and ``split`` (null for rejected rows).  See module doc
     for stage order and scale shape.
+
+    ``drop_repetitive=True`` adds a ``repetitive`` gate after
+    ``wrong_lang``: documents failing any Gopher repetition threshold
+    (:data:`.text.REPETITION_THRESHOLDS` via :func:`.text.repetition_gate`)
+    are rejected before the dedup stages - still pure map-stage column
+    arithmetic, so the funnel's one-lazy-plan shape is unchanged.  Off
+    by default: the published thresholds assume naturally written prose
+    and would over-reject short or list-like corpora; opt in per
+    pipeline.
 
     When ``index`` is given, the intra-batch near-dup stage reuses the
     INDEX's MinHash parameters (n, num_hashes, bands, hash_fn) so stages
@@ -120,6 +133,8 @@ def curate_annotated(
     gate = F.when(F.col("quality") < min_quality, "low_quality")
     if langs is not None:
         gate = gate.when(~F.col("lang").isin(*langs), "wrong_lang")
+    if drop_repetitive:
+        gate = gate.when(~repetition_gate(text_col), "repetitive")
     ann = ann.withColumn("__gate", gate)
 
     gated = ann.filter(F.col("__gate").isNull())

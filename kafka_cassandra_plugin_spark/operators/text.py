@@ -218,25 +218,13 @@ REPETITION_THRESHOLDS = {
 }
 
 
-def repetition_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document repetition signals (Gopher-style quality filters,
-    Rae et al. 2021 §A1.1): duplicate-line fraction, duplicate-line
-    character fraction, top-2/3-gram token fraction, duplicate-5-gram
-    fraction, plus a ``passes_repetition`` boolean applying
-    :data:`REPETITION_THRESHOLDS`.
-
-    Scale shape: pure map stage - every signal is array arithmetic over
-    one tokenization and one line-split of the row, no explode, no
-    shuffle, no state.  Per-row cost is O(grams x distinct grams), i.e.
-    quadratic in DOCUMENT length, constant in corpus size - the shape
-    that survives 100 TB (Gopher applies the same per-document rules
-    corpus-wide).  Character-fraction signals use token-count proxies
-    where Gopher counts characters; the thresholds are the published
-    ones.
-
-    Reference provenance: no counterpart in /root/reference (Cassandra
-    KV/lease code only); LLM-pipeline closure, SURVEY §2.5 D10.
-    """
+def repetition_signals_for(toks, text_col: str = "text") -> dict[str, Column]:
+    """The five Gopher repetition signal expressions over an
+    already-staged token-array column ``toks`` (stage it once - deriving
+    each signal from ``tokens(text_col)`` directly would re-split the
+    text per signal).  Shared by :func:`repetition_profile` (full
+    per-document report) and :func:`repetition_gate` (the funnel's
+    boolean)."""
     lines = F.filter(
         F.split(F.col(text_col), r"\n"), lambda l: F.length(F.trim(l)) > 0
     )
@@ -264,19 +252,44 @@ def repetition_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         line_chars > 0, dup_line_chars / line_chars.cast("double")
     ).otherwise(F.lit(0.0))
 
+    g2 = token_ngrams(toks, 2)
+    g3 = token_ngrams(toks, 3)
+    g5 = token_ngrams(toks, 5)
+    return {
+        "dup_line_frac": dup_line_frac,
+        "dup_line_char_frac": dup_line_char_frac,
+        "top_2gram_frac": _top_gram_frac(g2, 2, F.size(toks)),
+        "top_3gram_frac": _top_gram_frac(g3, 3, F.size(toks)),
+        "dup_5gram_frac": _dup_gram_frac(g5),
+    }
+
+
+def repetition_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition signals (Gopher-style quality filters,
+    Rae et al. 2021 §A1.1): duplicate-line fraction, duplicate-line
+    character fraction, top-2/3-gram token fraction, duplicate-5-gram
+    fraction, plus a ``passes_repetition`` boolean applying
+    :data:`REPETITION_THRESHOLDS`.
+
+    Scale shape: pure map stage - every signal is array arithmetic over
+    one tokenization and one line-split of the row, no explode, no
+    shuffle, no state.  Per-row cost is O(grams x distinct grams), i.e.
+    quadratic in DOCUMENT length, constant in corpus size - the shape
+    that survives 100 TB (Gopher applies the same per-document rules
+    corpus-wide).  Character-fraction signals use token-count proxies
+    where Gopher counts characters; the thresholds are the published
+    ones.
+
+    Reference provenance: no counterpart in /root/reference (Cassandra
+    KV/lease code only); LLM-pipeline closure, SURVEY §2.5 D10.
+    """
     df = df.withColumn("__toks", tokens(text_col))
     t = F.col("__toks")
-    g2 = token_ngrams(t, 2)
-    g3 = token_ngrams(t, 3)
-    g5 = token_ngrams(t, 5)
+    sig = repetition_signals_for(t, text_col)
     out = df.select(
         "*",
         F.size(t).alias("n_tokens"),
-        dup_line_frac.alias("dup_line_frac"),
-        dup_line_char_frac.alias("dup_line_char_frac"),
-        _top_gram_frac(g2, 2, F.size(t)).alias("top_2gram_frac"),
-        _top_gram_frac(g3, 3, F.size(t)).alias("top_3gram_frac"),
-        _dup_gram_frac(g5).alias("dup_5gram_frac"),
+        *[c.alias(name) for name, c in sig.items()],
     ).drop("__toks")
     th = REPETITION_THRESHOLDS
     return out.withColumn(
@@ -286,6 +299,23 @@ def repetition_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         & (F.col("top_2gram_frac") <= th["top_2gram_frac"])
         & (F.col("top_3gram_frac") <= th["top_3gram_frac"])
         & (F.col("dup_5gram_frac") <= th["dup_5gram_frac"]),
+    )
+
+
+def repetition_gate(text_col: str = "text") -> Column:
+    """Boolean column: the document passes every
+    :data:`REPETITION_THRESHOLDS` bound.  The curation funnel's
+    ``drop_repetitive`` stage - same arithmetic as
+    :func:`repetition_profile`, composed inline (map-only, no staged
+    columns left behind)."""
+    sig = repetition_signals_for(tokens(text_col), text_col)
+    th = REPETITION_THRESHOLDS
+    return (
+        (sig["dup_line_frac"] <= th["dup_line_frac"])
+        & (sig["dup_line_char_frac"] <= th["dup_line_char_frac"])
+        & (sig["top_2gram_frac"] <= th["top_2gram_frac"])
+        & (sig["top_3gram_frac"] <= th["top_3gram_frac"])
+        & (sig["dup_5gram_frac"] <= th["dup_5gram_frac"])
     )
 
 
