@@ -33,6 +33,7 @@ DECLARED = [
 ]
 DEPTH = [
     "stratified_sample", "shard_export[staging]", "mix_sources",
+    "repetition_signals", "decontaminate_ngram13",
     "decontaminate", "curation_funnel",
 ]
 
