@@ -26,6 +26,9 @@ reject reasons are disjoint and the funnel partitions the input):
 2. ``wrong_lang``     - language ID outside ``langs`` (when given)
 2b. ``repetitive``    - fails a Gopher repetition threshold (opt-in via
     ``drop_repetitive=True``; still map-only column arithmetic)
+2c. ``contaminated``  - shares an exact token 13-gram with a benchmark
+    document (opt-in via ``benchmarks=``; broadcast gram join - the
+    "never train on eval data" gate, enforced at ingest)
 3. ``exact_dup``      - same sha256 content as a lower-id batch row
 4. ``near_dup_batch`` - MinHash-LSH near-dup cluster, non-min-id member
 5. ``near_dup_corpus``- near-dup of the existing corpus (when a
@@ -100,6 +103,8 @@ def curate_annotated(
     min_quality: float = 0.5,
     langs: tuple[str, ...] | None = None,
     drop_repetitive: bool = False,
+    benchmarks: DataFrame | None = None,
+    contamination_n: int = 13,
     near_dup_threshold: float = 0.8,
     split_fractions: dict[str, float] | None = None,
     split_salt: str = "",
@@ -116,6 +121,16 @@ def curate_annotated(
     by default: the published thresholds assume naturally written prose
     and would over-reject short or list-like corpora; opt in per
     pipeline.
+
+    ``benchmarks`` (a (id, text) frame of evaluation documents) adds a
+    ``contaminated`` stage between the gates and the dedup stages: any
+    surviving row sharing an exact token ``contamination_n``-gram with
+    a benchmark document is rejected
+    (:func:`.contamination.ngram_collision_links` - the GPT-3/PaLM
+    criterion).  The benchmark gram set is broadcast, so this costs one
+    map-side gram explode of the BATCH, never a corpus scan -
+    decontamination enforced continuously at ingest instead of as a
+    post-hoc sweep.
 
     When ``index`` is given, the intra-batch near-dup stage reuses the
     INDEX's MinHash parameters (n, num_hashes, bands, hash_fn) so stages
@@ -138,6 +153,26 @@ def curate_annotated(
     ann = ann.withColumn("__gate", gate)
 
     gated = ann.filter(F.col("__gate").isNull())
+
+    # stage 2c: benchmark contamination (exact n-gram collision against
+    # the broadcast benchmark gram set; batch-side map-only)
+    contam_rej = None
+    if benchmarks is not None:
+        from .contamination import ngram_collision_links
+
+        dirty = (
+            ngram_collision_links(
+                gated, benchmarks, text_col, id_col, n=contamination_n
+            )
+            .select(F.col("corpus_id").alias(id_col))
+            .distinct()
+        )
+        contam_rej = dirty.select(
+            F.col(id_col).alias("__rid"),
+            F.lit("contaminated").alias("__reason"),
+        )
+        gated = gated.join(F.broadcast(dirty), id_col, "left_anti")
+
     # stage 3: exact dedup among gated rows (min-id survivor)
     rn = F.row_number().over(
         Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
@@ -158,6 +193,8 @@ def curate_annotated(
     ).select(F.col(id_col).alias("__rid"), F.lit("near_dup_batch").alias("__reason"))
 
     rejects = exact_rej.unionByName(near_rej)
+    if contam_rej is not None:
+        rejects = rejects.unionByName(contam_rej)
 
     # stage 5: near-dups of the indexed corpus
     if index is not None:

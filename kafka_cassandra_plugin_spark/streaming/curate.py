@@ -57,8 +57,15 @@ class CurationSink:
     once from the existing corpus - or from a seed batch for a
     from-scratch ingest; an index needs at least one document so the
     stored tables carry a schema).  ``curate_kwargs`` pass through to
-    :func:`curate_annotated` (min_quality, langs, near_dup_threshold,
-    split_fractions, split_salt).  ``funnel_totals`` sums stage counts
+    :func:`curate_annotated` (min_quality, langs, drop_repetitive,
+    near_dup_threshold, split_fractions, split_salt).
+
+    ``benchmarks_path``: a parquet (id, text) evaluation set; every
+    micro-batch then runs the funnel's ``contaminated`` stage against
+    it (exact 13-gram collision, benchmark grams broadcast) - "never
+    train on eval data" enforced continuously at ingest, not as a
+    post-hoc sweep over the accepted corpus.  The set is read once and
+    cached for the sink's lifetime.  ``funnel_totals`` sums stage counts
     across micro-batches on the driver (the observability hook, not a
     data path); counts are keyed per batch_id internally, so a replayed
     micro-batch REPLACES its own entry instead of double-counting - the
@@ -85,6 +92,7 @@ class CurationSink:
                  text_col: str = "text", id_col: str = "doc_id",
                  compact_every: int | None = None,
                  compact_target_mb: int = 256,
+                 benchmarks_path: str | None = None,
                  **curate_kwargs):
         self.index_path = index_path
         self.out_path = out_path
@@ -92,9 +100,11 @@ class CurationSink:
         self.id_col = id_col
         self.compact_every = compact_every
         self.compact_target_mb = compact_target_mb
+        self.benchmarks_path = benchmarks_path
         self.curate_kwargs = curate_kwargs
         self.funnel_by_batch: dict[int, dict[str, int]] = {}
         self._adds = 0
+        self._bench: DataFrame | None = None
 
     @property
     def funnel_totals(self) -> dict[str, int]:
@@ -109,9 +119,14 @@ class CurationSink:
             return
         spark = batch_df.sparkSession
         index = MinHashIndex.load(spark, self.index_path)
+        if self.benchmarks_path is not None and self._bench is None:
+            # static eval set: read once, cache across micro-batches -
+            # every batch pays one broadcast gram join, never a re-read
+            self._bench = spark.read.parquet(self.benchmarks_path).cache()
         annotated = curate_annotated(
             batch_df, index=index,
             text_col=self.text_col, id_col=self.id_col,
+            benchmarks=self._bench,
             **self.curate_kwargs,
         ).localCheckpoint()
         accepted = annotated.filter(F.col("reject_reason").isNull()).drop(

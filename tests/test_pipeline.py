@@ -231,3 +231,60 @@ class TestRepetitiveGate:
         for did, reason in off_rej.items():
             if reason is not None:
                 assert on_rej[did] == reason
+
+
+class TestContaminatedStage:
+    """Opt-in benchmark-contamination stage (2c, benchmarks=frame)."""
+
+    @pytest.fixture(scope="class")
+    def bench_and_batch(self, spark, docs):
+        base = docs.filter(F.col("doc_id") % 2 == 1)
+        # benchmark = verbatim copies of some batch docs (id-shifted) -
+        # every token 13-gram is shared, so the collision stage must
+        # catch them; plus one fresh doc that collides with nothing
+        planted = (
+            base.filter((F.col("doc_id") % 9 == 1)
+                        & (F.size(F.split("text", " ")) >= 14))
+            .select((F.col("doc_id") + 8_000_000).alias("doc_id"), "text")
+        )
+        clean = spark.createDataFrame(
+            [(8_500_000, " ".join(f"bench{i}" for i in range(30)))],
+            "doc_id long, text string",
+        )
+        bench = planted.unionByName(clean)
+        contaminated_ids = {
+            r.doc_id - 8_000_000 for r in planted.select("doc_id").collect()
+        }
+        return base, bench, contaminated_ids
+
+    def test_contaminated_rejected_with_reason(self, bench_and_batch):
+        batch, bench, dirty_ids = bench_and_batch
+        ann = PL.curate_annotated(batch, benchmarks=bench)
+        got = {
+            r.doc_id: r.reject_reason for r in ann.collect()
+        }
+        for did in dirty_ids:
+            # a doc the gates already rejected never reaches stage 2c
+            assert got[did] in ("contaminated", "low_quality")
+        contaminated = {d for d, r in got.items() if r == "contaminated"}
+        assert contaminated, "planted verbatim copies must be caught"
+        # every planted copy that passed the gates is caught; docs
+        # beyond the planted set MAY also collide - the synthetic
+        # small-vocab corpus can share a genuine 13-gram across
+        # distinct docs, which is exactly what the criterion rejects
+        gated_planted = {d for d in dirty_ids if got[d] == "contaminated"}
+        assert gated_planted == {
+            d for d in dirty_ids if got[d] != "low_quality"
+        }
+
+    def test_funnel_still_partitions_input(self, bench_and_batch):
+        batch, bench, _ = bench_and_batch
+        ann = PL.curate_annotated(batch, benchmarks=bench)
+        counts = {r.stage: r.rows for r in PL.curation_funnel(ann).collect()}
+        assert sum(counts.values()) == batch.count()
+
+    def test_without_benchmarks_no_contaminated_reason(self, bench_and_batch):
+        batch, _, _ = bench_and_batch
+        ann = PL.curate_annotated(batch)
+        reasons = {r.stage for r in PL.curation_funnel(ann).collect()}
+        assert "contaminated" not in reasons

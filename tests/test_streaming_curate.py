@@ -266,3 +266,30 @@ class TestReplayAccounting:
 
         with _pytest.raises(FileNotFoundError, match="no accepted"):
             accepted_dataset(spark, str(tmp_path / "nothing_here"))
+
+
+class TestIngestDecontamination:
+    """benchmarks_path: the 'never train on eval data' gate at ingest."""
+
+    def test_contaminated_rows_never_reach_accepted(self, spark, corpus,
+                                                    docs, tmp_path):
+        b1, b2 = make_batches(docs)
+        # eval set = verbatim copies of some batch-2 docs
+        bench = b2.filter(
+            (F.col("doc_id") % 7 == 2) & (F.size(F.split("text", " ")) >= 14)
+        ).select((F.col("doc_id") + 9_000_000).alias("doc_id"), "text")
+        bench_path = str(tmp_path / "bench")
+        bench.write.parquet(bench_path)
+        dirty = {r.doc_id - 9_000_000 for r in bench.collect()}
+        assert dirty, "fixture must plant contamination"
+
+        sink = fresh_sink(spark, corpus, tmp_path,
+                          benchmarks_path=bench_path)
+        sink(b1, 0)
+        sink(b2, 1)
+        got = {r.doc_id for r in accepted_dataset(spark, sink.out_path).collect()}
+        assert not (got & dirty), "contaminated docs leaked into accepted"
+        # at least one planted copy passes the cheap gates and is caught
+        # by stage 2c specifically (gate-rejected ones carry their own
+        # earlier reason - reasons stay disjoint)
+        assert sink.funnel_totals.get("contaminated", 0) >= 1
