@@ -38,6 +38,21 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def release_session_state() -> None:
+    """Drop the previous query's pinned executor state between
+    measurements.  ``localCheckpoint`` blocks are strongly held by the
+    block manager until the JVM-side RDD object is collected, which
+    waits on the PYTHON reference being collected first (py4j) - across
+    a long multi-query session they accrete until a later broadcast
+    build hits an exhausted heap ("Not enough memory to build and
+    broadcast": the sf10 smoke died exactly this way on its 14th query
+    while the same query passed standalone).  One gc.collect() per
+    measurement lets Spark's ContextCleaner unpin the blocks."""
+    import gc
+
+    gc.collect()
+
+
 # --------------------------------------------------------------------------
 # Self-defending measurement: anchors + automatic isolated retries.
 #
@@ -185,6 +200,7 @@ def _steady_state(run, threshold: float = 2.0, max_runs: int = 3) -> float:
     worker spin-up), so a single reading over ``threshold`` seconds is
     retried until it stops improving by >10% or the run budget is spent -
     the recorded number is the steady-state cost of the query itself."""
+    release_session_state()
     t0 = time.perf_counter()
     run()
     best = time.perf_counter() - t0
@@ -397,6 +413,7 @@ def _sf1_smoke(spark, sf1_dir: str, registry,
         if over_budget():
             skipped.append(name)
             continue
+        release_session_state()
         t0 = time.perf_counter()
         materialize(registry[name].build(spark, sf1_dir))
         times[name] = round(time.perf_counter() - t0, 3)
@@ -424,6 +441,7 @@ def _sf1_smoke(spark, sf1_dir: str, registry,
         if over_budget():
             skipped.append(name)
             continue
+        release_session_state()
         t0 = time.perf_counter()
         materialize(fn(spark))
         times[name] = round(time.perf_counter() - t0, 3)

@@ -916,3 +916,101 @@ def decontam_ngram13(spark, sf_dir):
     return C.ngram_collision_links(corpus, bench, n=13, hash_fn="raw").orderBy(
         "corpus_id", "bench_id"
     )
+
+
+DECONTAM_JACCARD_SQL = r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0
+    ),
+    bench AS (
+      SELECT doc_id + 5000000 AS doc_id,
+             substring(text, strpos(text, ' ') + 1) AS text
+      FROM documents
+      WHERE doc_id % 3 != 0 AND doc_id % 7 = 1 AND strpos(text, ' ') > 0
+      UNION ALL
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+    ),
+    allds AS (
+      SELECT doc_id, text FROM corpus
+      UNION ALL SELECT doc_id, text FROM bench
+    ),
+    toks AS (
+      SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                    t -> lower(t)) AS t
+      FROM allds
+    ),
+    ex AS (
+      SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS ord
+      FROM toks
+    ),
+    sh_all AS (
+      SELECT DISTINCT doc_id,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS sh
+      FROM ex
+      WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+      QUALIFY lead(tok, 2) OVER w IS NOT NULL
+    ),
+    base AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(sh), 1, 13))::BIGINT % 67108864 AS h0
+      FROM sh_all
+    ),
+    minh AS (
+      SELECT doc_id, i,
+             min(((1 + (i * 2654435761) % 67108858) * h0
+                  + (i * 98765431 + 12345) % 67108859) % 67108859) AS mh
+      FROM base CROSS JOIN range(64) r(i)
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // 4 AS band,
+             array_to_string(list(mh ORDER BY i), ':') AS key
+      FROM minh GROUP BY doc_id, i // 4
+    ),
+    cands AS (
+      SELECT DISTINCT x.doc_id AS corpus_id, y.doc_id AS bench_id
+      FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+      WHERE x.doc_id IN (SELECT doc_id FROM corpus)
+        AND y.doc_id IN (SELECT doc_id FROM bench)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh_all GROUP BY doc_id),
+    common AS (
+      SELECT c.corpus_id, c.bench_id, count(*) AS nc
+      FROM cands c
+      JOIN sh_all s1 ON s1.doc_id = c.corpus_id
+      JOIN sh_all s2 ON s2.doc_id = c.bench_id AND s2.sh = s1.sh
+      GROUP BY c.corpus_id, c.bench_id
+    )
+    SELECT corpus_id, bench_id, round(nc / (sa.n + sb.n - nc), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = corpus_id
+    JOIN sizes sb ON sb.doc_id = bench_id
+    WHERE nc / (sa.n + sb.n - nc) >= 0.8
+    ORDER BY corpus_id, bench_id
+"""
+
+
+def decontam_jaccard(spark, sf_dir):
+    """Jaccard-threshold decontamination links (the D6 operator) under
+    the engine-portable md5 MinHash family, fully DuckDB-oracle-checked:
+    same planted benchmark construction as decontam_ngram13, banding
+    pinned at 16x4 (at threshold 0.8 the S-curve knee sits well below -
+    candidate recall ~0.9998 - so the banding itself is deterministic
+    evidence, not a recall compromise)."""
+    from ..operators import contamination as C
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    planted = (
+        corpus.filter((F.col("doc_id") % 7 == 1) & (F.instr("text", " ") > 0))
+        .select(
+            (F.col("doc_id") + 5_000_000).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+    )
+    clean = d.filter(F.col("doc_id") % 3 == 0)
+    bench = planted.unionByName(clean)
+    return C.contamination_links(
+        corpus, bench, threshold=0.8, n=3, num_hashes=64, bands=16,
+        hash_fn="md5",
+    ).orderBy("corpus_id", "bench_id")

@@ -55,6 +55,7 @@ def main() -> None:
         if time.perf_counter() - start > budget_s:
             skipped.append(name)
             continue
+        bench.release_session_state()
         t0 = time.perf_counter()
         if name in registry:
             bench.materialize(registry[name].build(spark, sf_dir))

@@ -126,3 +126,16 @@ class TestNgramCollision:
         n = oracle.compare(df, duck, llm_ops.DECONTAM_NGRAM13_SQL,
                            name="decontam_ngram13")
         assert n > 0
+
+
+class TestDecontamJaccardOracle:
+    """D6's Jaccard-threshold contamination links, fully DuckDB-oracled
+    under the portable md5 MinHash family (banding pinned 16x4; at
+    threshold 0.8 candidate recall ~0.9998, so banding is deterministic
+    evidence in both engines)."""
+
+    def test_oracle_match_sf001(self, spark, duck, oracle_sf_dir):
+        df = llm_ops.decontam_jaccard(spark, oracle_sf_dir)
+        n = oracle.compare(df, duck, llm_ops.DECONTAM_JACCARD_SQL,
+                           name="decontam_jaccard")
+        assert n > 0
