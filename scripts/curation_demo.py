@@ -6,9 +6,11 @@ One scripted pass over the engine's training-data path:
 1. **Seed**: build a MinHashIndex from a seed corpus (documents with
    ``doc_id % 3 == 0``) and save it.
 2. **Stream**: feed 3 micro-batches of new documents (including planted
-   cross-batch and vs-corpus near-duplicates) through a file-source
+   cross-batch and vs-corpus near-duplicates, plus an eval-benchmark
+   set whose originals must never be accepted) through a file-source
    stream into :class:`~kafka_cassandra_plugin_spark.streaming.curate.
-   CurationSink` — per batch: quality/lang gates, exact dedup,
+   CurationSink` — per batch: quality gate, Gopher repetition gate,
+   ingest-time 13-gram decontamination vs the benchmark, exact dedup,
    intra-batch near-dup, near-dup vs the *growing* index; accepted rows
    land hive-partitioned under ``out/ingest_batch=*/lang=*/split=*``
    and join the index so later batches dedup against them.
@@ -98,7 +100,18 @@ def main() -> None:
         )
         print(f"[2] staged micro-batch {i}: {b.count()} docs")
 
-    sink = CurationSink(index_path, out_path, compact_every=2)
+    # eval benchmark: verbatim copies of some batch-2 docs (id-shifted)
+    # - the sink's ingest-time decontamination must keep every one of
+    # their originals out of the accepted dataset
+    bench_path = os.path.join(work, "bench")
+    bench = b2.filter(F.col("doc_id") % 7 == 2).select(
+        (F.col("doc_id") + 9_000_000).alias("doc_id"), "text"
+    )
+    bench.write.mode("overwrite").parquet(bench_path)
+    print(f"[2] staged eval benchmark: {bench.count()} docs")
+
+    sink = CurationSink(index_path, out_path, compact_every=2,
+                        benchmarks_path=bench_path, drop_repetitive=True)
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
