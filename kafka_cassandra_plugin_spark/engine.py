@@ -119,6 +119,11 @@ class Engine:
     def load_dedup_index(self, path: str) -> MinHashIndex:
         return MinHashIndex.load(self.spark, path)
 
+    build_ivf_index = staticmethod(_similarity.IvfIndex.build)
+
+    def load_ivf_index(self, path: str) -> "_similarity.IvfIndex":
+        return _similarity.IvfIndex.load(self.spark, path)
+
     curate = staticmethod(_pipeline.curate)
     curate_annotated = staticmethod(_pipeline.curate_annotated)
     curation_funnel = staticmethod(_pipeline.curation_funnel)

@@ -406,6 +406,81 @@ class IvfIndex:
             F.round(F.col("n_vecs") / total, 6).alias("share"),
         )
 
+    def assign(self, batch: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+        """(neighbor_id, c_vec, list_id) for ``batch`` under the FROZEN
+        quantizer - the standard IVF insert: new vectors go to their
+        nearest existing centroid; nothing refits.  Reuses the
+        vectorized probe kernel with nprobe=1, so assignment and
+        probing stay metric-aligned by construction (the same ranking
+        that picks a query's lists picks an insert's home list).
+        Batch-sized map work only - the stored corpus is not touched."""
+        b = batch.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+        return self._probe_lists(b, nprobe=1).select(
+            F.col("query_id").alias("neighbor_id"),
+            F.col("q_vec").alias("c_vec"),
+            "list_id",
+        )
+
+    def add_batch(self, batch: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> "IvfIndex":
+        """Grow the index with ``batch`` (continuous-ingest companion to
+        :meth:`.dedup_index.MinHashIndex.add_batch`): assign under the
+        frozen quantizer, then append - partitioned parquet appends for
+        a disk-backed index, a union for an in-memory one.  Same
+        at-least-once tolerance as the MinHash index: a replayed append
+        duplicates rows, which :meth:`compact` removes (dedup on
+        neighbor_id) while rewriting the accreted small files.  The
+        quantizer does NOT refit - watch :meth:`list_stats` for the
+        balance drift that says re-fit (frozen centroids + drifting
+        data concentrate inserts in few lists; probe cost degrades with
+        no correctness signal)."""
+        assigned_new = self.assign(batch, id_col, vec_col)
+        if self.path is None:
+            return IvfIndex(
+                self.assigned.unionByName(assigned_new), self.centroids
+            )
+        assigned_new.write.mode("append").partitionBy("list_id").parquet(
+            f"{self.path}/assigned"
+        )
+        return IvfIndex.load(self.assigned.sparkSession, self.path)
+
+    def compact(self, target_mb: int = 256) -> "IvfIndex":
+        """Rewrite the assigned table: drop duplicate ``neighbor_id``
+        rows (replayed add_batch appends) and coalesce the per-append
+        small files to ~``target_mb`` per partition.  Disk-backed
+        indexes only; same write-sibling/swap discipline as
+        :meth:`MinHashIndex.compact` - run between batches, never
+        concurrently with readers.  Restores exact semantics after a
+        replay: a duplicated neighbor occupies ranks pre-compact;
+        post-compact probe results equal those of a never-replayed
+        index (pinned by test)."""
+        if self.path is None:
+            raise ValueError("compact() needs a disk-backed index "
+                             "(save() it first)")
+        spark = self.assigned.sparkSession
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        src = f"{self.path}/assigned"
+        hsrc = jvm.org.apache.hadoop.fs.Path(src)
+        fs = hsrc.getFileSystem(conf)
+        total_bytes = fs.getContentSummary(hsrc).getLength()
+        nfiles = max(1, -(-total_bytes // (target_mb << 20)))
+        tmp = f"{self.path}/__compacting_assigned"
+        (
+            self.assigned.dropDuplicates(["neighbor_id"])
+            .repartition(int(nfiles), "list_id")
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(tmp)
+        )
+        fs.delete(hsrc, True)
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hsrc):
+            raise IOError(f"IvfIndex.compact: rename {tmp} -> {src} failed")
+        return IvfIndex.load(spark, self.path)
+
     def save(self, path: str) -> "IvfIndex":
         """Persist the index: assigned lists as parquet partitioned by
         ``list_id`` (so probes scan only ``nprobe`` partitions), the

@@ -416,3 +416,72 @@ class TestAdaptiveIndexGeometry:
         assert S.adaptive_n_planes(10**12) == 16     # cap (codegen-able probes)
         assert S.adaptive_nlist(10) == 16            # floor
         assert S.adaptive_nlist(10**12) == 4096      # cap (KMeans fit cost)
+
+
+class TestIvfIncrementalAdd:
+    """IvfIndex.assign/add_batch/compact - the continuous-ingest ANN
+    story (companion to MinHashIndex.add_batch; SURVEY §2.5 D1/D5)."""
+
+    @pytest.fixture(scope="class")
+    def built(self, emb):
+        return S.IvfIndex.build(emb.filter(F.col("vec_id") % 5 != 0),
+                                nlist=16, seed=42)
+
+    @pytest.fixture(scope="class")
+    def batch(self, emb):
+        return emb.filter(F.col("vec_id") % 5 == 0)
+
+    def test_assign_is_idempotent_reassignment(self, built):
+        """Re-assigning vectors already in the index lands them on their
+        stored list: assignment and probing use one frozen metric."""
+        sample = built.assigned.limit(50).select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("c_vec").alias("embedding"),
+        )
+        re = built.assign(sample).withColumnsRenamed(
+            {"list_id": "re_list"}
+        ).select("neighbor_id", "re_list")
+        joined = built.assigned.join(re, "neighbor_id")
+        assert joined.filter(F.col("list_id") != F.col("re_list")).count() == 0
+
+    def test_added_vectors_become_findable(self, built, batch):
+        grown = built.add_batch(batch)
+        # every added vector queries for itself-adjacent space: its own
+        # stored copy is excluded (query_id != neighbor_id), but each
+        # added id must now appear among SOME query's neighbors
+        q = batch.limit(20)
+        hits = grown.topk(q, k=10, nprobe=16)
+        assert hits.count() > 0
+        # a planted duplicate of an added vector is found at rank 1
+        probe = batch.limit(1).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+        )
+        top = grown.topk(probe, k=1, nprobe=16).collect()[0]
+        orig = batch.limit(1).collect()[0].vec_id
+        assert top.neighbor_id == orig and top.score > 0.999
+
+    def test_disk_backed_add_and_compact_replay_dedup(
+            self, emb, built, batch, tmp_path_factory):
+        path = str(tmp_path_factory.mktemp("ivf_add") / "idx")
+        loaded = built.save(path)
+        grown = loaded.add_batch(batch)
+        # the never-replayed reference, materialized BEFORE the replay
+        clean_rows = [r.asDict() for r in
+                      grown.topk(batch.limit(10), k=5, nprobe=16)
+                      .orderBy("query_id", "rank").collect()]
+        n_clean = grown.assigned.count()
+        # replay the SAME append (foreachBatch at-least-once): duplicate
+        # rows now occupy ranks - compact must RESTORE clean semantics
+        grown = grown.add_batch(batch)
+        assert grown.assigned.count() == n_clean + batch.count()
+        compacted = grown.compact(target_mb=64)
+        assert compacted.assigned.count() == n_clean
+        after_rows = [r.asDict() for r in
+                      compacted.topk(batch.limit(10), k=5, nprobe=16)
+                      .orderBy("query_id", "rank").collect()]
+        assert after_rows == clean_rows
+        # layout still hive-partitioned for probe pruning
+        import os
+        parts = [d for d in os.listdir(f"{path}/assigned")
+                 if d.startswith("list_id=")]
+        assert parts, "compact must preserve the list_id layout"
