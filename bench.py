@@ -595,6 +595,13 @@ def _depth_ops(sf_dir):
 
         return repetition_signals(spark, sf_dir)
 
+    def quality_rep(spark):
+        from kafka_cassandra_plugin_spark.queries.llm_ops import (
+            quality_report_by_group,
+        )
+
+        return quality_report_by_group(spark, sf_dir)
+
     def decontam_ngram(spark):
         from kafka_cassandra_plugin_spark.operators.contamination import (
             decontaminate_ngrams,
@@ -618,6 +625,7 @@ def _depth_ops(sf_dir):
             "shard_export[staging]": shard_export_staging,
             "mix_sources": mix, "stratified_sample": stratified,
             "repetition_signals": repetition,
+            "quality_report": quality_rep,
             "decontaminate_ngram13": decontam_ngram}
 
 

@@ -108,6 +108,7 @@ class Engine:
     ivf_topk = staticmethod(_similarity.ivf_topk)
     text_profile = staticmethod(_text.text_profile)
     repetition_profile = staticmethod(_text.repetition_profile)
+    quality_report = staticmethod(_text.quality_report)
     hash_split = staticmethod(_sampling.hash_split)
     deterministic_sample = staticmethod(_sampling.deterministic_sample)
     stratified_sample = staticmethod(_sampling.stratified_sample)

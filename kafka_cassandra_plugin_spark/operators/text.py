@@ -335,3 +335,45 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         fingerprint_of(F.col("__ltoks")).alias("fp"),
         rolling_hash_of(F.col("__toks")).alias("rhash"),
     ).drop("__toks", "__ltoks")
+
+
+def quality_report(df: DataFrame, text_col: str = "text",
+                   group_cols: tuple[str, ...] = ("source", "lang")) -> DataFrame:
+    """Per-group corpus quality dashboard: the table a daily curation
+    run reports.  For each ``group_cols`` cell: row count, token-count
+    mean, mean composite quality, fraction passing the quality gate
+    (>= 0.5, the funnel default), fraction passing every Gopher
+    repetition threshold, and the bag-fingerprint distinct ratio (the
+    cheap exact-dup-rate proxy: 1.0 = no trivially-reshuffled copies).
+
+    Scale shape: one map stage (the text profile columns + the
+    vectorized repetition kernel, evaluated once per row) into one
+    partial+final hash aggregate on the group key - the same two-stage
+    shape as any groupBy, corpus-size-independent state (#groups x
+    counters).  Exact integer sums keep every ratio bit-reproducible
+    for the SQL oracle."""
+    sig = _repetition_udf()(F.col(text_col))
+    staged = df.select(
+        *group_cols,
+        token_count(text_col).alias("__nt"),
+        quality_score(text_col).alias("__q"),
+        (sig["passes"] > 0.5).cast("int").alias("__rep"),
+        fingerprint(text_col).alias("__fp"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        staged.groupBy(*group_cols)
+        .agg(
+            n.alias("n_docs"),
+            F.round(F.sum("__nt") / n, 4).alias("mean_tokens"),
+            F.round(F.sum("__q") / n, 4).alias("mean_quality"),
+            F.round(F.sum((F.col("__q") >= 0.5).cast("int")) / n, 4).alias(
+                "frac_quality_pass"
+            ),
+            F.round(F.sum("__rep") / n, 4).alias("frac_repetition_pass"),
+            F.round(F.count_distinct(F.col("__fp")) / n, 4).alias(
+                "fp_distinct_ratio"
+            ),
+        )
+        .orderBy(*group_cols)
+    )

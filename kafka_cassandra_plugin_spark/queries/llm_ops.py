@@ -1014,3 +1014,86 @@ def decontam_jaccard(spark, sf_dir):
         corpus, bench, threshold=0.8, n=3, num_hashes=64, bands=16,
         hash_fn="md5",
     ).orderBy("corpus_id", "bench_id")
+
+
+QUALITY_REPORT_SQL = r"""
+    WITH t AS (
+      SELECT source, lang, text,
+             regexp_split_to_array(trim(text), '\s+') AS toks,
+             list_filter(string_split(text, chr(10)),
+                         l -> length(trim(l)) > 0) AS lines
+      FROM documents
+    ),
+    g AS (
+      SELECT source, lang, text, toks, lines, len(toks) AS n,
+             list_transform(generate_series(1, len(toks) - 1),
+                            i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+             list_transform(generate_series(1, len(toks) - 2),
+                            i -> array_to_string(toks[i:i+2], ' ')) AS g3,
+             list_transform(generate_series(1, len(toks) - 4),
+                            i -> array_to_string(toks[i:i+4], ' ')) AS g5
+      FROM t
+    ),
+    sig AS (
+      SELECT source, lang, n AS nt,
+        (least(n / 100.0, 1.0)
+         + CASE WHEN length(text) / n >= 3 AND length(text) / n <= 10
+                THEN 1.0 ELSE 0.5 END
+         + 1.0 - least(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                       / length(text) * 5, 1.0)) / 3 AS q,
+        ((CASE WHEN len(lines) > 0
+               THEN 1.0 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE)
+               ELSE 0.0 END) <= 0.30
+         AND (CASE WHEN coalesce(list_sum(list_transform(lines, l -> length(l))), 0) > 0
+               THEN coalesce(list_sum(list_transform(
+                      list_filter(lines,
+                        l -> len(list_filter(lines, m -> m = l)) > 1),
+                      l -> length(l))), 0)
+                    / CAST(list_sum(list_transform(lines, l -> length(l)))
+                           AS DOUBLE)
+               ELSE 0.0 END) <= 0.20
+         AND (CASE WHEN len(g2) > 0
+               THEN list_max(list_transform(list_distinct(g2),
+                      x -> len(list_filter(g2, y -> y = x)))) * 2
+                    / CAST(n AS DOUBLE)
+               ELSE 0.0 END) <= 0.20
+         AND (CASE WHEN len(g3) > 0
+               THEN list_max(list_transform(list_distinct(g3),
+                      x -> len(list_filter(g3, y -> y = x)))) * 3
+                    / CAST(n AS DOUBLE)
+               ELSE 0.0 END) <= 0.18
+         AND (CASE WHEN len(g5) > 0
+               THEN len(list_filter(g5,
+                      x -> len(list_filter(g5, y -> y = x)) > 1))
+                    / CAST(len(g5) AS DOUBLE)
+               ELSE 0.0 END) <= 0.15) AS rep,
+        md5(array_to_string(list_sort(list_distinct(
+          list_transform(toks, tk -> lower(tk)))), ' ')) AS fp
+      FROM g
+    )
+    SELECT source, lang, count(*) AS n_docs,
+           round(sum(nt) / count(*), 4) AS mean_tokens,
+           round(sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) / count(*), 4)
+             AS frac_quality_pass,
+           round(sum(CASE WHEN rep THEN 1 ELSE 0 END) / count(*), 4)
+             AS frac_repetition_pass,
+           round(count(DISTINCT fp) / count(*), 4) AS fp_distinct_ratio
+    FROM sig
+    GROUP BY source, lang
+    ORDER BY source, lang
+"""
+
+
+def quality_report_by_group(spark, sf_dir):
+    """Per-(source, lang) corpus quality dashboard (the oracle-checked
+    projection of :func:`.text.quality_report`): doc counts, mean token
+    count, quality/repetition gate pass rates, fingerprint distinct
+    ratio.  Exact-integer-sum ratios only - the mean_quality double-sum
+    column is excluded here because float summation order is not
+    reproducible across engines (the repo's exact-sums oracle
+    convention)."""
+    d = Catalog(spark, sf_dir).documents
+    return T.quality_report(d).select(
+        "source", "lang", "n_docs", "mean_tokens", "frac_quality_pass",
+        "frac_repetition_pass", "fp_distinct_ratio",
+    )

@@ -139,3 +139,41 @@ class TestDecontamJaccardOracle:
         n = oracle.compare(df, duck, llm_ops.DECONTAM_JACCARD_SQL,
                            name="decontam_jaccard")
         assert n > 0
+
+
+class TestQualityReport:
+    """quality_report: the per-(source, lang) curation dashboard."""
+
+    def test_fractions_and_counts(self, spark):
+        varied = " ".join(f"word{i}" for i in range(120))
+        rows = [
+            (1, varied, "s1", "en"),            # clean, passes both gates
+            (2, "spam ham " * 50, "s1", "en"),  # repetitive
+            (3, varied, "s1", "en"),            # exact bag-dup of 1
+            (4, "!!!", "s2", "de"),             # junk quality
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string, lang string"
+        )
+        got = {(r.source, r.lang): r for r in T.quality_report(df).collect()}
+        s1 = got[("s1", "en")]
+        assert s1.n_docs == 3
+        assert s1.frac_repetition_pass == pytest.approx(2 / 3, abs=1e-4)
+        assert s1.fp_distinct_ratio == pytest.approx(2 / 3, abs=1e-4)
+        s2 = got[("s2", "de")]
+        assert s2.frac_quality_pass == 0.0
+
+    def test_two_stage_agg_plan(self, spark, sf_dir):
+        from kafka_cassandra_plugin_spark.catalog import Catalog
+
+        d = Catalog(spark, sf_dir).documents
+        plan = T.quality_report(d)._jdf.queryExecution().executedPlan().toString()
+        # one hash-aggregate pair around one exchange (plus the orderBy
+        # range exchange): never more than 2 Exchanges total
+        assert plan.count("Exchange") <= 3
+
+    def test_oracle_match_sf001(self, spark, duck, oracle_sf_dir):
+        df = llm_ops.quality_report_by_group(spark, oracle_sf_dir)
+        n = oracle.compare(df, duck, llm_ops.QUALITY_REPORT_SQL,
+                           name="quality_report")
+        assert n > 0
