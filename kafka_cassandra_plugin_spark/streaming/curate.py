@@ -65,7 +65,15 @@ class CurationSink:
     it (exact 13-gram collision, benchmark grams broadcast) - "never
     train on eval data" enforced continuously at ingest, not as a
     post-hoc sweep over the accepted corpus.  The set is read once and
-    cached for the sink's lifetime.  ``funnel_totals`` sums stage counts
+    cached for the sink's lifetime.
+
+    ``ledger=True``: persist each batch's funnel counts under
+    ``out_path/_funnel_ledger/ingest_batch=<id>/`` with the same
+    overwrite-per-batch exactly-once discipline as the accepted output
+    - replays rewrite their own entry, and unlike the in-memory
+    ``funnel_totals`` the accounting survives driver restarts (read it
+    back with :func:`funnel_ledger`).  The underscore prefix keeps the
+    ledger out of ``accepted_dataset``'s data glob.  ``funnel_totals`` sums stage counts
     across micro-batches on the driver (the observability hook, not a
     data path); counts are keyed per batch_id internally, so a replayed
     micro-batch REPLACES its own entry instead of double-counting - the
@@ -93,6 +101,7 @@ class CurationSink:
                  compact_every: int | None = None,
                  compact_target_mb: int = 256,
                  benchmarks_path: str | None = None,
+                 ledger: bool = False,
                  **curate_kwargs):
         self.index_path = index_path
         self.out_path = out_path
@@ -101,6 +110,7 @@ class CurationSink:
         self.compact_every = compact_every
         self.compact_target_mb = compact_target_mb
         self.benchmarks_path = benchmarks_path
+        self.ledger = ledger
         self.curate_kwargs = curate_kwargs
         self.funnel_by_batch: dict[int, dict[str, int]] = {}
         self._adds = 0
@@ -145,10 +155,23 @@ class CurationSink:
         if self.compact_every and self._adds % self.compact_every == 0:
             index.compact(self.compact_target_mb)
             self.compact_accepted(spark, before_batch=batch_id)
-        self.funnel_by_batch[batch_id] = {
+        counts = {
             row["stage"]: row["rows"]
             for row in curation_funnel(annotated).collect()
         }
+        self.funnel_by_batch[batch_id] = counts
+        if self.ledger:
+            # durable accounting: one overwrite-dir per batch, same
+            # exactly-once discipline as the accepted output - a replay
+            # REWRITES its batch's rows, so the ledger never
+            # double-counts and survives driver restarts (unlike the
+            # in-memory funnel_totals)
+            spark.createDataFrame(
+                [(stage, n) for stage, n in sorted(counts.items())],
+                "stage string, rows long",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{self.out_path}/_funnel_ledger/ingest_batch={batch_id}"
+            )
 
     def compact_accepted(self, spark, before_batch: int) -> int:
         """Coalesce committed ``ingest_batch=<id>`` dirs (id <
@@ -211,6 +234,27 @@ class CurationSink:
                 f"compact_accepted: rename {tmp} -> {hdest} failed"
             )
         return len(ids)
+
+
+def funnel_ledger(spark, out_path: str) -> DataFrame:
+    """(ingest_batch, stage, rows) - the durable per-batch funnel
+    accounting a ``CurationSink(ledger=True)`` wrote.  Exactly-once by
+    construction (each batch overwrites its own dir), so
+    ``SUM(rows) GROUP BY stage`` equals the in-memory
+    ``funnel_totals`` of an uninterrupted run and stays correct across
+    driver restarts and replays."""
+    jvm = spark.sparkContext._jvm
+    base = f"{out_path}/_funnel_ledger"
+    glob = jvm.org.apache.hadoop.fs.Path(f"{base}/ingest_batch=*")
+    fs = glob.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.globStatus(glob):
+        raise FileNotFoundError(
+            f"no funnel ledger under {out_path!r} (construct the sink "
+            "with ledger=True)"
+        )
+    return spark.read.option("basePath", base).parquet(
+        f"{base}/ingest_batch=*"
+    )
 
 
 def accepted_dataset(spark, out_path: str) -> DataFrame:

@@ -293,3 +293,48 @@ class TestIngestDecontamination:
         # by stage 2c specifically (gate-rejected ones carry their own
         # earlier reason - reasons stay disjoint)
         assert sink.funnel_totals.get("contaminated", 0) >= 1
+
+
+class TestFunnelLedger:
+    """ledger=True: durable per-batch funnel accounting."""
+
+    def test_ledger_matches_memory_and_survives_replay(self, spark, corpus,
+                                                       docs, tmp_path):
+        from kafka_cassandra_plugin_spark.streaming.curate import (
+            funnel_ledger,
+        )
+
+        b1, b2 = make_batches(docs)
+        sink = fresh_sink(spark, corpus, tmp_path, ledger=True)
+        sink(b1, 0)
+        sink(b2, 1)
+        sink(b1, 0)  # replay: must REWRITE batch 0's entry, not append
+        led = funnel_ledger(spark, sink.out_path)
+        totals = {
+            r.stage: r.total
+            for r in led.groupBy("stage").agg(
+                F.sum("rows").alias("total")).collect()
+        }
+        assert totals == sink.funnel_totals
+        # a fresh reader (simulated driver restart: no sink object at
+        # all) reconstructs identical accounting from disk
+        led2 = {
+            (r.ingest_batch, r.stage): r.rows
+            for r in funnel_ledger(spark, str(tmp_path / "out")).collect()
+        }
+        assert sum(v for (b, _), v in led2.items() if b == 0) == b1.count()
+
+    def test_ledger_absent_without_flag(self, spark, corpus, docs, tmp_path):
+        from kafka_cassandra_plugin_spark.streaming.curate import (
+            funnel_ledger,
+        )
+
+        b1, _ = make_batches(docs)
+        sink = fresh_sink(spark, corpus, tmp_path)
+        sink(b1, 0)
+        with pytest.raises(FileNotFoundError, match="ledger"):
+            funnel_ledger(spark, sink.out_path)
+        # and the ledger dir never pollutes the accepted data glob
+        assert "_funnel_ledger" not in {
+            c for c in accepted_dataset(spark, sink.out_path).columns
+        }
