@@ -602,6 +602,13 @@ def _depth_ops(sf_dir):
 
         return quality_report_by_group(spark, sf_dir)
 
+    # D12 row (round 5): PII profile + redaction over planted
+    # identifiers - regex built-ins, one map stage, zero Exchange.
+    def pii(spark):
+        from kafka_cassandra_plugin_spark.queries.llm_ops import pii_redaction
+
+        return pii_redaction(spark, sf_dir)
+
     def decontam_ngram(spark):
         from kafka_cassandra_plugin_spark.operators.contamination import (
             decontaminate_ngrams,
@@ -626,7 +633,8 @@ def _depth_ops(sf_dir):
             "mix_sources": mix, "stratified_sample": stratified,
             "repetition_signals": repetition,
             "quality_report": quality_rep,
-            "decontaminate_ngram13": decontam_ngram}
+            "decontaminate_ngram13": decontam_ngram,
+            "pii_redaction": pii}
 
 
 if __name__ == "__main__":

@@ -26,6 +26,9 @@ reject reasons are disjoint and the funnel partitions the input):
 2. ``wrong_lang``     - language ID outside ``langs`` (when given)
 2b. ``repetitive``    - fails a Gopher repetition threshold (opt-in via
     ``drop_repetitive=True``; still map-only column arithmetic)
+2b'. ``pii_heavy``    - carries more than ``max_pii`` PII pattern hits
+    (opt-in via ``max_pii=``; regex built-ins, still map-only — see
+    :mod:`.pii`)
 2c. ``contaminated``  - shares an exact token 13-gram with a benchmark
     document (opt-in via ``benchmarks=``; broadcast gram join - the
     "never train on eval data" gate, enforced at ingest)
@@ -103,6 +106,7 @@ def curate_annotated(
     min_quality: float = 0.5,
     langs: tuple[str, ...] | None = None,
     drop_repetitive: bool = False,
+    max_pii: int | None = None,
     benchmarks: DataFrame | None = None,
     contamination_n: int = 13,
     near_dup_threshold: float = 0.8,
@@ -121,6 +125,13 @@ def curate_annotated(
     by default: the published thresholds assume naturally written prose
     and would over-reject short or list-like corpora; opt in per
     pipeline.
+
+    ``max_pii`` (opt-in) rejects rows with more than that many PII
+    pattern hits (:func:`.pii.pii_gate`: email/phone/ssn/cc/ipv4/url
+    regex built-ins) as ``pii_heavy`` — another pure map-stage gate.
+    Redaction is the alternative posture: run
+    :func:`.pii.redact_pii` on the batch BEFORE the funnel to keep the
+    documents and strip the identifiers instead of dropping rows.
 
     ``benchmarks`` (a (id, text) frame of evaluation documents) adds a
     ``contaminated`` stage between the gates and the dedup stages: any
@@ -150,6 +161,10 @@ def curate_annotated(
         gate = gate.when(~F.col("lang").isin(*langs), "wrong_lang")
     if drop_repetitive:
         gate = gate.when(~repetition_gate(text_col), "repetitive")
+    if max_pii is not None:
+        from .pii import pii_gate
+
+        gate = gate.when(~pii_gate(text_col, max_hits=max_pii), "pii_heavy")
     ann = ann.withColumn("__gate", gate)
 
     gated = ann.filter(F.col("__gate").isNull())

@@ -1097,3 +1097,98 @@ def quality_report_by_group(spark, sf_dir):
         "source", "lang", "n_docs", "mean_tokens", "frac_quality_pass",
         "frac_repetition_pass", "fp_distinct_ratio",
     )
+
+
+PII_REDACTION_SQL = r"""
+    WITH planted AS (
+      SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 5 = 0
+                THEN ' Contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com now' ELSE '' END
+        || CASE WHEN doc_id % 7 = 0
+                THEN ' SSN 123-45-6789 on file' ELSE '' END
+        || CASE WHEN doc_id % 11 = 0
+                THEN ' call 555-123-4567 or (415) 555-0199' ELSE '' END
+        || CASE WHEN doc_id % 13 = 0
+                THEN ' from 10.0.0.1 via https://example.org/a?b=1'
+                ELSE '' END
+        || CASE WHEN doc_id % 17 = 0
+                THEN ' card 4111-1111-1111-1111 ok' ELSE '' END AS text
+      FROM documents
+    ),
+    counted AS (
+      SELECT doc_id, text,
+        len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS n_email,
+        len(regexp_extract_all(text,
+          '(?:\+?\d{1,2}[-. ])?(?:\(\d{3}\)|\d{3})[-. ]\d{3}[-. ]\d{4}\b',
+          0)) AS n_phone,
+        len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b', 0)) AS n_ssn,
+        len(regexp_extract_all(text,
+          '\b(?:\d{4}[- ]){3}\d{4}\b', 0)) AS n_cc,
+        len(regexp_extract_all(text,
+          '\b(?:\d{1,3}\.){3}\d{1,3}\b', 0)) AS n_ipv4,
+        len(regexp_extract_all(text, 'https?://[^\s]+', 0)) AS n_url
+      FROM planted
+    )
+    SELECT doc_id, n_email, n_phone, n_ssn, n_cc, n_ipv4, n_url,
+           n_email + n_phone + n_ssn + n_cc + n_ipv4 + n_url AS pii_total,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(text,
+               'https?://[^\s]+', '[URL]', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '[EMAIL]', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+               '\b(?:\d{4}[- ]){3}\d{4}\b', '[CC]', 'g'),
+               '(?:\+?\d{1,2}[-. ])?(?:\(\d{3}\)|\d{3})[-. ]\d{3}[-. ]\d{4}\b',
+               '[PHONE]', 'g'),
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IPV4]', 'g') AS redacted
+    FROM counted
+    WHERE pii_total > 0
+    ORDER BY doc_id
+"""
+
+
+def pii_redaction(spark, sf_dir):
+    """PII detection + redaction (SURVEY §2.5 D12) over documents with
+    deterministically planted identifiers (the synthetic corpus carries
+    none): per-type regex match counts on the original text plus the
+    sequentially redacted text, rows restricted to documents that carry
+    any PII.  Counts are per-type independent (order-free, both
+    engines); redaction applies :data:`.pii.REDACTION_ORDER`.  Pure map
+    stage - regex built-ins only, zero Exchange (plan-gated in
+    tests/test_pii.py)."""
+    from ..operators import pii as P
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    planted = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" Contact user"),
+                         F.col("doc_id").cast("string"),
+                         F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit(" SSN 123-45-6789 on file")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit(" call 555-123-4567 or (415) 555-0199"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.lit(" from 10.0.0.1 via https://example.org/a?b=1"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 17 == 0,
+                   F.lit(" card 4111-1111-1111-1111 ok")).otherwise(F.lit("")),
+        ),
+    )
+    return (
+        P.pii_profile(planted)
+        .withColumn("redacted", P.redact())
+        .filter(F.col("pii_total") > 0)
+        .select("doc_id", "n_email", "n_phone", "n_ssn", "n_cc", "n_ipv4",
+                "n_url", "pii_total", "redacted")
+        .orderBy("doc_id")
+    )
