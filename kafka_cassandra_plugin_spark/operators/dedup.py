@@ -764,7 +764,8 @@ def component_labels(nodes: DataFrame, pairs: DataFrame,
 def survivors_from_pairs(df: DataFrame, pairs: DataFrame,
                          id_col: str = "doc_id",
                          id_a: str = "id_a", id_b: str = "id_b",
-                         max_rounds: int = 20) -> DataFrame:
+                         max_rounds: int = 20,
+                         labeler: str = "propagation") -> DataFrame:
     """Resolve near-duplicate PAIRS into the rows to KEEP: connected
     components of the pair graph (:func:`component_labels`), keeping
     each component's minimum-id member (deterministic survivor,
@@ -775,8 +776,22 @@ def survivors_from_pairs(df: DataFrame, pairs: DataFrame,
     closure.  Label propagation converges in O(graph diameter) rounds -
     near-dup clusters are shallow (dup chains, not paths), so a handful
     of rounds suffices; ``max_rounds`` bounds the worst case.
+
+    ``labeler="star"`` switches to the alternating large-star/small-star
+    algorithm (:func:`.graph.component_labels_star`) — same shuffle
+    shape per round but diameter-INDEPENDENT round count (O(log² n)),
+    the right choice when the pair graph may contain long chains
+    (mirror-of-mirror crawls, chained edits) rather than shallow
+    cliques.
     """
-    labels = component_labels(df, pairs, id_col, id_a, id_b, max_rounds)
+    if labeler == "star":
+        from .graph import component_labels_star
+
+        labels = component_labels_star(
+            df, pairs, id_col, id_a, id_b, max_rounds=max(max_rounds, 30)
+        )
+    else:
+        labels = component_labels(df, pairs, id_col, id_a, id_b, max_rounds)
     keep = labels.filter(F.col("node") == F.col("label")).select(
         F.col("node").alias(id_col)
     )
