@@ -602,6 +602,15 @@ def _depth_ops(sf_dir):
 
         return quality_report_by_group(spark, sf_dir)
 
+    # D14 row (round 5): exact deterministic per-stratum selection -
+    # one lang shuffle, rank predicate pushed down (WindowGroupLimit).
+    def per_group(spark):
+        from kafka_cassandra_plugin_spark.queries.llm_ops import (
+            sample_per_group,
+        )
+
+        return sample_per_group(spark, sf_dir)
+
     # D12 row (round 5): PII profile + redaction over planted
     # identifiers - regex built-ins, one map stage, zero Exchange.
     def pii(spark):
@@ -634,7 +643,7 @@ def _depth_ops(sf_dir):
             "repetition_signals": repetition,
             "quality_report": quality_rep,
             "decontaminate_ngram13": decontam_ngram,
-            "pii_redaction": pii}
+            "pii_redaction": pii, "sample_per_group": per_group}
 
 
 if __name__ == "__main__":

@@ -142,3 +142,39 @@ def mix_sources(df: DataFrame, key_col: str, source_col: str,
         "epoch",
         F.explode(F.when(total > 0, F.sequence(F.lit(0), total - 1))),
     )
+
+
+def take_per_group(df: DataFrame, key_col: str, strata_col: str, k: int,
+                   salt: str = "") -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum, selected and
+    ranked by portable hash order (SURVEY §2.5 D14) — the exact-count
+    complement to :func:`stratified_sample`'s rate-based keep ("give me
+    10k docs per language" vs "keep 1% of each language").
+
+    Selection adds a ``take_rank`` column (1-based within the stratum):
+    rows are ordered by ``md5(salt || key)`` with the raw key as
+    tie-break, so membership AND rank are pure functions of (key, salt)
+    — reproducible across runs, partitionings, clusters, and engines
+    (the same ordering is one ``row_number`` window in ANSI SQL).
+    Growing ``k`` only ever ADDS rows (prefix property: the k=100
+    sample contains the k=10 sample), which keeps incremental
+    re-exports monotone.
+
+    Scale shape: one hash shuffle on the stratum column; the ``rank <=
+    k`` predicate is pushed into the shuffle by Spark's
+    WindowGroupLimit rewrite (plan-gated in tests), so every map task
+    pre-truncates its partition to its local top-k by hash — the
+    shuffle carries O(tasks x k) rows per stratum, not the stratum.
+    A stratum never materializes on one executor beyond that bound,
+    so a skewed language cannot hot-spot the exchange."""
+    if k < 1:
+        raise ValueError(f"take_per_group: k must be >= 1, got {k}")
+    from pyspark.sql.window import Window
+
+    key = F.col(key_col).cast("string")
+    order = F.md5(F.concat(F.lit(salt), key))
+    w = Window.partitionBy(strata_col).orderBy(order, key)
+    return (
+        df.withColumn("take_rank", F.row_number().over(w))
+        .filter(F.col("take_rank") <= k)
+    )

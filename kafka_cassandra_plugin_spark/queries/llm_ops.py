@@ -1192,3 +1192,32 @@ def pii_redaction(spark, sf_dir):
                 "n_url", "pii_total", "redacted")
         .orderBy("doc_id")
     )
+
+
+SAMPLE_PER_GROUP_SQL = r"""
+    SELECT lang, take_rank, doc_id FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('s5' || CAST(doc_id AS VARCHAR)),
+                        CAST(doc_id AS VARCHAR)) AS take_rank
+      FROM documents)
+    WHERE take_rank <= 7
+    ORDER BY lang, take_rank
+"""
+
+
+def sample_per_group(spark, sf_dir):
+    """Exact deterministic per-stratum selection (SURVEY §2.5 D14):
+    exactly min(7, |lang|) documents per language, membership and rank
+    pure functions of (doc_id, salt) via portable md5 ordering.  One
+    hash shuffle on lang with the rank predicate pushed into the
+    shuffle (WindowGroupLimit, plan-gated in tests)."""
+    from ..operators.sampling import take_per_group
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "lang")
+    return (
+        take_per_group(d, "doc_id", "lang", k=7, salt="s5")
+        .select("lang", "take_rank", "doc_id")
+        .orderBy("lang", "take_rank")
+    )

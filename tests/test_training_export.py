@@ -432,3 +432,88 @@ def docs_src_plans(spark, sf_dir):
     return Catalog(spark, sf_dir).documents.select(
         "doc_id", "text", "lang", "source"
     )
+
+
+class TestTakePerGroup:
+    """D14: exact deterministic per-stratum selection."""
+
+    @pytest.fixture(scope="class")
+    def docs_lang(self, spark, sf_dir):
+        return Catalog(spark, sf_dir).documents.select("doc_id", "lang")
+
+    def test_exact_counts_per_stratum(self, docs_lang):
+        from kafka_cassandra_plugin_spark.operators.sampling import (
+            take_per_group,
+        )
+
+        base = {r.lang: r["count"]
+                for r in docs_lang.groupBy("lang").count().collect()}
+        got = {r.lang: r["count"]
+               for r in take_per_group(docs_lang, "doc_id", "lang", k=9)
+               .groupBy("lang").count().collect()}
+        assert got == {lang: min(9, n) for lang, n in base.items()}
+
+    def test_membership_and_rank_invariant_to_partitioning(self, docs_lang):
+        from kafka_cassandra_plugin_spark.operators.sampling import (
+            take_per_group,
+        )
+
+        a = {(r.lang, r.take_rank): r.doc_id
+             for r in take_per_group(docs_lang, "doc_id", "lang", k=5).collect()}
+        b = {(r.lang, r.take_rank): r.doc_id
+             for r in take_per_group(docs_lang.repartition(17), "doc_id",
+                                     "lang", k=5).collect()}
+        assert a == b
+
+    def test_prefix_property_growing_k_only_adds(self, docs_lang):
+        from kafka_cassandra_plugin_spark.operators.sampling import (
+            take_per_group,
+        )
+
+        small = {r.doc_id for r in
+                 take_per_group(docs_lang, "doc_id", "lang", k=3).collect()}
+        big = {r.doc_id for r in
+               take_per_group(docs_lang, "doc_id", "lang", k=12).collect()}
+        assert small <= big
+
+    def test_salt_draws_an_independent_sample(self, docs_lang):
+        from kafka_cassandra_plugin_spark.operators.sampling import (
+            take_per_group,
+        )
+
+        a = {r.doc_id for r in
+             take_per_group(docs_lang, "doc_id", "lang", k=5, salt="x").collect()}
+        b = {r.doc_id for r in
+             take_per_group(docs_lang, "doc_id", "lang", k=5, salt="y").collect()}
+        assert a != b
+
+    def test_bad_k_raises(self, docs_lang):
+        from kafka_cassandra_plugin_spark.operators.sampling import (
+            take_per_group,
+        )
+
+        with pytest.raises(ValueError, match="k must be"):
+            take_per_group(docs_lang, "doc_id", "lang", k=0)
+
+    def test_rank_limit_pushed_into_shuffle(self, docs_lang):
+        from kafka_cassandra_plugin_spark.operators.sampling import (
+            take_per_group,
+        )
+
+        plan = (
+            take_per_group(docs_lang, "doc_id", "lang", k=7)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # WindowGroupLimit = map-side per-partition top-k truncation:
+        # the shuffle carries O(tasks x k) rows per stratum, not the
+        # stratum - the property that makes exact-k safe on skewed langs
+        assert "WindowGroupLimit" in plan
+
+    def test_oracle_match_sf001(self, spark, duck, oracle_sf_dir):
+        from kafka_cassandra_plugin_spark import oracle
+        from kafka_cassandra_plugin_spark.queries import llm_ops
+
+        df = llm_ops.sample_per_group(spark, oracle_sf_dir)
+        n = oracle.compare(df, duck, llm_ops.SAMPLE_PER_GROUP_SQL,
+                           name="sample_per_group")
+        assert n > 0
