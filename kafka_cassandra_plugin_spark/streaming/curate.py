@@ -58,7 +58,7 @@ class CurationSink:
     from-scratch ingest; an index needs at least one document so the
     stored tables carry a schema).  ``curate_kwargs`` pass through to
     :func:`curate_annotated` (min_quality, langs, drop_repetitive,
-    near_dup_threshold, split_fractions, split_salt).
+    max_pii, near_dup_threshold, split_fractions, split_salt).
 
     ``benchmarks_path``: a parquet (id, text) evaluation set; every
     micro-batch then runs the funnel's ``contaminated`` stage against
