@@ -93,6 +93,20 @@ def main() -> None:
         seed.filter(F.col("doc_id") % 5 == 2)
         .select((F.col("doc_id") + 8_000_000).alias("doc_id"), "text")
     )
+    # batch 3 also carries PII-leaky variants of fresh docs (support
+    # mailto + phone + host appended): the sink's max_pii gate must
+    # reject them as `pii_heavy` before any dedup machinery runs
+    b3 = b3.unionByName(
+        docs.filter((F.col("doc_id") % 3 == 1) & (F.col("doc_id") % 9 == 4))
+        .select(
+            (F.col("doc_id") + 8_500_000).alias("doc_id"),
+            F.concat(
+                F.col("text"),
+                F.lit(" contact help@example.com or 555-123-4567 "
+                      "from 10.1.2.3"),
+            ).alias("text"),
+        )
+    )
     os.makedirs(src_path, exist_ok=True)
     for i, b in enumerate((b1, b2, b3), start=1):
         b.coalesce(1).write.mode("overwrite").parquet(
@@ -111,7 +125,8 @@ def main() -> None:
     print(f"[2] staged eval benchmark: {bench.count()} docs")
 
     sink = CurationSink(index_path, out_path, compact_every=2,
-                        benchmarks_path=bench_path, drop_repetitive=True)
+                        benchmarks_path=bench_path, drop_repetitive=True,
+                        max_pii=2)
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
@@ -174,20 +189,46 @@ def main() -> None:
     print(f"\n[5] decontamination vs {bench_set.count()} benchmark docs: "
           f"{n_before} -> {n_after} (dropped {n_before - n_after})")
 
-    # -- 6. weighted language mixture (Pile-style epochs) -----------------
-    from kafka_cassandra_plugin_spark.operators.sampling import mix_sources
+    # -- 6. language mixture from a RECIPE (target shares + budget) -------
+    # the planner turns "lang shares + token budget" into mix_sources
+    # epoch factors (one |langs|-row aggregate); max_epochs bounds
+    # repetition by scaling the budget down share-preservingly
+    from kafka_cassandra_plugin_spark.operators.sampling import (
+        mix_sources,
+        plan_mixture,
+    )
 
     with_lang = decon.join(
-        acc.select("doc_id", "lang").distinct(), "doc_id"
+        acc.select("doc_id", "lang", "n_tokens").distinct(), "doc_id"
     )
-    langs = sorted(r.lang for r in with_lang.select("lang").distinct().collect())
-    weights = {l: (2.0 if i % 3 == 0 else 0.5) for i, l in enumerate(langs)}
-    mixed = mix_sources(with_lang, "doc_id", "lang", weights).withColumn(
+    # recipe: upweight the two token-richest languages 3:1 (a share on
+    # a rare language would bind the planner's max_epochs clamp and
+    # scale the whole budget down - shares are preserved, budget gives)
+    sizes = {
+        r.lang: r.tok
+        for r in with_lang.groupBy("lang")
+        .agg(F.sum("n_tokens").alias("tok")).collect()
+    }
+    langs = sorted(sizes, key=sizes.get, reverse=True)
+    # recipes name MAJOR languages; a tail language holding a few dozen
+    # tokens cannot feed any share without binding the clamp, so it is
+    # left out of the mixture (mix_sources drops unweighted sources)
+    major = [l for l in langs if sizes[l] >= 0.05 * sum(sizes.values())]
+    target = {l: (3.0 if i < 2 else 1.0) for i, l in enumerate(major)}
+    avail_tokens = sum(sizes[l] for l in major)
+    epochs, planned = plan_mixture(
+        with_lang, "lang", "n_tokens", target,
+        budget_tokens=0.8 * avail_tokens, max_epochs=3.0,
+    )
+    mixed = mix_sources(with_lang, "doc_id", "lang", epochs).withColumn(
         "mix_id", F.concat_ws("#", F.col("doc_id"), F.col("epoch"))
     )
     n_mixed = mixed.count()
-    print(f"\n[6] mixture over {len(langs)} languages "
-          f"(weights 2.0 / 0.5): {n_after} docs -> {n_mixed} training rows")
+    got_tokens = mixed.agg(F.sum("n_tokens")).first()[0]
+    print(f"\n[6] mixture recipe over {len(major)} major languages "
+          f"(3:1 target shares, budget {int(0.8 * avail_tokens)} tokens, "
+          f"planned {int(planned)}): {n_after} docs -> {n_mixed} training "
+          f"rows, {got_tokens} tokens realized")
 
     # -- 7. pack + shard export ------------------------------------------
     # composed (doc, epoch) id: each mixture epoch is its own training
