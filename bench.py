@@ -346,6 +346,22 @@ SF1_ORACLE = [
 ]
 
 
+def _tier_d_oracle_pairs():
+    """The pytest-oracled tier-D (build, sql) pairs, re-checked at sf1
+    too (cheap first; decontam_jaccard excluded - its 64-hash MinHash
+    SQL is quadratic-ish in DuckDB at sf1 and would eat the budget)."""
+    from kafka_cassandra_plugin_spark.queries import llm_ops as L
+
+    return {
+        "sample_per_group": (L.sample_per_group, L.SAMPLE_PER_GROUP_SQL),
+        "pii_redaction": (L.pii_redaction, L.PII_REDACTION_SQL),
+        "quality_report": (L.quality_report_by_group, L.QUALITY_REPORT_SQL),
+        "repetition_signals": (L.repetition_signals,
+                               L.REPETITION_SIGNALS_SQL),
+        "decontam_ngram13": (L.decontam_ngram13, L.DECONTAM_NGRAM13_SQL),
+    }
+
+
 def _sf1_oracle(spark, sf1_dir: str, registry,
                 budget_s: float = 540.0) -> dict:
     from kafka_cassandra_plugin_spark import oracle
@@ -354,13 +370,14 @@ def _sf1_oracle(spark, sf1_dir: str, registry,
     con = oracle.duck_connect(sf1_dir)
     start = time.perf_counter()
     out = {}
-    for name in SF1_ORACLE:
+    pairs = {n: (registry[n].build, registry[n].sql) for n in SF1_ORACLE}
+    pairs.update(_tier_d_oracle_pairs())
+    for name, (build, sql) in pairs.items():
         if time.perf_counter() - start > budget_s:
             out[name] = {"match": None, "rows": None, "err": "skipped_budget"}
             continue
-        q = registry[name]
         try:
-            rows = oracle.compare(q.build(spark, sf1_dir), con, q.sql, name)
+            rows = oracle.compare(build(spark, sf1_dir), con, sql, name)
             out[name] = {"match": True, "rows": rows, "err": None}
         except Exception as ex:  # record, never abort the artifact
             out[name] = {"match": False, "rows": None, "err": str(ex)[:300]}
