@@ -619,6 +619,35 @@ def _depth_ops(sf_dir):
 
         return quality_report_by_group(spark, sf_dir)
 
+    # D16 row (round 5): SemDeDup-style semantic dedup - cluster-blocked
+    # exact-cosine pairs over embeddings + planted exact copies, reusing
+    # a build-once IVF index (the daily-run shape; the one-off KMeans
+    # fit is excluded like sim_ivf_ann[index_build]).
+    def semantic(spark):
+        from kafka_cassandra_plugin_spark.operators.dedup import (
+            semantic_dedup_pairs,
+        )
+        from kafka_cassandra_plugin_spark.operators.similarity import (
+            adaptive_nlist,
+        )
+
+        emb = Catalog(spark, sf_dir).embeddings.select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        corpus = emb.unionByName(
+            emb.filter(F.col("id") % 10 == 0).select(
+                (F.col("id") + 1_000_000).alias("id"), "vec"
+            )
+        )
+        if "sem_idx" not in _state:
+            _state["sem_idx"] = IvfIndex.build(
+                corpus.select(F.col("id").alias("vec_id"),
+                              F.col("vec").alias("embedding")),
+                nlist=adaptive_nlist(corpus.count()), seed=42,
+            )
+        return semantic_dedup_pairs(corpus, threshold=0.99,
+                                    index=_state["sem_idx"])
+
     # D14 row (round 5): exact deterministic per-stratum selection -
     # one lang shuffle, rank predicate pushed down (WindowGroupLimit).
     def per_group(spark):
@@ -660,7 +689,8 @@ def _depth_ops(sf_dir):
             "repetition_signals": repetition,
             "quality_report": quality_rep,
             "decontaminate_ngram13": decontam_ngram,
-            "pii_redaction": pii, "sample_per_group": per_group}
+            "pii_redaction": pii, "sample_per_group": per_group,
+            "dedup_semantic": semantic}
 
 
 if __name__ == "__main__":

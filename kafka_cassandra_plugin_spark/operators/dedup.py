@@ -796,3 +796,87 @@ def survivors_from_pairs(df: DataFrame, pairs: DataFrame,
         F.col("node").alias(id_col)
     )
     return df.join(keep, id_col, "left_semi")
+
+
+def semantic_dedup_pairs(vectors: DataFrame, threshold: float = 0.95,
+                         id_col: str = "id", vec_col: str = "vec",
+                         index=None, nlist: int | None = None,
+                         seed: int = 42,
+                         max_cluster_size: int | None = 100_000) -> DataFrame:
+    """Semantic near-duplicate pairs, cluster-blocked (SURVEY §2.5 D16):
+    the SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540) — k-means
+    cluster the embeddings, then compare pairs only WITHIN a cluster.
+    Returns (id_a, id_b, cosine) with cosine >= threshold.
+
+    This is the embedding tier's data-driven blocking:
+    :func:`embedding_cosine_pairs` blocks on dominant coordinates
+    (content-free, oracle-portable), while here the blocks are the
+    spherical-KMeans cells of :class:`.similarity.IvfIndex` — semantic
+    near-dups land in the same cell unless they straddle a boundary
+    (the published method accepts that recall trade explicitly).
+    Reusing the ANN index doubles its value: pass ``index=`` and the
+    daily semantic-dedup run pays ZERO clustering cost, exactly like
+    the index-reusing decontamination overload.
+
+    Scale shape: one equi-join on ``list_id`` (never all-pairs; the
+    quadratic term is bounded per cluster and ``max_cluster_size``
+    drops degenerate cells, same rationale as the stop-shingle and
+    block caps), cosine verified exactly on the candidates.  With a
+    prebuilt index the corpus is not even re-assigned — the stored
+    (id, vec, list_id) table feeds both join sides.
+
+    Survivor policy note: the paper keeps the member farthest from the
+    centroid; this engine keeps the MINIMUM id everywhere (exact_dedup,
+    survivors_from_pairs), and :func:`semantic_dedup` follows that
+    convention for cross-tier consistency.
+    """
+    from .similarity import IvfIndex, adaptive_nlist, cosine
+
+    if index is None:
+        corpus = vectors.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        )
+        if nlist is None:
+            # one bounded driver-side aggregate to size the geometry,
+            # same discipline as the adaptive ANN paths
+            nlist = adaptive_nlist(corpus.count())
+        index = IvfIndex.build(corpus, nlist=nlist, seed=seed)
+    cells = index.assigned.select(
+        F.col("neighbor_id").alias(id_col), F.col("c_vec").alias(vec_col),
+        "list_id",
+    ).localCheckpoint()
+    if max_cluster_size is not None:
+        w = Window.partitionBy("list_id")
+        cells = (
+            cells.withColumn("__cn", F.count(F.lit(1)).over(w))
+            .filter(F.col("__cn") <= max_cluster_size)
+            .drop("__cn")
+        )
+    a = cells.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        F.col("list_id").alias("l_a"),
+    )
+    b = cells.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        F.col("list_id").alias("l_b"),
+    )
+    return (
+        a.join(b, (F.col("l_a") == F.col("l_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
+    )
+
+
+def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
+                   id_col: str = "id", vec_col: str = "vec",
+                   index=None, nlist: int | None = None, seed: int = 42,
+                   max_cluster_size: int | None = 100_000) -> DataFrame:
+    """The rows surviving SemDeDup-style semantic dedup: connected
+    components of :func:`semantic_dedup_pairs`, min-id survivor per
+    component (the engine-wide convention)."""
+    pairs = semantic_dedup_pairs(
+        vectors, threshold, id_col, vec_col, index, nlist, seed,
+        max_cluster_size,
+    )
+    return survivors_from_pairs(vectors, pairs, id_col=id_col)

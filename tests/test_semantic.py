@@ -1,0 +1,102 @@
+"""SemDeDup-style semantic dedup (SURVEY §2.5 D16): planted
+near-identical embeddings are caught and resolved to min-id survivors,
+the prebuilt-index path is equivalent to the self-built one (and skips
+clustering), candidate generation is an equi-join on the cluster id
+(never a cartesian), recall matches the exact all-pairs baseline on
+exact copies, and the degenerate-cell cap bounds fanout."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_cassandra_plugin_spark.catalog import Catalog
+from kafka_cassandra_plugin_spark.operators import dedup as D
+from kafka_cassandra_plugin_spark.operators.similarity import IvfIndex
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    """Embeddings + exact copies of every 10th vector under new ids:
+    an exact copy is the strongest semantic dup (cosine 1.0) and is
+    blocking-proof — identical vectors always share a cluster."""
+    emb = Catalog(spark, sf_dir).embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    copies = emb.filter(F.col("id") % 10 == 0).select(
+        (F.col("id") + 1_000_000).alias("id"), "vec"
+    )
+    df = emb.unionByName(copies)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def planted_ids(corpus):
+    return {
+        r.id - 1_000_000
+        for r in corpus.filter(F.col("id") >= 1_000_000).collect()
+    }
+
+
+class TestSemanticDedup:
+    def test_every_exact_copy_paired(self, corpus, planted_ids):
+        pairs = D.semantic_dedup_pairs(corpus, threshold=0.99,
+                                       nlist=8, seed=7)
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        for base in planted_ids:
+            assert (base, base + 1_000_000) in got, base
+        # exact copies score cosine 1.0
+        assert all(r.cosine == 1.0 for r in pairs.filter(
+            F.col("id_b") - F.col("id_a") == 1_000_000).collect())
+
+    def test_survivors_drop_copies_keep_min(self, corpus, planted_ids):
+        kept = {r.id for r in
+                D.semantic_dedup(corpus, threshold=0.99, nlist=8,
+                                 seed=7).select("id").collect()}
+        for base in planted_ids:
+            assert base in kept and base + 1_000_000 not in kept
+
+    def test_prebuilt_index_path_equivalent_and_reused(self, corpus):
+        idx = IvfIndex.build(
+            corpus.select(F.col("id").alias("vec_id"),
+                          F.col("vec").alias("embedding")),
+            nlist=8, seed=7,
+        )
+        a = {(r.id_a, r.id_b) for r in D.semantic_dedup_pairs(
+            corpus, threshold=0.99, nlist=8, seed=7).collect()}
+        b = {(r.id_a, r.id_b) for r in D.semantic_dedup_pairs(
+            corpus, threshold=0.99, index=idx).collect()}
+        assert a == b
+
+    def test_matches_exact_allpairs_on_exact_copies(self, corpus, planted_ids):
+        """The all-pairs baseline finds every cosine>=0.99 pair; the
+        cluster-blocked tier must find at least the exact-copy subset
+        (identical vector -> identical cell, structurally guaranteed)."""
+        exact = D.embedding_cosine_pairs(
+            corpus, threshold=0.99, id_col="id", vec_col="vec",
+            block_top_k=None,
+        )
+        exact_copy_pairs = {
+            (r.id_a, r.id_b)
+            for r in exact.collect()
+            if r.id_b - r.id_a == 1_000_000
+        }
+        got = {(r.id_a, r.id_b) for r in D.semantic_dedup_pairs(
+            corpus, threshold=0.99, nlist=8, seed=7).collect()}
+        assert exact_copy_pairs <= got
+        assert len(exact_copy_pairs) == len(planted_ids)
+
+    def test_equi_join_plan_no_cartesian(self, corpus):
+        plan = (
+            D.semantic_dedup_pairs(corpus, threshold=0.99, nlist=8, seed=7)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_cluster_cap_bounds_fanout(self, corpus):
+        # cap below any cell size -> zero candidates survive the cap
+        pairs = D.semantic_dedup_pairs(corpus, threshold=0.99, nlist=8,
+                                       seed=7, max_cluster_size=1)
+        assert pairs.count() == 0
