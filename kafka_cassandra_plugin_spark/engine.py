@@ -29,9 +29,11 @@ from .operators import changes as _changes
 from .operators import contamination as _contamination
 from .operators import dedup as _dedup
 from .operators import export as _export
+from .operators import graph as _graph
 from .operators import kv as _kv
 from .operators import membership as _membership
 from .operators import packing as _packing
+from .operators import pii as _pii
 from .operators import pipeline as _pipeline
 from .operators import quantization as _quantization
 from .operators import sampling as _sampling
@@ -144,3 +146,13 @@ class Engine:
 
     def read_shards(self, path: str, shards=None) -> DataFrame:
         return _export.read_shards(self.spark, path, shards)
+
+    # -- round-5 additions (SURVEY §2.5 D12-D16) ------------------------------
+    pii_profile = staticmethod(_pii.pii_profile)
+    redact_pii = staticmethod(_pii.redact_pii)
+    component_labels_star = staticmethod(_graph.component_labels_star)
+    take_per_group = staticmethod(_sampling.take_per_group)
+    plan_mixture = staticmethod(_sampling.plan_mixture)
+    mix_to_budget = staticmethod(_sampling.mix_to_budget)
+    semantic_dedup_pairs = staticmethod(_dedup.semantic_dedup_pairs)
+    semantic_dedup = staticmethod(_dedup.semantic_dedup)

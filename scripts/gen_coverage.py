@@ -184,6 +184,14 @@ TIER_D = {
             "preservingly; empty-source raise; realized shares within "
             "deterministic-draw bound; (doc, epoch) determinism "
             "(tests/test_training_export.py)"),
+    "D16": ("semantic dedup (semantic_dedup_pairs/semantic_dedup, "
+            "SemDeDup-style cluster blocking on IvfIndex cells)",
+            "operators/dedup.py",
+            "planted exact copies paired at cosine 1.0 and dropped; "
+            "prebuilt-index equivalence (zero clustering on reuse); "
+            "exact-copy subset of all-pairs baseline; no-cartesian plan "
+            "gate; cell-cap fanout bound; benched as "
+            "extra_queries['dedup_semantic'] (tests/test_semantic.py)"),
 }
 
 
