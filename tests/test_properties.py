@@ -18,6 +18,7 @@ import datetime as dt
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from kafka_cassandra_plugin_spark.operators import changes as C
 from kafka_cassandra_plugin_spark.operators import dedup as D
@@ -259,3 +260,78 @@ class TestAdaptiveBandsInvariants:
             D.adaptive_bands(t / 100, num_hashes) for t in range(5, 100, 5)
         ]
         assert all(a >= b for a, b in zip(bands, bands[1:]))
+
+
+PII_FRAGMENTS = st.sampled_from([
+    "plain words here", "a@b.example.org", "call 555-123-4567",
+    "ssn 123-45-6789", "ip 10.0.0.1", "https://ex.org/x?y=1",
+    "card 4111-1111-1111-1111", "v1.2.3", "(415) 555-0199",
+    "odd-dash-text", "99", "....", "a@b", "12.34", "x" ,
+])
+
+
+class TestPiiProperties:
+    """Redaction is idempotent and leaves zero residual matches on
+    arbitrary fragment compositions - including boundary compositions
+    a hand-written case list would miss (identifiers glued to digits,
+    punctuation runs, partial lookalikes)."""
+
+    @SLOW
+    @given(docs=st.lists(
+        st.lists(PII_FRAGMENTS, min_size=1, max_size=6).map(" ".join),
+        min_size=1, max_size=10,
+    ))
+    def test_redaction_idempotent_and_residual_free(self, spark, docs):
+        from kafka_cassandra_plugin_spark.operators import pii as P
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(docs)], "doc_id: long, text: string"
+        )
+        once = P.redact_pii(df)
+        twice = P.redact_pii(once)
+        a = {r.doc_id: r.text for r in once.collect()}
+        b = {r.doc_id: r.text for r in twice.collect()}
+        assert a == b  # idempotent: tokens never re-match
+        residual = P.pii_profile(once).agg(
+            F.sum("pii_total").alias("s")).collect()[0].s
+        assert residual == 0  # nothing identifier-shaped survives
+
+
+class TestStarComponentsProperties:
+    """Star connected components agree with a driver-side union-find on
+    arbitrary small graphs (self-loops, duplicates, isolates, any
+    shape hypothesis composes)."""
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(edges=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=0, max_size=30,
+    ))
+    def test_matches_union_find(self, spark, edges):
+        from kafka_cassandra_plugin_spark.operators import graph as G
+
+        n = 22
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        want = {x: find(x) for x in range(n)}
+
+        nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+        pairs = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edges] or [(0, 0)],
+            "id_a: long, id_b: long",
+        )
+        got = {r.node: r.label
+               for r in G.component_labels_star(nodes, pairs).collect()}
+        assert got == want
