@@ -354,6 +354,7 @@ def _tier_d_oracle_pairs():
 
     return {
         "sample_per_group": (L.sample_per_group, L.SAMPLE_PER_GROUP_SQL),
+        "chunk_documents": (L.chunk_docs, L.CHUNK_DOCUMENTS_SQL),
         "pii_redaction": (L.pii_redaction, L.PII_REDACTION_SQL),
         "quality_report": (L.quality_report_by_group, L.QUALITY_REPORT_SQL),
         "repetition_signals": (L.repetition_signals,
@@ -648,6 +649,13 @@ def _depth_ops(sf_dir):
         return semantic_dedup_pairs(corpus, threshold=0.99,
                                     index=_state["sem_idx"])
 
+    # D17 row (round 5): token-window chunking (pack_sequences' oversize
+    # bridge) - pure map stage, zero Exchange.
+    def chunk(spark):
+        from kafka_cassandra_plugin_spark.queries.llm_ops import chunk_docs
+
+        return chunk_docs(spark, sf_dir)
+
     # D14 row (round 5): exact deterministic per-stratum selection -
     # one lang shuffle, rank predicate pushed down (WindowGroupLimit).
     def per_group(spark):
@@ -690,7 +698,7 @@ def _depth_ops(sf_dir):
             "quality_report": quality_rep,
             "decontaminate_ngram13": decontam_ngram,
             "pii_redaction": pii, "sample_per_group": per_group,
-            "dedup_semantic": semantic}
+            "dedup_semantic": semantic, "chunk_documents": chunk}
 
 
 if __name__ == "__main__":

@@ -163,3 +163,76 @@ def packing_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
         )
         .withColumn("fill", F.round(F.col("tokens") / F.lit(max_tokens), 4))
     )
+
+
+def chunk_documents(df: DataFrame, max_tokens: int, overlap: int = 0,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into token-window chunks (SURVEY §2.5 D17):
+    (id, chunk_idx, chunk_text, n_tokens) with every chunk at most
+    ``max_tokens`` whitespace tokens and consecutive chunks sharing
+    ``overlap`` tokens of context.
+
+    This is the bridge into :func:`pack_sequences`: the packer flags
+    documents longer than the budget as ``oversize`` singletons
+    (truncation policy belongs to the caller) — chunking IS that
+    policy when the caller wants every token trained on.  Chunk i
+    covers tokens [i·stride, i·stride + max_tokens) with stride =
+    max_tokens − overlap, so concatenating chunks with the first
+    ``overlap`` tokens of each non-initial chunk dropped reconstructs
+    the document's token sequence exactly (round-trip-tested).  A doc
+    shorter than one window yields one chunk; an empty doc yields
+    none.
+
+    Scale shape: pure map stage — tokenize once, a literal-arithmetic
+    start sequence, slice+join per window, one posexplode; zero
+    Exchange (plan-gated), linear in corpus tokens x (1 +
+    overlap/stride).  Engine-portable arithmetic (double ceil +
+    1-based inclusive slices), so the op is DuckDB-oracle-checked,
+    not rows-only.
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"overlap must be in [0, max_tokens), got {overlap}"
+        )
+    stride = max_tokens - overlap
+    # drop empty tokens so whitespace-only/empty docs yield ZERO chunks
+    # (a bare split('') returns [''] in both engines)
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    n = F.size(toks)
+    n_chunks = F.when(
+        n > 0,
+        F.greatest(
+            F.lit(1),
+            F.ceil((n - F.lit(overlap)) / F.lit(float(stride))).cast("int"),
+        ),
+    ).otherwise(F.lit(0))
+    # guard the DESCENDING-sequence trap: sequence(0, -1) enumerates
+    # downward in Spark, so the empty case must short-circuit
+    starts = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    windows = F.transform(
+        starts,
+        lambda i: F.struct(
+            F.array_join(
+                F.slice(toks, i * stride + 1, max_tokens), " "
+            ).alias("chunk_text"),
+            F.size(F.slice(toks, i * stride + 1, max_tokens))
+            .cast("long")
+            .alias("n_tokens"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.posexplode(windows).alias("chunk_idx", "w"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("w.chunk_text").alias("chunk_text"),
+            F.col("w.n_tokens").alias("n_tokens"),
+        )
+    )

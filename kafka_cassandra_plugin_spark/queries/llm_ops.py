@@ -1221,3 +1221,47 @@ def sample_per_group(spark, sf_dir):
         .select("lang", "take_rank", "doc_id")
         .orderBy("lang", "take_rank")
     )
+
+
+CHUNK_DOCUMENTS_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) > 0
+                  THEN greatest(1, CAST(ceil((len(toks) - 8) / 32.0) AS INT))
+                  ELSE 0 END AS nc
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, nc - 1)) AS chunk_idx
+      FROM p WHERE nc > 0
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           array_to_string(toks[chunk_idx * 32 + 1 : chunk_idx * 32 + 40],
+                           ' ') AS chunk_text,
+           CAST(len(toks[chunk_idx * 32 + 1 : chunk_idx * 32 + 40])
+                AS BIGINT) AS n_tokens
+    FROM c
+    ORDER BY doc_id, chunk_idx
+"""
+
+
+def chunk_docs(spark, sf_dir):
+    """Token-window document chunking (SURVEY §2.5 D17): 40-token
+    windows with 8 tokens of overlap (stride 32) over documents — the
+    pack_sequences bridge for oversize docs.  Pure map stage: tokenize
+    once, literal start arithmetic, slice+join, one posexplode; zero
+    Exchange (plan-gated in tests)."""
+    from ..operators.packing import chunk_documents
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    return chunk_documents(d, max_tokens=40, overlap=8).orderBy(
+        "doc_id", "chunk_idx"
+    )

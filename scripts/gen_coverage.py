@@ -192,6 +192,14 @@ TIER_D = {
             "exact-copy subset of all-pairs baseline; no-cartesian plan "
             "gate; cell-cap fanout bound; benched as "
             "extra_queries['dedup_semantic'] (tests/test_semantic.py)"),
+    "D17": ("document chunking (chunk_documents - token windows with "
+            "overlap, the pack_sequences oversize bridge)",
+            "operators/packing.py",
+            "chunks within budget; overlap round-trip reconstructs the "
+            "token sequence; empty-doc none / short-doc one; zero-Exchange "
+            "plan; chunk->pack leaves zero oversize; DuckDB oracle at "
+            "sf0.01 + sf1; benched as extra_queries['chunk_documents'] "
+            "(tests/test_training_export.py)"),
 }
 
 

@@ -628,3 +628,113 @@ class TestPlanMixture:
             corpus.repartition(7), "doc_id", "source", "n_tokens",
             {"A": 0.6, "B": 0.4}, 1500).collect()}
         assert a == b
+
+
+class TestChunkDocuments:
+    """D17: token-window chunking - the oversize bridge into packing."""
+
+    def _toks(self, s):
+        return [t for t in s.split() if t]
+
+    @pytest.fixture(scope="class")
+    def sample(self, spark):
+        rows = [
+            (1, " ".join(f"w{i}" for i in range(100))),  # multi-chunk
+            (2, "just five little tokens here"),          # single chunk
+            (3, ""),                                      # empty -> none
+            (4, "   \n  "),                               # whitespace only
+        ]
+        return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    def test_every_chunk_within_budget(self, sample):
+        from kafka_cassandra_plugin_spark.operators.packing import (
+            chunk_documents,
+        )
+
+        out = chunk_documents(sample, max_tokens=16, overlap=4).collect()
+        assert all(r.n_tokens <= 16 for r in out)
+        assert all(len(self._toks(r.chunk_text)) == r.n_tokens for r in out)
+
+    def test_overlap_roundtrip_reconstructs_tokens(self, sample):
+        from kafka_cassandra_plugin_spark.operators.packing import (
+            chunk_documents,
+        )
+
+        overlap = 4
+        chunks = sorted(
+            chunk_documents(sample, max_tokens=16, overlap=overlap)
+            .filter(F.col("doc_id") == 1).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        rebuilt = self._toks(chunks[0].chunk_text)
+        for c in chunks[1:]:
+            rebuilt += self._toks(c.chunk_text)[overlap:]
+        assert rebuilt == [f"w{i}" for i in range(100)]
+
+    def test_short_doc_one_chunk_empty_doc_none(self, sample):
+        from kafka_cassandra_plugin_spark.operators.packing import (
+            chunk_documents,
+        )
+
+        got = {
+            r.doc_id: r["count"]
+            for r in chunk_documents(sample, max_tokens=16, overlap=4)
+            .groupBy("doc_id").count().collect()
+        }
+        assert got.get(2) == 1 and 3 not in got and 4 not in got
+
+    def test_no_overlap_partitions_exactly(self, sample):
+        from kafka_cassandra_plugin_spark.operators.packing import (
+            chunk_documents,
+        )
+
+        chunks = chunk_documents(sample, max_tokens=16, overlap=0).filter(
+            F.col("doc_id") == 1
+        )
+        assert chunks.count() == 7  # ceil(100/16)
+        assert chunks.agg(F.sum("n_tokens")).first()[0] == 100
+
+    def test_bad_args_raise(self, sample):
+        from kafka_cassandra_plugin_spark.operators.packing import (
+            chunk_documents,
+        )
+
+        with pytest.raises(ValueError, match="max_tokens"):
+            chunk_documents(sample, max_tokens=0)
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(sample, max_tokens=8, overlap=8)
+
+    def test_map_only_plan(self, spark, sf_dir):
+        from kafka_cassandra_plugin_spark.operators.packing import (
+            chunk_documents,
+        )
+
+        d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+        plan = (
+            chunk_documents(d, max_tokens=40, overlap=8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_chunks_feed_packing_without_oversize(self, spark, sf_dir):
+        from kafka_cassandra_plugin_spark.operators.packing import (
+            chunk_documents,
+            pack_sequences,
+        )
+
+        d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+        chunks = chunk_documents(d, max_tokens=40, overlap=0).select(
+            F.concat_ws("#", "doc_id", "chunk_idx").alias("doc_id"),
+            F.col("chunk_text").alias("text"),
+        )
+        packed = pack_sequences(chunks, 64, num_groups=4)
+        assert packed.filter(F.col("oversize")).count() == 0
+
+    def test_oracle_match_sf001(self, spark, duck, oracle_sf_dir):
+        from kafka_cassandra_plugin_spark import oracle
+        from kafka_cassandra_plugin_spark.queries import llm_ops
+
+        df = llm_ops.chunk_docs(spark, oracle_sf_dir)
+        n = oracle.compare(df, duck, llm_ops.CHUNK_DOCUMENTS_SQL,
+                           name="chunk_docs")
+        assert n > 0
