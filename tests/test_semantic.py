@@ -100,3 +100,47 @@ class TestSemanticDedup:
         pairs = D.semantic_dedup_pairs(corpus, threshold=0.99, nlist=8,
                                        seed=7, max_cluster_size=1)
         assert pairs.count() == 0
+
+
+class TestPerturbedRecall:
+    """Near-dup (not exact-copy) recall: slightly perturbed vectors -
+    cosine ~0.999, the SemDeDup regime - must land in the same KMeans
+    cell almost always.  Gate at 0.9 pair recall vs the exact
+    all-pairs baseline (the published method's boundary-straddle loss
+    is the remainder)."""
+
+    @pytest.fixture(scope="class")
+    def perturbed_corpus(self, spark, sf_dir):
+        emb = Catalog(spark, sf_dir).embeddings.select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        # deterministic micro-perturbation: x_i + 0.003*sin(id + i)
+        copies = emb.filter(F.col("id") % 7 == 0).select(
+            (F.col("id") + 1_000_000).alias("id"),
+            F.transform(
+                "vec",
+                lambda x, i: x + 0.003 * F.sin(F.col("id") + i),
+            ).alias("vec"),
+        )
+        df = emb.unionByName(copies)
+        df.cache().count()
+        return df
+
+    def test_perturbed_pair_recall(self, perturbed_corpus):
+        exact = {
+            (r.id_a, r.id_b)
+            for r in D.embedding_cosine_pairs(
+                perturbed_corpus, threshold=0.99, id_col="id",
+                vec_col="vec", block_top_k=None,
+            ).collect()
+            if r.id_b - r.id_a == 1_000_000
+        }
+        assert exact  # the perturbation stayed above the threshold
+        got = {
+            (r.id_a, r.id_b)
+            for r in D.semantic_dedup_pairs(
+                perturbed_corpus, threshold=0.99, nlist=8, seed=7
+            ).collect()
+        }
+        recall = len(exact & got) / len(exact)
+        assert recall >= 0.9, recall
