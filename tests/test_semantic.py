@@ -144,3 +144,22 @@ class TestPerturbedRecall:
         }
         recall = len(exact & got) / len(exact)
         assert recall >= 0.9, recall
+
+
+class TestLoadedIndexPath:
+    def test_disk_loaded_index_equivalent(self, spark, corpus, tmp_path):
+        """The daily-run shape: semantic dedup over an index LOADED from
+        its partitioned-parquet layout must match the in-memory build -
+        the stored (id, vec, list_id) table is the whole clustering
+        state."""
+        built = IvfIndex.build(
+            corpus.select(F.col("id").alias("vec_id"),
+                          F.col("vec").alias("embedding")),
+            nlist=8, seed=7,
+        )
+        loaded = built.save(str(tmp_path / "sem_ix"))
+        a = {(r.id_a, r.id_b) for r in D.semantic_dedup_pairs(
+            corpus, threshold=0.99, index=built).collect()}
+        b = {(r.id_a, r.id_b) for r in D.semantic_dedup_pairs(
+            corpus, threshold=0.99, index=loaded).collect()}
+        assert a == b and a
