@@ -690,6 +690,24 @@ def _depth_ops(sf_dir):
         )
         return decontaminate_ngrams(corpus, bench_set, n=13)
 
+    # D18 row (round 5): Bloom cross-run exact-dedup probe - the filter
+    # over 2/3 of the corpus is built ONCE (the persisted-sketch shape,
+    # like the ANN indexes); the timed row is filter_new over a batch
+    # that half-overlaps the filter, i.e. the daily-ingest probe.
+    def bloom_probe(spark):
+        from kafka_cassandra_plugin_spark.operators.bloom import BloomIndex
+
+        docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+        if "bloom" not in _state:
+            accepted = docs.filter(F.col("doc_id") % 3 != 0)
+            _state["bloom"] = BloomIndex.build(
+                accepted, "doc_id",
+                expected_items=max(1000, accepted.count()), fpp=0.01,
+            )
+            _state["bloom"].words.persist().count()  # build-once
+        batch = docs.filter(F.col("doc_id") % 6 < 2)  # half seen, half new
+        return _state["bloom"].filter_new(batch)
+
     return {"curation_funnel": curation_funnel, "sim_ivf_pq": ivf_pq,
             "decontaminate": decontaminate,
             "shard_export[staging]": shard_export_staging,
@@ -698,7 +716,8 @@ def _depth_ops(sf_dir):
             "quality_report": quality_rep,
             "decontaminate_ngram13": decontam_ngram,
             "pii_redaction": pii, "sample_per_group": per_group,
-            "dedup_semantic": semantic, "chunk_documents": chunk}
+            "dedup_semantic": semantic, "chunk_documents": chunk,
+            "bloom_filter_new": bloom_probe}
 
 
 if __name__ == "__main__":

@@ -25,6 +25,7 @@ from typing import Iterable, Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import Catalog
+from .operators import bloom as _bloom
 from .operators import changes as _changes
 from .operators import contamination as _contamination
 from .operators import dedup as _dedup
@@ -156,3 +157,11 @@ class Engine:
     mix_to_budget = staticmethod(_sampling.mix_to_budget)
     semantic_dedup_pairs = staticmethod(_dedup.semantic_dedup_pairs)
     semantic_dedup = staticmethod(_dedup.semantic_dedup)
+    chunk_documents = staticmethod(_packing.chunk_documents)
+
+    # -- D18: cross-run exact-dedup membership sketch -------------------------
+    bloom_parameters = staticmethod(_bloom.bloom_parameters)
+    build_bloom = staticmethod(_bloom.BloomIndex.build)
+
+    def load_bloom(self, path: str) -> "_bloom.BloomIndex":
+        return _bloom.BloomIndex.load(self.spark, path)

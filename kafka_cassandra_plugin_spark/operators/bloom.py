@@ -1,0 +1,224 @@
+"""Bloom-filter membership sketch: cross-run exact dedup without the key set.
+
+The cross-RUN exact-dedup problem at 100 TB: yesterday's corpus has
+10^10 document hashes; today's ingest batch must drop anything already
+accepted.  A left-anti join against the full key set re-reads (or
+permanently pins) terabytes of keys per batch; the
+:class:`.dedup_index.MinHashIndex` answers the *near*-dup version but
+stores shingle sets - far more state than exact membership needs.  A
+Bloom filter answers "definitely new / maybe seen" in
+``m = -n ln p / (ln 2)^2`` bits (~1.2 GB per 10^9 keys at 1% fpp),
+with the safe asymmetry for dedup: **no duplicate ever passes**; the
+cost of approximation is that ~fpp of genuinely-new documents are
+dropped as suspected dupes - a bounded, documented recall tax, never a
+correctness leak.
+
+Spark-first representation - the filter IS a DataFrame, not a driver
+byte array:
+
+- bit positions are ``pmod(xxhash64(key, seed + i), m)`` for
+  ``i < k`` - JVM-side, whole-stage-codegen'd, and portable across
+  runs/clusters because xxhash64 is a pure function of (value, seed).
+- the filter is the sparse word table ``(word: long, bits: long)`` =
+  ``groupBy(pos div 64).agg(bit_or(1L << pos mod 64))`` - built-in
+  aggregate, map-side partial combine, and the ONLY corpus-wide
+  shuffle term is bounded by ``min(n*k, m/64)`` 16-byte rows (the
+  sketch size, never the corpus width).
+- a probe explodes the batch's k positions and equi-joins the word
+  table: broadcast when the filter's dense bound ``m/8`` fits
+  (decidable from geometry alone - no counting), shuffle-hash on
+  ``word`` when it does not.  A key is "maybe seen" iff ALL k of its
+  bits are set (``min(hit)`` over its exploded rows).
+- merging two same-geometry filters is ``union -> bit_or`` - which is
+  exactly how incremental accumulation (:meth:`BloomIndex.add`) and
+  distributed construction compose.  Geometry (m, k, seed) is persisted
+  next to the words and validated on every merge/probe, so a filter
+  can never be silently probed with the wrong hash family.
+
+No row-at-a-time Python anywhere: build, merge, and probe are
+hash/explode/groupBy/join built-ins end to end.
+
+Reference provenance: no counterpart in /root/reference (its Cassandra
+layer delegates membership to LWT inserts, CassandraSupStorage.scala);
+LLM-pipeline closure (SURVEY §2.5 D18).  Bloom parameter formulas are
+the standard public ones (Bloom 1970; Broder & Mitzenmacher 2004
+survey).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Dense upper bound for auto-broadcast of the word table: m/8 bytes.
+# 64 MB of filter (~5.4e8 bits -> ~450 M keys at 1% fpp per GB ratio)
+# broadcasts; beyond that the probe shuffles on `word`.
+DEFAULT_MAX_BROADCAST_BYTES = 64 * 1024 * 1024
+
+
+def bloom_parameters(expected_items: int, fpp: float) -> tuple[int, int]:
+    """Classic sizing: bits ``m = ceil(-n ln p / (ln 2)^2)`` rounded up
+    to whole 64-bit words, hash count ``k = round(m/n ln 2)``."""
+    if expected_items <= 0:
+        raise ValueError(f"expected_items must be > 0, got {expected_items}")
+    if not (0.0 < fpp < 1.0):
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    m = math.ceil(-expected_items * math.log(fpp) / (math.log(2) ** 2))
+    m = 64 * math.ceil(max(m, 64) / 64)
+    k = max(1, round(m / expected_items * math.log(2)))
+    return m, k
+
+
+def _positions(df: DataFrame, key_col: str, m: int, k: int,
+               seed: int) -> DataFrame:
+    """One row per (input row, hash function): the bit position column
+    ``__pos`` in [0, m).  Keys are hashed as strings so the same value
+    probes identically regardless of the column's physical type."""
+    key = F.col(key_col).cast("string")
+    pos = [F.pmod(F.xxhash64(key, F.lit(seed + i)), F.lit(m)) for i in range(k)]
+    return df.withColumn("__pos", F.explode(F.array(*pos)))
+
+
+def _word_mask(df: DataFrame) -> DataFrame:
+    """``__pos`` -> (word, mask): word index and single-bit mask."""
+    return df.withColumn(
+        "word", (F.col("__pos") / 64).cast("long")
+    ).withColumn(
+        "mask", F.expr("shiftleft(1L, cast(pmod(__pos, 64) as int))")
+    )
+
+
+class BloomIndex:
+    """Build-once / probe-many / merge-forever Bloom membership filter.
+
+    ``words``: sparse (word, bits) table - the filter itself.
+    ``m``/``k``/``seed``: the geometry contract every probe and merge
+    must reuse (persisted, validated).
+    """
+
+    def __init__(self, words: DataFrame, m: int, k: int, seed: int,
+                 path: str | None = None):
+        self.words = words
+        self.m = m
+        self.k = k
+        self.seed = seed
+        self.path = path
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def build(cls, df: DataFrame, key_col: str = "doc_id",
+              expected_items: int = 1_000_000, fpp: float = 0.01,
+              seed: int = 42, m: int | None = None,
+              k: int | None = None) -> "BloomIndex":
+        """Build the filter over ``df[key_col]``.  ``expected_items``
+        sizes the geometry (pass the CORPUS-lifetime cardinality, not
+        this batch's - the filter saturates, it never resizes); pass
+        ``m``/``k`` explicitly to pin a geometry instead."""
+        if m is None or k is None:
+            m, k = bloom_parameters(expected_items, fpp)
+        words = (
+            _word_mask(_positions(df.select(key_col), key_col, m, k, seed))
+            .groupBy("word")
+            .agg(F.expr("bit_or(mask)").alias("bits"))
+        )
+        return cls(words, m, k, seed)
+
+    # -- persistence -------------------------------------------------------
+
+    def save(self, path: str) -> "BloomIndex":
+        """Write words + geometry; returns the disk-backed handle."""
+        spark = self.words.sparkSession
+        self.words.write.mode("overwrite").parquet(f"{path}/words")
+        spark.createDataFrame(
+            [(self.m, self.k, self.seed)], "m long, k int, seed int"
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+        return BloomIndex.load(spark, path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "BloomIndex":
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        words = spark.read.parquet(f"{path}/words")
+        return cls(words, int(meta["m"]), int(meta["k"]), int(meta["seed"]),
+                   path=path)
+
+    # -- composition -------------------------------------------------------
+
+    def _check_geometry(self, other: "BloomIndex") -> None:
+        if (self.m, self.k, self.seed) != (other.m, other.k, other.seed):
+            raise ValueError(
+                "Bloom geometry mismatch: "
+                f"(m={self.m}, k={self.k}, seed={self.seed}) vs "
+                f"(m={other.m}, k={other.k}, seed={other.seed}); "
+                "filters built with different geometry cannot be merged "
+                "or cross-probed - rebuild one side."
+            )
+
+    def merge(self, other: "BloomIndex") -> "BloomIndex":
+        """Bitwise union of two same-geometry filters - equals the
+        filter built over the union of their inputs, exactly."""
+        self._check_geometry(other)
+        words = (
+            self.words.unionByName(other.words)
+            .groupBy("word")
+            .agg(F.expr("bit_or(bits)").alias("bits"))
+        )
+        return BloomIndex(words, self.m, self.k, self.seed)
+
+    def add(self, df: DataFrame, key_col: str = "doc_id") -> "BloomIndex":
+        """The incremental path: fold a new batch's keys in (same
+        geometry, by construction)."""
+        batch = BloomIndex.build(df, key_col, m=self.m, k=self.k,
+                                 seed=self.seed)
+        return self.merge(batch)
+
+    # -- probing -----------------------------------------------------------
+
+    def _maybe_broadcast(self, max_broadcast_bytes: int):
+        """Broadcast iff the DENSE bound m/8 fits (no counting needed);
+        otherwise pin a shuffle-hash join: both sides hash-partition on
+        ``word`` (the filter side lands at ~m/8/partitions bytes per
+        task) and neither giant side gets sorted, which a sort-merge
+        fallback would do."""
+        dense_bytes = self.m // 8
+        return F.broadcast if dense_bytes <= max_broadcast_bytes else (
+            lambda df: df.hint("shuffle_hash")
+        )
+
+    def might_contain(
+        self, batch: DataFrame, key_col: str = "doc_id",
+        max_broadcast_bytes: int = DEFAULT_MAX_BROADCAST_BYTES,
+    ) -> DataFrame:
+        """Distinct batch keys annotated with ``might_contain``:
+        False is definitive (never inserted), True is "maybe" (inserted,
+        or a ~fpp false positive).  Left-join against the sparse word
+        table: an absent word row means those bits are zero."""
+        hint = self._maybe_broadcast(max_broadcast_bytes)
+        probe = _word_mask(
+            _positions(batch.select(key_col).distinct(), key_col,
+                       self.m, self.k, self.seed)
+        )
+        return (
+            probe.join(hint(self.words), "word", "left")
+            .withColumn(
+                "__hit",
+                F.coalesce(F.expr("(bits & mask) = mask"), F.lit(False)),
+            )
+            .groupBy(key_col)
+            .agg(F.min("__hit").alias("might_contain"))
+        )
+
+    def filter_new(
+        self, batch: DataFrame, key_col: str = "doc_id",
+        max_broadcast_bytes: int = DEFAULT_MAX_BROADCAST_BYTES,
+    ) -> DataFrame:
+        """Rows of ``batch`` whose key is DEFINITELY not in the filter.
+        Guarantees: every previously-inserted key is dropped (no dup
+        leaks); ~fpp of genuinely-new keys are also dropped (the
+        documented recall tax).  Batch-internal duplicates are not this
+        operator's job - compose with exact dedup first."""
+        keys = self.might_contain(batch, key_col, max_broadcast_bytes)
+        fresh = keys.filter(~F.col("might_contain")).select(key_col)
+        return batch.join(fresh, key_col, "left_semi")

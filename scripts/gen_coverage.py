@@ -200,6 +200,16 @@ TIER_D = {
             "plan; chunk->pack leaves zero oversize; DuckDB oracle at "
             "sf0.01 + sf1; benched as extra_queries['chunk_documents'] "
             "(tests/test_training_export.py)"),
+    "D18": ("Bloom membership filter (BloomIndex - cross-run exact dedup "
+            "without the key set; xxhash64 positions + bit_or word table, "
+            "zero UDFs)",
+            "operators/bloom.py",
+            "zero false negatives on all inserted keys; fpr <= 3x "
+            "configured on disjoint probes; merge == union-build "
+            "bit-for-bit; save/load probe-identical; geometry-mismatch "
+            "raises; one-Exchange build / broadcast-or-shuffle_hash probe "
+            "plan gates, no EvalPython; benched as "
+            "extra_queries['bloom_filter_new'] (tests/test_bloom.py)"),
 }
 
 

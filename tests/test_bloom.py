@@ -1,0 +1,159 @@
+"""D18 Bloom membership filter: the cross-run exact-dedup sketch.
+
+Gates the two sides of the Bloom contract - ZERO false negatives (no
+duplicate ever passes ``filter_new``) and a bounded false-positive rate
+(the documented recall tax on new keys) - plus exact merge/build
+equivalence, geometry validation, persistence, and the plan shapes the
+100 TB story depends on (built-in-only build with one shuffle;
+broadcast probe under the dense-bound threshold).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_cassandra_plugin_spark.operators.bloom import (
+    BloomIndex,
+    bloom_parameters,
+)
+
+
+@pytest.fixture(scope="module")
+def seen(spark):
+    """5 000 'previously accepted' keys."""
+    return spark.range(0, 5_000).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id")
+    )
+
+
+@pytest.fixture(scope="module")
+def bloom(seen):
+    return BloomIndex.build(seen, "doc_id", expected_items=5_000, fpp=0.01)
+
+
+class TestParameters:
+    def test_classic_formulas(self):
+        m, k = bloom_parameters(1_000_000, 0.01)
+        # -n ln p / ln2^2 for n=1e6, p=0.01 is ~9.585e6 bits, k ~ 7
+        assert abs(m - 9_585_059) < 128  # word-rounded
+        assert k == 7
+
+    def test_word_aligned_and_positive(self):
+        for n, p in [(1, 0.5), (10, 0.001), (10**9, 0.01)]:
+            m, k = bloom_parameters(n, p)
+            assert m % 64 == 0 and m >= 64 and k >= 1
+
+    def test_lower_fpp_means_more_bits(self):
+        m1, _ = bloom_parameters(10_000, 0.1)
+        m2, _ = bloom_parameters(10_000, 0.001)
+        assert m2 > m1
+
+    def test_arg_guards(self):
+        with pytest.raises(ValueError):
+            bloom_parameters(0, 0.01)
+        with pytest.raises(ValueError):
+            bloom_parameters(100, 1.5)
+
+
+class TestMembership:
+    def test_zero_false_negatives(self, bloom, seen):
+        """Every inserted key answers maybe - the hard guarantee."""
+        got = bloom.might_contain(seen)
+        assert got.filter(~F.col("might_contain")).count() == 0
+        assert got.count() == 5_000
+
+    def test_false_positive_rate_bounded(self, bloom, spark):
+        """Disjoint probe keys: observed fpr within 3x the configured
+        1% (binomial slack on 5 000 draws)."""
+        fresh = spark.range(100_000, 105_000).select(
+            F.concat(F.lit("doc-"), F.col("id")).alias("doc_id")
+        )
+        got = bloom.might_contain(fresh)
+        fp = got.filter(F.col("might_contain")).count()
+        assert fp / 5_000 <= 0.03
+
+    def test_filter_new_drops_all_seen_keeps_most_new(self, bloom, spark):
+        batch = spark.range(4_900, 5_200).select(
+            F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+            (F.col("id") * 2).alias("payload"),
+        )
+        out = bloom.filter_new(batch)
+        ids = {r["doc_id"] for r in out.collect()}
+        # ids 4900-4999 are inserted: NONE may survive
+        assert not any(int(i.split("-")[1]) < 5_000 for i in ids)
+        # ids 5000-5199 are new: at least 1-3*fpp survive
+        assert len(ids) >= math.floor(200 * 0.97)
+        # payload columns ride through the semi join
+        assert set(out.columns) == {"doc_id", "payload"}
+
+
+class TestComposition:
+    def test_merge_equals_union_build(self, spark):
+        """build(A) ∪ build(B) is bit-for-bit build(A ∪ B)."""
+        a = spark.range(0, 300).select(F.col("id").cast("string").alias("k"))
+        b = spark.range(200, 500).select(F.col("id").cast("string").alias("k"))
+        geo = dict(expected_items=1_000, fpp=0.01, seed=7)
+        merged = BloomIndex.build(a, "k", **geo).merge(
+            BloomIndex.build(b, "k", **geo)
+        )
+        direct = BloomIndex.build(a.unionByName(b), "k", **geo)
+        assert merged.words.exceptAll(direct.words).count() == 0
+        assert direct.words.exceptAll(merged.words).count() == 0
+
+    def test_add_sees_old_and_new(self, spark):
+        a = spark.range(0, 100).select(F.col("id").cast("string").alias("k"))
+        b = spark.range(100, 200).select(F.col("id").cast("string").alias("k"))
+        grown = BloomIndex.build(a, "k", expected_items=500).add(b, "k")
+        got = grown.might_contain(a.unionByName(b), "k")
+        assert got.filter(~F.col("might_contain")).count() == 0
+
+    def test_geometry_mismatch_raises(self, spark):
+        a = spark.range(0, 10).select(F.col("id").cast("string").alias("k"))
+        x = BloomIndex.build(a, "k", expected_items=100, fpp=0.01)
+        y = BloomIndex.build(a, "k", expected_items=100, fpp=0.01, seed=99)
+        with pytest.raises(ValueError, match="geometry mismatch"):
+            x.merge(y)
+
+    def test_save_load_probe_identical(self, bloom, seen, spark, tmp_path):
+        loaded = bloom.save(str(tmp_path / "bloom"))
+        assert (loaded.m, loaded.k, loaded.seed) == (
+            bloom.m, bloom.k, bloom.seed,
+        )
+        mem = bloom.might_contain(seen)
+        dsk = loaded.might_contain(seen)
+        assert mem.exceptAll(dsk).count() == 0
+        assert dsk.exceptAll(mem).count() == 0
+
+
+class TestPlans:
+    """The scale shapes: pure built-ins (no Python eval nodes anywhere),
+    ONE shuffle to build, broadcast probe under the dense bound and
+    shuffle probe above it."""
+
+    def test_build_one_exchange_no_python(self, seen):
+        from kafka_cassandra_plugin_spark import plans as P
+
+        plan = P.formatted_plan(
+            BloomIndex.build(seen, "doc_id", expected_items=5_000).words
+        )
+        assert plan.count(") Exchange") == 1
+        assert "EvalPython" not in plan
+
+    def test_probe_broadcasts_small_filter(self, bloom, seen):
+        from kafka_cassandra_plugin_spark import plans as P
+
+        plan = P.formatted_plan(bloom.might_contain(seen))
+        assert "BroadcastHashJoin" in plan
+        assert "EvalPython" not in plan
+
+    def test_probe_shuffles_when_filter_too_big(self, bloom, seen):
+        from kafka_cassandra_plugin_spark import plans as P
+
+        plan = P.formatted_plan(
+            bloom.might_contain(seen, max_broadcast_bytes=0)
+        )
+        assert "BroadcastHashJoin" not in plan
+        assert "ShuffledHashJoin" in plan
