@@ -708,6 +708,22 @@ def _depth_ops(sf_dir):
         batch = docs.filter(F.col("doc_id") % 6 < 2)  # half seen, half new
         return _state["bloom"].filter_new(batch)
 
+    # D19 row (round 5): n-gram LM perplexity scoring - the model fit
+    # over 2/3 of the corpus happens ONCE (fit-once/score-many, like
+    # the ANN indexes and the Bloom filter); the timed row is the
+    # score+gate pass over the full corpus.
+    def lm_ppl(spark):
+        from kafka_cassandra_plugin_spark.operators.lm import NgramLM
+
+        docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+        if "lm" not in _state:
+            _state["lm"] = NgramLM.fit(
+                docs.filter(F.col("doc_id") % 3 != 0), n=3, k=0.1,
+            )
+            _state["lm"].grams.persist().count()
+            _state["lm"].contexts.persist().count()
+        return _state["lm"].perplexity(docs)
+
     return {"curation_funnel": curation_funnel, "sim_ivf_pq": ivf_pq,
             "decontaminate": decontaminate,
             "shard_export[staging]": shard_export_staging,
@@ -717,7 +733,7 @@ def _depth_ops(sf_dir):
             "decontaminate_ngram13": decontam_ngram,
             "pii_redaction": pii, "sample_per_group": per_group,
             "dedup_semantic": semantic, "chunk_documents": chunk,
-            "bloom_filter_new": bloom_probe}
+            "bloom_filter_new": bloom_probe, "lm_perplexity": lm_ppl}
 
 
 if __name__ == "__main__":

@@ -32,6 +32,7 @@ from .operators import dedup as _dedup
 from .operators import export as _export
 from .operators import graph as _graph
 from .operators import kv as _kv
+from .operators import lm as _lm
 from .operators import membership as _membership
 from .operators import packing as _packing
 from .operators import pii as _pii
@@ -165,3 +166,9 @@ class Engine:
 
     def load_bloom(self, path: str) -> "_bloom.BloomIndex":
         return _bloom.BloomIndex.load(self.spark, path)
+
+    # -- D19: n-gram LM perplexity quality gate -------------------------------
+    fit_ngram_lm = staticmethod(_lm.NgramLM.fit)
+
+    def load_ngram_lm(self, path: str) -> "_lm.NgramLM":
+        return _lm.NgramLM.load(self.spark, path)

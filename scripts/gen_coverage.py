@@ -210,6 +210,17 @@ TIER_D = {
             "raises; one-Exchange build / broadcast-or-shuffle_hash probe "
             "plan gates, no EvalPython; benched as "
             "extra_queries['bloom_filter_new'] (tests/test_bloom.py)"),
+    "D19": ("n-gram LM perplexity gate (NgramLM - CCNet-style model-based "
+            "quality filter; add-k LM as two count DataFrames, explode+join "
+            "scoring, zero UDFs)",
+            "operators/lm.py",
+            "hand-computed add-k probabilities exact; unseen text scores "
+            "ppl == V exactly; pruned grams degrade to the smoothed floor "
+            "with totals unchanged; in-domain 5x below gibberish on planted "
+            "structure; save/load score-identical; band gate + short-doc "
+            "drop; broadcast/shuffle_hash scoring plan gates, no "
+            "EvalPython; benched as extra_queries['lm_perplexity'] "
+            "(tests/test_lm.py)"),
 }
 
 
