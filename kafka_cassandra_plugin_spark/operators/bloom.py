@@ -126,6 +126,24 @@ class BloomIndex:
         )
         return cls(words, m, k, seed)
 
+    CONTENT_KEY = "__content_key"
+
+    @classmethod
+    def build_over_content(cls, df: DataFrame, text_col: str = "text",
+                           **kwargs) -> "BloomIndex":
+        """Build over ``sha2(text, 256)`` instead of an id column - the
+        key that makes the filter answer "was this CONTENT ever
+        accepted", which is what cross-run dedup needs (a re-ingested
+        document arrives under a fresh id; its text does not).  Matches
+        the exact-dedup stage's content-identity definition
+        (:func:`.pipeline.curate_annotated` stage 3), so the funnel's
+        ``seen_before`` gate and its ``exact_dup`` stage agree on what
+        "same document" means."""
+        keyed = df.select(
+            F.sha2(F.col(text_col), 256).alias(cls.CONTENT_KEY)
+        )
+        return cls.build(keyed, cls.CONTENT_KEY, **kwargs)
+
     # -- persistence -------------------------------------------------------
 
     def save(self, path: str) -> "BloomIndex":

@@ -29,9 +29,16 @@ reject reasons are disjoint and the funnel partitions the input):
 2b'. ``pii_heavy``    - carries more than ``max_pii`` PII pattern hits
     (opt-in via ``max_pii=``; regex built-ins, still map-only — see
     :mod:`.pii`)
+2b''. ``ppl_out_of_band`` - n-gram LM perplexity outside
+    [``min_ppl``, ``max_ppl``] or too short to score (opt-in via
+    ``lm=`` + ``max_ppl=``; the CCNet middle-band quality gate -
+    broadcast model-table joins over the batch's grams, see :mod:`.lm`)
 2c. ``contaminated``  - shares an exact token 13-gram with a benchmark
     document (opt-in via ``benchmarks=``; broadcast gram join - the
     "never train on eval data" gate, enforced at ingest)
+2d. ``seen_before``   - content hash maybe-in the accepted-corpus Bloom
+    filter (opt-in via ``seen=``; cross-RUN exact dedup at a sketch's
+    cost - no accepted duplicate ever passes, see :mod:`.bloom`)
 3. ``exact_dup``      - same sha256 content as a lower-id batch row
 4. ``near_dup_batch`` - MinHash-LSH near-dup cluster, non-min-id member
 5. ``near_dup_corpus``- near-dup of the existing corpus (when a
@@ -110,6 +117,10 @@ def curate_annotated(
     benchmarks: DataFrame | None = None,
     contamination_n: int = 13,
     near_dup_threshold: float = 0.8,
+    lm=None,
+    max_ppl: float | None = None,
+    min_ppl: float = 0.0,
+    seen=None,
     split_fractions: dict[str, float] | None = None,
     split_salt: str = "",
 ) -> DataFrame:
@@ -143,6 +154,25 @@ def curate_annotated(
     decontamination enforced continuously at ingest instead of as a
     post-hoc sweep.
 
+    ``lm`` + ``max_ppl`` (opt-in; an :class:`.lm.NgramLM`) adds a
+    ``ppl_out_of_band`` quality stage after the map gates: rows whose
+    n-gram perplexity under the reference LM falls outside
+    [``min_ppl``, ``max_ppl``] - or that are too short to score - are
+    rejected (the CCNet middle-band criterion).  Cost shape: one gram
+    explode of the BATCH joined against the broadcast (or
+    shuffle-hash) model tables; the reject id set is batch-bounded and
+    broadcast back.
+
+    ``seen`` (opt-in; a :class:`.bloom.BloomIndex` built with
+    :meth:`.bloom.BloomIndex.build_over_content` over previously
+    ACCEPTED documents) adds a ``seen_before`` stage before intra-batch
+    exact dedup: rows whose content hash is maybe-in the filter are
+    rejected.  No previously-accepted duplicate ever passes; ~fpp of
+    genuinely-new rows pay the documented false-positive tax.  This is
+    the cross-RUN exact-dedup answer at a sketch's cost - the
+    alternative is an anti-join against every content hash ever
+    accepted.
+
     When ``index`` is given, the intra-batch near-dup stage reuses the
     INDEX's MinHash parameters (n, num_hashes, bands, hash_fn) so stages
     4 and 5 apply one near-dup definition - an index built with
@@ -168,10 +198,25 @@ def curate_annotated(
     ann = ann.withColumn("__gate", gate)
 
     gated = ann.filter(F.col("__gate").isNull())
+    join_rejects = []
+
+    # stage 2b': LM perplexity band (join-based quality gate - model
+    # tables broadcast, reject set batch-bounded)
+    if lm is not None and (max_ppl is not None or min_ppl > 0.0):
+        hi = float("inf") if max_ppl is None else max_ppl
+        good = lm.perplexity_gate(
+            gated.select(id_col, text_col), text_col, id_col,
+            max_ppl=hi, min_ppl=min_ppl,
+        ).select(id_col)
+        bad = gated.select(id_col).join(good, id_col, "left_anti")
+        join_rejects.append(bad.select(
+            F.col(id_col).alias("__rid"),
+            F.lit("ppl_out_of_band").alias("__reason"),
+        ))
+        gated = gated.join(F.broadcast(bad), id_col, "left_anti")
 
     # stage 2c: benchmark contamination (exact n-gram collision against
     # the broadcast benchmark gram set; batch-side map-only)
-    contam_rej = None
     if benchmarks is not None:
         from .contamination import ngram_collision_links
 
@@ -182,11 +227,29 @@ def curate_annotated(
             .select(F.col("corpus_id").alias(id_col))
             .distinct()
         )
-        contam_rej = dirty.select(
+        join_rejects.append(dirty.select(
             F.col(id_col).alias("__rid"),
             F.lit("contaminated").alias("__reason"),
-        )
+        ))
         gated = gated.join(F.broadcast(dirty), id_col, "left_anti")
+
+    # stage 2d: cross-run exact dedup against the accepted-corpus Bloom
+    # filter (content-hash membership; no previously-accepted duplicate
+    # passes, ~fpp of new rows pay the false-positive tax)
+    if seen is not None:
+        from .bloom import BloomIndex
+
+        ck = BloomIndex.CONTENT_KEY
+        keyed = gated.select(
+            id_col, F.sha2(F.col(text_col), 256).alias(ck)
+        )
+        hits = seen.might_contain(keyed, ck).filter(F.col("might_contain"))
+        seen_ids = keyed.join(hits.select(ck), ck, "left_semi").select(id_col)
+        join_rejects.append(seen_ids.select(
+            F.col(id_col).alias("__rid"),
+            F.lit("seen_before").alias("__reason"),
+        ))
+        gated = gated.join(F.broadcast(seen_ids), id_col, "left_anti")
 
     # stage 3: exact dedup among gated rows (min-id survivor)
     rn = F.row_number().over(
@@ -208,8 +271,8 @@ def curate_annotated(
     ).select(F.col(id_col).alias("__rid"), F.lit("near_dup_batch").alias("__reason"))
 
     rejects = exact_rej.unionByName(near_rej)
-    if contam_rej is not None:
-        rejects = rejects.unionByName(contam_rej)
+    for jr in join_rejects:
+        rejects = rejects.unionByName(jr)
 
     # stage 5: near-dups of the indexed corpus
     if index is not None:

