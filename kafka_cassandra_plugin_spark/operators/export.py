@@ -43,26 +43,42 @@ def shard_assignments(df: DataFrame, n_shards: int, seed: int = 42,
 
 
 def export_shards(df: DataFrame, path: str, n_shards: int, seed: int = 42,
-                  id_col: str = "doc_id") -> None:
-    """Write ``df`` as ``path/shard=K/`` parquet, deterministically
-    sharded and ordered (module docstring).  One shuffle, one file per
-    shard, readers prune shards via the hive partition column."""
-    (
+                  id_col: str = "doc_id", fmt: str = "parquet",
+                  compression: str | None = None) -> None:
+    """Write ``df`` as ``path/shard=K/``, deterministically sharded and
+    ordered (module docstring).  One shuffle, one file per shard,
+    readers prune shards via the hive partition column.
+
+    ``fmt="json"`` emits JSON-Lines shards - the format most training
+    loaders stream natively - with identical shard assignment and
+    in-shard order (the determinism lives in the staging plan, not the
+    writer).  ``compression`` passes through to the writer (e.g.
+    ``"gzip"`` for ``.jsonl.gz``-style shards); the deterministic
+    one-file-per-shard layout is unchanged."""
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"fmt must be 'parquet' or 'json', got {fmt!r}")
+    staged = (
         shard_assignments(df, n_shards, seed, id_col)
         .repartition(n_shards, "shard")
         .sortWithinPartitions("shard", "__ord")
         .drop("__ord")
         .write.mode("overwrite")
         .partitionBy("shard")
-        .parquet(path)
     )
+    if compression is not None:
+        staged = staged.option("compression", compression)
+    staged.format(fmt).save(path)
 
 
 def read_shards(spark: SparkSession, path: str,
-                shards: list[int] | None = None) -> DataFrame:
+                shards: list[int] | None = None,
+                fmt: str = "parquet") -> DataFrame:
     """Read an exported dataset; ``shards`` statically prunes to those
-    partition directories (a worker reads only its own shards)."""
-    df = spark.read.parquet(path)
+    partition directories (a worker reads only its own shards).  JSON
+    shards need the ``fmt="json"`` they were written with (schema is
+    inferred from the lines; pass a .schema() reader upstream when the
+    inference cost matters at scale)."""
+    df = spark.read.format(fmt).load(path)
     if shards is not None:
         df = df.filter(F.col("shard").isin([int(s) for s in shards]))
     return df

@@ -251,6 +251,45 @@ class TestShardExport:
         some = read_shards(spark, path, shards=[0, 3])
         assert {r.shard for r in some.select("shard").distinct().collect()} == {0, 3}
 
+    def test_jsonl_shards_match_parquet_exactly(self, spark, docs, tmp_path):
+        """fmt='json' emits one JSON-Lines file per shard with the SAME
+        deterministic assignment and in-shard order as parquet - the
+        determinism lives in the staging plan, not the writer."""
+        import glob
+
+        pq, js = str(tmp_path / "pq"), str(tmp_path / "js")
+        export_shards(docs, pq, self.N)
+        export_shards(docs, js, self.N, fmt="json")
+        for k in range(self.N):
+            files = glob.glob(f"{js}/shard={k}/*.json")
+            assert len(files) == 1, f"shard {k}: {files}"
+            rows_pq = [
+                (r.doc_id, r.text)
+                for r in spark.read.parquet(f"{pq}/shard={k}").collect()
+            ]
+            with open(files[0]) as f:
+                import json as _json
+
+                rows_js = [
+                    (d["doc_id"], d["text"])
+                    for d in (_json.loads(line) for line in f)
+                ]
+            assert rows_js == rows_pq  # contents AND order, line-readable
+
+    def test_jsonl_gzip_round_trip(self, spark, docs, tmp_path):
+        import glob
+
+        path = str(tmp_path / "gz")
+        export_shards(docs, path, self.N, fmt="json", compression="gzip")
+        files = glob.glob(f"{path}/shard=0/*.json.gz")
+        assert len(files) == 1
+        back = read_shards(spark, path, fmt="json")
+        assert back.count() == docs.count()
+
+    def test_bad_format_raises(self, docs, tmp_path):
+        with pytest.raises(ValueError, match="fmt"):
+            export_shards(docs, str(tmp_path / "x"), self.N, fmt="orc")
+
     def test_seed_reshuffles(self, docs):
         a = shard_assignments(docs, self.N, seed=1).select("doc_id", "shard")
         b = shard_assignments(docs, self.N, seed=2).select("doc_id", "shard")
