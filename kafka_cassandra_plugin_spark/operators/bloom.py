@@ -145,22 +145,127 @@ class BloomIndex:
         return cls.build(keyed, cls.CONTENT_KEY, **kwargs)
 
     # -- persistence -------------------------------------------------------
+    #
+    # On-disk layout: <path>/meta plus <path>/words/batch=<id>/ - ONE
+    # word-table partition per contributing batch, each written with
+    # overwrite (exactly-once per batch, like the sink's output dirs).
+    # A probe loads the union consolidated (groupBy word, bit_or); a
+    # streaming caller probing DURING batch N loads with
+    # ``exclude_batch=N`` so a replayed micro-batch never sees its own
+    # first attempt's contribution - without that, a replay would
+    # reject its own rows as seen and exactly-once output breaks.
+    # COMPACT_BATCH (-1) holds consolidated history; real batch ids are
+    # non-negative, so exclusion can never drop compacted history.
+
+    COMPACT_BATCH = -1
+
+    def _batch_dir(self, batch_id: int) -> str:
+        return f"{self.path}/words/batch={int(batch_id)}"
 
     def save(self, path: str) -> "BloomIndex":
         """Write words + geometry; returns the disk-backed handle."""
         spark = self.words.sparkSession
-        self.words.write.mode("overwrite").parquet(f"{path}/words")
+        self.words.write.mode("overwrite").parquet(
+            f"{path}/words/batch={self.COMPACT_BATCH}"
+        )
         spark.createDataFrame(
             [(self.m, self.k, self.seed)], "m long, k int, seed int"
         ).write.mode("overwrite").parquet(f"{path}/meta")
         return BloomIndex.load(spark, path)
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str) -> "BloomIndex":
+    def init(cls, spark: SparkSession, path: str,
+             expected_items: int = 1_000_000, fpp: float = 0.01,
+             seed: int = 42) -> "BloomIndex":
+        """Create an EMPTY disk-backed filter (geometry pinned for the
+        corpus lifetime).  The streaming seeding path: the sink inits
+        once, then every batch - including the first - goes through the
+        same probe-then-append cycle."""
+        m, k = bloom_parameters(expected_items, fpp)
+        empty = spark.createDataFrame([], "word long, bits long")
+        return cls(empty, m, k, seed).save(path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str,
+             exclude_batch: int | None = None) -> "BloomIndex":
+        """The stored batch partitions, consolidated lazily (groupBy
+        word, bit_or - folds into the probe plan; :meth:`compact`
+        rewrites it away when file count becomes the concern).
+        ``exclude_batch``: skip that batch's partition (pruned at the
+        scan) - what a foreachBatch caller passes so a REPLAYED batch
+        probes the filter as of its predecessors, not as of its own
+        failed first attempt."""
         meta = spark.read.parquet(f"{path}/meta").collect()[0]
         words = spark.read.parquet(f"{path}/words")
+        if exclude_batch is not None:
+            words = words.filter(F.col("batch") != int(exclude_batch))
+        words = (
+            words.drop("batch")
+            .groupBy("word")
+            .agg(F.expr("bit_or(bits)").alias("bits"))
+        )
         return cls(words, int(meta["m"]), int(meta["k"]), int(meta["seed"]),
                    path=path)
+
+    # -- streaming maintenance --------------------------------------------
+
+    def append_batch(self, df: DataFrame, batch_id: int,
+                     key_col: str = "doc_id") -> "BloomIndex":
+        """Fold batch ``batch_id`` into a DISK-BACKED filter by
+        OVERWRITING that batch's word partition (same geometry by
+        construction) - O(batch) work, and exactly-once under replay:
+        a replayed batch rewrites its own partition instead of
+        double-appending.  ``batch_id`` must be non-negative (negative
+        ids are reserved for compacted history)."""
+        if self.path is None:
+            raise ValueError(
+                "append_batch requires a saved filter (use save()/init()); "
+                "for in-memory composition use add()/merge()"
+            )
+        if int(batch_id) < 0:
+            raise ValueError(f"batch_id must be >= 0, got {batch_id}")
+        batch = BloomIndex.build(df, key_col, m=self.m, k=self.k,
+                                 seed=self.seed)
+        batch.words.write.mode("overwrite").parquet(self._batch_dir(batch_id))
+        return BloomIndex.load(self.words.sparkSession, self.path)
+
+    def append_content(self, df: DataFrame, batch_id: int,
+                       text_col: str = "text") -> "BloomIndex":
+        """:meth:`append_batch` over ``sha2(text, 256)`` - the
+        streaming twin of :meth:`build_over_content`."""
+        keyed = df.select(
+            F.sha2(F.col(text_col), 256).alias(self.CONTENT_KEY)
+        )
+        return self.append_batch(keyed, batch_id, self.CONTENT_KEY)
+
+    def compact(self, target_file_mb: int = 256) -> "BloomIndex":
+        """Rewrite all stored batch partitions into one consolidated
+        ``batch=-1`` partition (same sibling-then-rename swap
+        discipline as :meth:`.dedup_index.MinHashIndex.compact`; not
+        atomic - run between batches, never concurrently with probes).
+        A streaming caller must compact BEFORE processing a batch (so
+        only committed predecessors get folded): compacting after an
+        uncommitted batch's append would merge that batch into history,
+        and a subsequent replay's ``exclude_batch`` could no longer
+        hide it - :class:`..streaming.curate.CurationSink` sequences
+        this correctly."""
+        if self.path is None:
+            raise ValueError("compact requires a saved filter (use save())")
+        spark = self.words.sparkSession
+        src = f"{self.path}/words"
+        tmp = f"{self.path}/words__compacting"
+        self.words.write.mode("overwrite").parquet(
+            f"{tmp}/batch={self.COMPACT_BATCH}"
+        )
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        hsrc = jvm.org.apache.hadoop.fs.Path(src)
+        htmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        fs = hsrc.getFileSystem(conf)
+        fs.delete(hsrc, True)
+        if not fs.rename(htmp, hsrc):
+            raise IOError(f"compact: rename {tmp} -> {src} failed")
+        return BloomIndex.load(spark, self.path)
 
     # -- composition -------------------------------------------------------
 

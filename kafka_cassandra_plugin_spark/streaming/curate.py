@@ -81,6 +81,25 @@ class CurationSink:
     delivery (within this sink instance; a driver restart starts the
     accounting fresh, as any in-process metric does).
 
+    ``seen_bloom_path``: maintain a :class:`..operators.bloom.BloomIndex`
+    over the CONTENT HASHES of every accepted document, and run each
+    micro-batch through the funnel's ``seen_before`` stage against it -
+    cross-RUN exact dedup that the MinHash index also provides, but at
+    a sketch's cost (the filter is ~1.2 GB per 10^9 docs at the default
+    1% fpp vs the index's full shingle sets; at that scale the filter
+    still broadcasts or shuffle-hashes cheaply).  The first batch seeds
+    the filter (size it via ``bloom_expected_items`` for the corpus
+    LIFETIME - a Bloom filter saturates, it never resizes); every batch
+    then probes the filter AS OF ITS PREDECESSORS (the load excludes
+    the current batch id's word partition) and overwrites its own
+    ``words/batch=<id>/`` partition with its accepted content's words -
+    O(batch) work, and exactly-once under replay: a replayed
+    micro-batch neither sees its own first attempt's contribution
+    (which would make it reject its own rows) nor double-appends.
+    ``compact_every`` folds committed batch partitions into one
+    ``batch=-1`` history partition BEFORE the next batch runs, which
+    is the ordering that keeps the replay-exclusion argument intact.
+
     ``compact_every``: every N index-growing micro-batches, rewrite the
     index's band/shingle parquet into ``compact_target_mb`` files
     (:meth:`MinHashIndex.compact`) AND coalesce the accepted dataset's
@@ -102,6 +121,9 @@ class CurationSink:
                  compact_target_mb: int = 256,
                  benchmarks_path: str | None = None,
                  ledger: bool = False,
+                 seen_bloom_path: str | None = None,
+                 bloom_expected_items: int = 1_000_000,
+                 bloom_fpp: float = 0.01,
                  **curate_kwargs):
         self.index_path = index_path
         self.out_path = out_path
@@ -111,10 +133,20 @@ class CurationSink:
         self.compact_target_mb = compact_target_mb
         self.benchmarks_path = benchmarks_path
         self.ledger = ledger
+        self.seen_bloom_path = seen_bloom_path
+        self.bloom_expected_items = bloom_expected_items
+        self.bloom_fpp = bloom_fpp
         self.curate_kwargs = curate_kwargs
         self.funnel_by_batch: dict[int, dict[str, int]] = {}
         self._adds = 0
         self._bench: DataFrame | None = None
+
+    @staticmethod
+    def _path_exists(spark, path: str) -> bool:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(conf).exists(p)
 
     @property
     def funnel_totals(self) -> dict[str, int]:
@@ -133,10 +165,33 @@ class CurationSink:
             # static eval set: read once, cache across micro-batches -
             # every batch pays one broadcast gram join, never a re-read
             self._bench = spark.read.parquet(self.benchmarks_path).cache()
+        bloom = None
+        if self.seen_bloom_path is not None:
+            from ..operators.bloom import BloomIndex
+
+            if not self._path_exists(spark, f"{self.seen_bloom_path}/meta"):
+                BloomIndex.init(
+                    spark, self.seen_bloom_path,
+                    expected_items=self.bloom_expected_items,
+                    fpp=self.bloom_fpp,
+                )
+            elif (self.compact_every and self._adds
+                    and self._adds % self.compact_every == 0):
+                # BEFORE the batch: only committed predecessors fold
+                # into history, so a replay's exclude_batch still hides
+                # this batch's own contribution (see BloomIndex.compact)
+                BloomIndex.load(spark, self.seen_bloom_path).compact(
+                    self.compact_target_mb
+                )
+            # probe the filter as of this batch's PREDECESSORS: a
+            # replayed batch must not see its own first attempt
+            bloom = BloomIndex.load(spark, self.seen_bloom_path,
+                                    exclude_batch=batch_id)
         annotated = curate_annotated(
             batch_df, index=index,
             text_col=self.text_col, id_col=self.id_col,
             benchmarks=self._bench,
+            seen=bloom,
             **self.curate_kwargs,
         ).localCheckpoint()
         accepted = annotated.filter(F.col("reject_reason").isNull()).drop(
@@ -151,6 +206,10 @@ class CurationSink:
             accepted.select(self.id_col, self.text_col),
             text_col=self.text_col, id_col=self.id_col,
         )
+        if bloom is not None:
+            # O(batch) overwrite of THIS batch's word partition -
+            # exactly-once under replay, like the output dir above
+            bloom.append_content(accepted, batch_id, self.text_col)
         self._adds += 1
         if self.compact_every and self._adds % self.compact_every == 0:
             index.compact(self.compact_target_mb)

@@ -338,3 +338,108 @@ class TestFunnelLedger:
         assert "_funnel_ledger" not in {
             c for c in accepted_dataset(spark, sink.out_path).columns
         }
+
+
+class TestSeenBloomMaintenance:
+    """seen_bloom_path=: the sink seeds a content-hash Bloom filter on
+    batch 0 and every later batch is screened against it - exact
+    cross-run dedup that catches re-ingested CONTENT under fresh ids
+    (which id-keyed exact dedup cannot), with at-least-once replay
+    tolerance via idempotent word appends."""
+
+    def _sink(self, spark, corpus, tmp_path, **kw):
+        return fresh_sink(
+            spark, corpus, tmp_path,
+            seen_bloom_path=str(tmp_path / "bloom"),
+            bloom_expected_items=10_000,
+            **kw,
+        )
+
+    def test_reingested_content_rejected_as_seen_before(
+        self, spark, corpus, docs, tmp_path
+    ):
+        sink = self._sink(spark, corpus, tmp_path)
+        b1, _ = make_batches(docs)
+        sink(b1, 0)
+        accepted_b1 = {
+            r.doc_id
+            for r in accepted_dataset(spark, sink.out_path).collect()
+        }
+        # batch 1: verbatim copies of accepted batch-0 content under
+        # fresh ids, plus genuinely new docs
+        copies = b1.filter(
+            F.col("doc_id").isin([d for d in accepted_b1][:5])
+        ).select((F.col("doc_id") + 7_700_000).alias("doc_id"), "text")
+        fresh = docs.filter(F.col("doc_id") % 3 == 2)
+        sink(fresh.unionByName(copies), 1)
+        out = {
+            r.doc_id
+            for r in accepted_dataset(spark, sink.out_path).collect()
+        }
+        copy_ids = {r.doc_id for r in copies.collect()}
+        assert copy_ids and not (copy_ids & out)
+        assert sink.funnel_by_batch[1].get("seen_before", 0) >= len(copy_ids)
+
+    def test_replayed_batch_changes_nothing(
+        self, spark, corpus, docs, tmp_path
+    ):
+        sink = self._sink(spark, corpus, tmp_path)
+        b1, b2 = make_batches(docs)
+        sink(b1, 0)
+        sink(b2, 1)
+        before = sorted(
+            (r.doc_id, r.text)
+            for r in accepted_dataset(spark, sink.out_path).collect()
+        )
+        sink(b2, 1)  # foreachBatch replay: appends duplicate word rows
+        after = sorted(
+            (r.doc_id, r.text)
+            for r in accepted_dataset(spark, sink.out_path).collect()
+        )
+        assert before == after
+        # a post-replay batch still probes correctly: accepted batch-2
+        # content re-sent under fresh ids is caught
+        resend = b2.limit(3).select(
+            (F.col("doc_id") + 7_800_000).alias("doc_id"), "text"
+        )
+        sink(resend, 2)
+        out3 = {
+            r.doc_id
+            for r in accepted_dataset(spark, sink.out_path).collect()
+        }
+        accepted_b2_text = {t for (_, t) in after}
+        leaked = {
+            r.doc_id
+            for r in resend.collect()
+            if r.text in accepted_b2_text and (r.doc_id in out3)
+        }
+        assert not leaked
+
+    def test_compact_preserves_probe_answers(
+        self, spark, corpus, docs, tmp_path
+    ):
+        from kafka_cassandra_plugin_spark.operators.bloom import BloomIndex
+
+        sink = self._sink(spark, corpus, tmp_path)
+        b1, b2 = make_batches(docs)
+        sink(b1, 0)
+        sink(b2, 1)
+        path = str(tmp_path / "bloom")
+        loaded = BloomIndex.load(spark, path)
+        probe = docs.select("doc_id", "text").limit(200)
+        keyed = probe.select(
+            F.sha2(F.col("text"), 256).alias(BloomIndex.CONTENT_KEY)
+        )
+        # materialize BEFORE compacting: the swap deletes the files a
+        # lazy plan would re-read (compact's documented "never
+        # concurrently with probes" contract)
+        before = sorted(
+            (r[BloomIndex.CONTENT_KEY], r["might_contain"])
+            for r in loaded.might_contain(keyed, BloomIndex.CONTENT_KEY).collect()
+        )
+        compacted = loaded.compact()
+        after = sorted(
+            (r[BloomIndex.CONTENT_KEY], r["might_contain"])
+            for r in compacted.might_contain(keyed, BloomIndex.CONTENT_KEY).collect()
+        )
+        assert before == after
