@@ -208,8 +208,11 @@ TIER_D = {
             "configured on disjoint probes; merge == union-build "
             "bit-for-bit; save/load probe-identical; geometry-mismatch "
             "raises; one-Exchange build / broadcast-or-shuffle_hash probe "
-            "plan gates, no EvalPython; benched as "
-            "extra_queries['bloom_filter_new'] (tests/test_bloom.py)"),
+            "plan gates, no EvalPython; funnel seen_before stage + "
+            "CurationSink(seen_bloom_path=) exactly-once replay tests; "
+            "benched as extra_queries['bloom_filter_new'] "
+            "(tests/test_bloom.py, test_pipeline.py, "
+            "test_streaming_curate.py)"),
     "D19": ("n-gram LM perplexity gate (NgramLM - CCNet-style model-based "
             "quality filter; add-k LM as two count DataFrames, explode+join "
             "scoring, zero UDFs)",
