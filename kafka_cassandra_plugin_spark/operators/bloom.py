@@ -39,7 +39,8 @@ No row-at-a-time Python anywhere: build, merge, and probe are
 hash/explode/groupBy/join built-ins end to end.
 
 Reference provenance: no counterpart in /root/reference (its Cassandra
-layer delegates membership to LWT inserts, CassandraSupStorage.scala);
+layer delegates membership to LWT inserts,
+CassandraLeaderElection.scala:57 `INSERT ... IF NOT EXISTS`);
 LLM-pipeline closure (SURVEY §2.5 D18).  Bloom parameter formulas are
 the standard public ones (Bloom 1970; Broder & Mitzenmacher 2004
 survey).
@@ -238,30 +239,59 @@ class BloomIndex:
         )
         return self.append_batch(keyed, batch_id, self.CONTENT_KEY)
 
-    def compact(self, target_file_mb: int = 256) -> "BloomIndex":
-        """Rewrite all stored batch partitions into one consolidated
+    def compact(self, target_file_mb: int = 256,
+                exclude_batch: int | None = None) -> "BloomIndex":
+        """Rewrite the stored batch partitions into one consolidated
         ``batch=-1`` partition (same sibling-then-rename swap
         discipline as :meth:`.dedup_index.MinHashIndex.compact`; not
         atomic - run between batches, never concurrently with probes).
-        A streaming caller must compact BEFORE processing a batch (so
-        only committed predecessors get folded): compacting after an
-        uncommitted batch's append would merge that batch into history,
-        and a subsequent replay's ``exclude_batch`` could no longer
-        hide it - :class:`..streaming.curate.CurationSink` sequences
-        this correctly."""
+
+        ``exclude_batch``: leave that batch's partition UNCOMPACTED
+        (moved through the swap verbatim, never folded into history).
+        A streaming caller compacting before batch N must pass N: if
+        batch N's first attempt appended its word partition and then
+        failed before the streaming commit, the replay's compaction
+        would otherwise fold the uncommitted ``batch=N`` into
+        ``batch=-1``, where ``load(exclude_batch=N)`` can no longer
+        hide it - the replay would reject its own rows as seen_before.
+        With the exclusion, compaction only ever folds durably
+        committed predecessors, regardless of what the (volatile)
+        caller-side counters say - :class:`..streaming.curate.
+        CurationSink` passes the in-flight batch id."""
         if self.path is None:
             raise ValueError("compact requires a saved filter (use save())")
         spark = self.words.sparkSession
         src = f"{self.path}/words"
         tmp = f"{self.path}/words__compacting"
-        self.words.write.mode("overwrite").parquet(
-            f"{tmp}/batch={self.COMPACT_BATCH}"
-        )
         jvm = spark.sparkContext._jvm
         conf = spark.sparkContext._jsc.hadoopConfiguration()
         hsrc = jvm.org.apache.hadoop.fs.Path(src)
         htmp = jvm.org.apache.hadoop.fs.Path(tmp)
         fs = hsrc.getFileSystem(conf)
+        words = spark.read.parquet(src)
+        if exclude_batch is not None:
+            words = words.filter(F.col("batch") != int(exclude_batch))
+        consolidated = (
+            words.drop("batch")
+            .groupBy("word")
+            .agg(F.expr("bit_or(bits)").alias("bits"))
+        )
+        consolidated.write.mode("overwrite").parquet(
+            f"{tmp}/batch={self.COMPACT_BATCH}"
+        )
+        if exclude_batch is not None:
+            hexc = jvm.org.apache.hadoop.fs.Path(
+                self._batch_dir(exclude_batch)
+            )
+            if fs.exists(hexc):
+                # preserve the in-flight partition verbatim (a rename,
+                # no data read) so exclude_batch probes keep working
+                fs.rename(
+                    hexc,
+                    jvm.org.apache.hadoop.fs.Path(
+                        f"{tmp}/batch={int(exclude_batch)}"
+                    ),
+                )
         fs.delete(hsrc, True)
         if not fs.rename(htmp, hsrc):
             raise IOError(f"compact: rename {tmp} -> {src} failed")

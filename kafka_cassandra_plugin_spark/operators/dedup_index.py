@@ -31,7 +31,8 @@ same way :class:`..similarity.IvfIndex` does for ANN probes:
   actually append today" operator.
 
 Reference provenance: the reference plugin has no dedup at all (it is a
-Cassandra KV/lease layer - `CassandraSimpleClient.scala` CRUD); this
+Cassandra KV/lease layer - `CassandraListenerRegistry.scala:27,52` point
+reads plus the `README.md:180-224` Storage CRUD spec); this
 module is part of the LLM-pipeline closure the engine adds on top, built
 on the same banded-MinHash machinery as
 :func:`.dedup.minhash_lsh_dedup_pairs` so the two agree exactly (see

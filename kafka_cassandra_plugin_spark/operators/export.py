@@ -54,7 +54,11 @@ def export_shards(df: DataFrame, path: str, n_shards: int, seed: int = 42,
     in-shard order (the determinism lives in the staging plan, not the
     writer).  ``compression`` passes through to the writer (e.g.
     ``"gzip"`` for ``.jsonl.gz``-style shards); the deterministic
-    one-file-per-shard layout is unchanged."""
+    one-file-per-shard layout is unchanged.  Caveat: the JSON writer
+    omits null fields, so a parquet->json switch is not
+    schema-faithful - read JSON shards back with an explicit
+    ``schema`` (see :func:`read_shards`) or entirely-null columns
+    vanish and temporal types come back as strings."""
     if fmt not in ("parquet", "json"):
         raise ValueError(f"fmt must be 'parquet' or 'json', got {fmt!r}")
     staged = (
@@ -72,13 +76,20 @@ def export_shards(df: DataFrame, path: str, n_shards: int, seed: int = 42,
 
 def read_shards(spark: SparkSession, path: str,
                 shards: list[int] | None = None,
-                fmt: str = "parquet") -> DataFrame:
+                fmt: str = "parquet", schema=None) -> DataFrame:
     """Read an exported dataset; ``shards`` statically prunes to those
     partition directories (a worker reads only its own shards).  JSON
-    shards need the ``fmt="json"`` they were written with (schema is
-    inferred from the lines; pass a .schema() reader upstream when the
-    inference cost matters at scale)."""
-    df = spark.read.format(fmt).load(path)
+    shards need the ``fmt="json"`` they were written with, and SHOULD
+    be read with an explicit ``schema`` (a DDL string or StructType):
+    JSON-Lines inference is per-read, it widens/narrows types
+    (timestamps and dates round-trip as strings), and - because the
+    writer omits null fields - a column that is entirely null in the
+    read subset silently disappears.  Parquet shards carry their own
+    schema; ``schema`` is optional there and skips the footer merge."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.format(fmt).load(path)
     if shards is not None:
         df = df.filter(F.col("shard").isin([int(s) for s in shards]))
     return df

@@ -70,9 +70,12 @@ def kv_put(kv: DataFrame, new: DataFrame, key_cols: Sequence[str] = ("key",),
     """Insert new keys; with ``strict`` (the README put contract) raise
     ``KeyExistsError`` if any key already exists."""
     if strict:
-        clash = kv.join(new.select(*key_cols), list(key_cols), "inner").limit(1)
-        if clash.count() > 0:
-            raise KeyExistsError(f"kv_put: key(s) already present: {clash.collect()}")
+        # one take(1) = one Spark job for the whole strict probe (the
+        # LIMIT-1 scan short-circuits; a count()+collect() pair would
+        # run two)
+        clash = kv.join(new.select(*key_cols), list(key_cols), "inner").take(1)
+        if clash:
+            raise KeyExistsError(f"kv_put: key(s) already present: {clash}")
     return kv.unionByName(new)
 
 
@@ -81,9 +84,11 @@ def kv_update(kv: DataFrame, updates: DataFrame, key_cols: Sequence[str] = ("key
     """Replace values for existing keys; with ``strict`` (README update
     contract) raise ``KeyNotFoundError`` if any key is missing."""
     if strict:
-        missing = updates.join(kv.select(*key_cols), list(key_cols), "left_anti").limit(1)
-        if missing.count() > 0:
-            raise KeyNotFoundError(f"kv_update: missing key(s): {missing.collect()}")
+        missing = updates.join(
+            kv.select(*key_cols), list(key_cols), "left_anti"
+        ).take(1)
+        if missing:
+            raise KeyNotFoundError(f"kv_update: missing key(s): {missing}")
     kept = kv.join(updates.select(*key_cols), list(key_cols), "left_anti")
     updated = updates.join(kv.select(*key_cols), list(key_cols), "left_semi")
     return kept.unionByName(updated)

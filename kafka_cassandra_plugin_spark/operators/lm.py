@@ -18,20 +18,43 @@ add-k-smoothed n-gram LM IS two count DataFrames:
 
 with absent (ctx, tok) pairs and absent contexts falling out of LEFT
 joins as cnt=0 / total=0 - so an unseen context scores the uniform
-1/V, no special cases.  Fitting is map-side tokenization plus two
+1/V, no special cases.  V is the DISTINCT TOKEN COUNT over the whole
+reference corpus (every position, not just gram continuations - the
+textbook add-k vocabulary).  Fitting is map-side tokenization plus
 hash aggregations (the shuffle term is the DISTINCT n-gram count, not
 the corpus size; ``prune_min_count`` bounds the stored model the way
 KenLM pruning does).  Scoring explodes each document's n-grams once
 and equi-joins the two model tables - broadcast when the stored model
-is small (decided from the row count recorded at fit time, no runtime
+is small (decided from the recorded gram-row count, no runtime
 counting), shuffle-hash on the gram key otherwise - then one groupBy
 doc for ``exp(-avg(log P))``.  Everything is built-ins; nothing
 touches Python row-at-a-time.
+
+``digit_bucket=True`` applies the CCNet-style numeral normalization
+(every ASCII digit -> ``0``) before gram assembly, at fit AND score
+time (the flag is persisted in meta, so a loaded model can never be
+probed under the other convention).  Without it, numeric-heavy text
+(timestamps, ids, prices) inflates V with single-use pseudo-tokens
+and scores near the unseen floor regardless of how natural its prose
+is - the reason CCNet normalizes digits before KenLM.
 
 The gate (:func:`perplexity_gate`) keeps documents INSIDE a
 [min_ppl, max_ppl] band: the CCNet observation is that the lowest
 perplexity bucket is boilerplate/templates and the highest is noise -
 quality sits in the middle.
+
+**Incremental maintenance** (the same discipline as
+:class:`.bloom.BloomIndex` and :class:`.dedup_index.MinHashIndex`):
+exact counts are distributive, so the stored model is batch-partitioned
+- ``grams/batch=<id>/``, ``contexts/batch=<id>/``, ``vocab/batch=<id>/``
+- and :meth:`NgramLM.append_batch` folds a new reference batch in by
+OVERWRITING its own partitions (exactly-once under foreachBatch
+replay; ``load(exclude_batch=N)`` hides an uncommitted attempt).
+Consolidation is lazy (sum per gram / distinct vocab folded into the
+scoring plan); :meth:`NgramLM.compact` rewrites history into
+``batch=-1`` when file counts decay, optionally pruning - so a
+continuously-ingesting pipeline accumulates the reference LM without
+ever refitting over the whole corpus.
 
 Reference provenance: no counterpart in /root/reference (its data
 plane is string KV, CassandraListenerRegistry.scala:27); LLM-pipeline
@@ -49,14 +72,24 @@ from .text import tokens
 DEFAULT_MAX_BROADCAST_ROWS = 2_000_000
 
 
-def _doc_ngrams(df: DataFrame, text_col: str, n: int) -> DataFrame:
+def _norm_tokens(df: DataFrame, text_col: str, digit_bucket: bool):
+    """The normalized token array column: whitespace tokens
+    (:func:`.text.tokens`), lowercased; with ``digit_bucket`` every
+    ASCII digit collapses to ``0`` (CCNet numeral normalization)."""
+    toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
+    if digit_bucket:
+        return F.transform(
+            toks, lambda t: F.regexp_replace(F.lower(t), "[0-9]", "0")
+        )
+    return F.transform(toks, lambda t: F.lower(t))
+
+
+def _doc_ngrams(df: DataFrame, text_col: str, n: int,
+                digit_bucket: bool = False) -> DataFrame:
     """One row per document n-gram: ``ctx`` (the n-1 preceding tokens,
     space-joined; empty string for unigram models) and ``tok``.
-    Tokenization is the engine-wide whitespace rule
-    (:func:`.text.tokens`), lowercased so the LM is case-insensitive.
     Documents shorter than ``n`` tokens contribute no rows."""
-    toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
-    out = df.withColumn("__toks", F.transform(toks, lambda t: F.lower(t)))
+    out = df.withColumn("__toks", _norm_tokens(df, text_col, digit_bucket))
     # slide a window of n over the token array: positions 1..len-n+1.
     # Spark's sequence(1, 0) is DESCENDING ([1, 0]), so sub-n-token
     # docs must short-circuit to an empty array, not an empty sequence.
@@ -75,12 +108,35 @@ def _doc_ngrams(df: DataFrame, text_col: str, n: int) -> DataFrame:
     )
 
 
+def _doc_tokens(df: DataFrame, text_col: str,
+                digit_bucket: bool = False) -> DataFrame:
+    """One row per token (normalized) - the stream V is counted over."""
+    return df.select(
+        F.explode(_norm_tokens(df, text_col, digit_bucket)).alias("tok")
+    )
+
+
+def _count_tables(corpus: DataFrame, text_col: str, n: int,
+                  digit_bucket: bool) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(grams, contexts, vocab) count tables for one corpus slice -
+    the distributive unit both :meth:`NgramLM.fit` and
+    :meth:`NgramLM.append_batch` aggregate."""
+    g = _doc_ngrams(corpus, text_col, n, digit_bucket).select("ctx", "tok")
+    grams = g.groupBy("ctx", "tok").count().withColumnRenamed("count", "cnt")
+    contexts = grams.groupBy("ctx").agg(F.sum("cnt").alias("total"))
+    vocab = _doc_tokens(corpus, text_col, digit_bucket).distinct()
+    return grams, contexts, vocab
+
+
 class NgramLM:
-    """Fit-once / score-many add-k n-gram LM as two count tables."""
+    """Fit-once (or accumulate-forever) / score-many add-k n-gram LM
+    as two count tables plus a vocabulary table."""
+
+    COMPACT_BATCH = -1
 
     def __init__(self, grams: DataFrame, contexts: DataFrame, n: int,
                  k: float, vocab_size: int, gram_rows: int,
-                 path: str | None = None):
+                 path: str | None = None, digit_bucket: bool = False):
         self.grams = grams
         self.contexts = contexts
         self.n = n
@@ -88,56 +144,222 @@ class NgramLM:
         self.vocab_size = vocab_size
         self.gram_rows = gram_rows
         self.path = path
+        self.digit_bucket = digit_bucket
+
+    @staticmethod
+    def _check_params(n: int, k: float) -> None:
+        if n < 1:
+            raise ValueError(f"n must be >= 1, got {n}")
+        if k <= 0:
+            raise ValueError(f"add-k constant must be > 0, got {k}")
 
     # -- fitting -----------------------------------------------------------
 
     @classmethod
     def fit(cls, corpus: DataFrame, text_col: str = "text", n: int = 3,
-            k: float = 0.1, prune_min_count: int = 1) -> "NgramLM":
-        """Two aggregations over the reference corpus.  ``prune_min_count``
+            k: float = 0.1, prune_min_count: int = 1,
+            digit_bucket: bool = False) -> "NgramLM":
+        """Aggregations over the reference corpus.  ``prune_min_count``
         drops gram rows below the count (KenLM-style model bounding: the
         long tail of hapax n-grams is most of the rows and nearly none
         of the probability mass); context totals and V are computed
         BEFORE pruning so pruned mass degrades smoothly to the smoothed
-        floor instead of renormalizing onto survivors."""
-        if n < 1:
-            raise ValueError(f"n must be >= 1, got {n}")
-        if k <= 0:
-            raise ValueError(f"add-k constant must be > 0, got {k}")
-        g = _doc_ngrams(corpus, text_col, n).select("ctx", "tok")
-        grams = g.groupBy("ctx", "tok").count().withColumnRenamed(
-            "count", "cnt"
+        floor instead of renormalizing onto survivors.  V counts
+        distinct tokens over EVERY corpus position (the full add-k
+        vocabulary, not just gram continuations)."""
+        cls._check_params(n, k)
+        grams, contexts, vocab = _count_tables(
+            corpus, text_col, n, digit_bucket
         )
-        contexts = grams.groupBy("ctx").agg(F.sum("cnt").alias("total"))
-        vocab = int(
-            grams.agg(F.countDistinct("tok").alias("v")).collect()[0]["v"]
-        )
+        vocab_size = vocab.count()
         if prune_min_count > 1:
             grams = grams.filter(F.col("cnt") >= prune_min_count)
         gram_rows = grams.count()
-        return cls(grams, contexts, n, k, max(vocab, 1), gram_rows)
+        lm = cls(grams, contexts, n, k, max(vocab_size, 1), gram_rows,
+                 digit_bucket=digit_bucket)
+        lm._vocab_df = vocab
+        return lm
 
     # -- persistence -------------------------------------------------------
+    #
+    # On-disk layout: <path>/meta plus batch-partitioned count tables
+    #   <path>/grams/batch=<id>/     (ctx, tok, cnt)
+    #   <path>/contexts/batch=<id>/  (ctx, total)
+    #   <path>/vocab/batch=<id>/     (tok)
+    # ONE partition triple per contributing batch, each written with
+    # overwrite (exactly-once per batch, exactly like BloomIndex's
+    # words/batch=<id> discipline).  Counts are distributive, so the
+    # consolidated model (sum per (ctx,tok) / sum per ctx / distinct
+    # tok) is BIT-EXACTLY the model fit over the union corpus - the
+    # accumulate==refit equivalence tests pin this.  COMPACT_BATCH (-1)
+    # holds consolidated history; real batch ids are non-negative, so
+    # ``exclude_batch`` can never hide compacted history.
+
+    def _tdir(self, table: str, batch_id: int) -> str:
+        return f"{self.path}/{table}/batch={int(batch_id)}"
 
     def save(self, path: str) -> "NgramLM":
+        """Write the model as consolidated history (``batch=-1``)
+        plus geometry meta; returns the disk-backed handle (which
+        recomputes V / gram_rows from the stored tables - identical
+        for a just-fit model, by the distributivity argument above)."""
         spark = self.grams.sparkSession
-        self.grams.write.mode("overwrite").parquet(f"{path}/grams")
-        self.contexts.write.mode("overwrite").parquet(f"{path}/contexts")
+        self.grams.write.mode("overwrite").parquet(
+            f"{path}/grams/batch={self.COMPACT_BATCH}"
+        )
+        self.contexts.write.mode("overwrite").parquet(
+            f"{path}/contexts/batch={self.COMPACT_BATCH}"
+        )
+        self._vocab.write.mode("overwrite").parquet(
+            f"{path}/vocab/batch={self.COMPACT_BATCH}"
+        )
         spark.createDataFrame(
-            [(self.n, float(self.k), self.vocab_size, self.gram_rows)],
-            "n int, k double, vocab_size long, gram_rows long",
+            [(self.n, float(self.k), bool(self.digit_bucket))],
+            "n int, k double, digit_bucket boolean",
         ).write.mode("overwrite").parquet(f"{path}/meta")
         return NgramLM.load(spark, path)
 
+    # fit() computes V as a count but save() needs the token TABLE;
+    # keep both without changing the public constructor: fit/load
+    # attach it, and anything constructed by hand falls back to the
+    # gram continuations (documented approximation for that edge).
+    @property
+    def _vocab(self) -> DataFrame:
+        v = getattr(self, "_vocab_df", None)
+        if v is not None:
+            return v
+        return self.grams.select("tok").distinct()
+
     @classmethod
-    def load(cls, spark: SparkSession, path: str) -> "NgramLM":
-        meta = spark.read.parquet(f"{path}/meta").collect()[0]
-        return cls(
-            spark.read.parquet(f"{path}/grams"),
-            spark.read.parquet(f"{path}/contexts"),
-            int(meta["n"]), float(meta["k"]), int(meta["vocab_size"]),
-            int(meta["gram_rows"]), path=path,
+    def init(cls, spark: SparkSession, path: str, n: int = 3,
+             k: float = 0.1, digit_bucket: bool = False) -> "NgramLM":
+        """Create an EMPTY disk-backed model (geometry pinned).  The
+        streaming accumulation path: init once, then every reference
+        batch goes through :meth:`append_batch`."""
+        cls._check_params(n, k)
+        empty = cls(
+            spark.createDataFrame([], "ctx string, tok string, cnt long"),
+            spark.createDataFrame([], "ctx string, total long"),
+            n, k, 1, 0, digit_bucket=digit_bucket,
         )
+        empty._vocab_df = spark.createDataFrame([], "tok string")
+        return empty.save(path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str,
+             exclude_batch: int | None = None) -> "NgramLM":
+        """The stored batch partitions, consolidated lazily (sum per
+        gram / per context, distinct vocab - folds into the scoring
+        plan).  ``exclude_batch``: skip that batch's partitions (pruned
+        at the scan) - what a foreachBatch caller passes so a REPLAYED
+        batch scores against the model as of its predecessors, not as
+        of its own failed first attempt.  Cost note: load runs two
+        small jobs over the MODEL tables (distinct-vocab count for V,
+        gram-row count for the broadcast decision) - model-sized, not
+        corpus-sized; :meth:`compact` keeps them cheap."""
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+
+        def _table(name: str) -> DataFrame:
+            t = spark.read.parquet(f"{path}/{name}")
+            if exclude_batch is not None:
+                t = t.filter(F.col("batch") != int(exclude_batch))
+            return t.drop("batch")
+
+        grams = _table("grams").groupBy("ctx", "tok").agg(
+            F.sum("cnt").alias("cnt")
+        )
+        contexts = _table("contexts").groupBy("ctx").agg(
+            F.sum("total").alias("total")
+        )
+        vocab = _table("vocab").distinct()
+        lm = cls(
+            grams, contexts, int(meta["n"]), float(meta["k"]),
+            max(vocab.count(), 1), grams.count(), path=path,
+            digit_bucket=bool(meta["digit_bucket"]),
+        )
+        lm._vocab_df = vocab
+        return lm
+
+    # -- streaming maintenance ----------------------------------------------
+
+    def append_batch(self, corpus_batch: DataFrame, batch_id: int,
+                     text_col: str = "text") -> "NgramLM":
+        """Fold reference batch ``batch_id`` into a DISK-BACKED model
+        by OVERWRITING that batch's three count partitions - O(batch)
+        work (counts are distributive: no history is re-read), and
+        exactly-once under replay: a replayed batch rewrites its own
+        partitions instead of double-counting.  ``batch_id`` must be
+        non-negative (negative ids are reserved for compacted
+        history)."""
+        if self.path is None:
+            raise ValueError(
+                "append_batch requires a saved model (use save()/init())"
+            )
+        if int(batch_id) < 0:
+            raise ValueError(f"batch_id must be >= 0, got {batch_id}")
+        grams, contexts, vocab = _count_tables(
+            corpus_batch, text_col, self.n, self.digit_bucket
+        )
+        grams.write.mode("overwrite").parquet(self._tdir("grams", batch_id))
+        contexts.write.mode("overwrite").parquet(
+            self._tdir("contexts", batch_id)
+        )
+        vocab.write.mode("overwrite").parquet(self._tdir("vocab", batch_id))
+        return NgramLM.load(self.grams.sparkSession, self.path)
+
+    def compact(self, prune_min_count: int = 1,
+                exclude_batch: int | None = None) -> "NgramLM":
+        """Rewrite the stored batch partitions into one consolidated
+        ``batch=-1`` triple (sibling-then-rename swap, same discipline
+        and same non-atomicity caveats as :meth:`.bloom.BloomIndex.
+        compact`: run between batches, never concurrently with
+        scoring).  ``prune_min_count`` applies KenLM-style pruning to
+        the CONSOLIDATED gram counts (totals and vocab untouched -
+        exactly :meth:`fit`'s prune-after-totals semantics).
+        ``exclude_batch``: leave that batch's partitions uncompacted
+        (moved through the swap verbatim) - a streaming caller
+        compacting before batch N passes N so an uncommitted first
+        attempt can still be hidden by ``load(exclude_batch=N)`` on
+        replay."""
+        if self.path is None:
+            raise ValueError("compact requires a saved model (use save())")
+        spark = self.grams.sparkSession
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+
+        consolidated = NgramLM.load(spark, self.path,
+                                    exclude_batch=exclude_batch)
+        grams = consolidated.grams
+        if prune_min_count > 1:
+            grams = grams.filter(F.col("cnt") >= prune_min_count)
+        for table, df in (
+            ("grams", grams),
+            ("contexts", consolidated.contexts),
+            ("vocab", consolidated._vocab),
+        ):
+            src = f"{self.path}/{table}"
+            tmp = f"{self.path}/{table}__compacting"
+            df.write.mode("overwrite").parquet(
+                f"{tmp}/batch={self.COMPACT_BATCH}"
+            )
+            hsrc = jvm.org.apache.hadoop.fs.Path(src)
+            htmp = jvm.org.apache.hadoop.fs.Path(tmp)
+            fs = hsrc.getFileSystem(conf)
+            if exclude_batch is not None:
+                hexc = jvm.org.apache.hadoop.fs.Path(
+                    self._tdir(table, exclude_batch)
+                )
+                if fs.exists(hexc):
+                    fs.rename(
+                        hexc,
+                        jvm.org.apache.hadoop.fs.Path(
+                            f"{tmp}/batch={int(exclude_batch)}"
+                        ),
+                    )
+            fs.delete(hsrc, True)
+            if not fs.rename(htmp, hsrc):
+                raise IOError(f"compact: rename {tmp} -> {src} failed")
+        return NgramLM.load(spark, self.path)
 
     # -- scoring -----------------------------------------------------------
 
@@ -157,7 +379,8 @@ class NgramLM:
         hint = self._hint(max_broadcast_rows)
         smooth_v = float(self.k) * self.vocab_size
         scored = (
-            _doc_ngrams(docs.select(id_col, text_col), text_col, self.n)
+            _doc_ngrams(docs.select(id_col, text_col), text_col, self.n,
+                        self.digit_bucket)
             .join(hint(self.grams), ["ctx", "tok"], "left")
             .join(hint(self.contexts), "ctx", "left")
             .withColumn(

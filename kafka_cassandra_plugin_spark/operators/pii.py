@@ -36,8 +36,8 @@ Luhn checksum validation needs arithmetic over the digit string and is
 intentionally left to a downstream verifier.
 
 Reference provenance: the reference plugin (Cassandra KV/lease layer,
-``CassandraSimpleClient.scala``) has no document pipeline; this is part
-of the LLM-pipeline closure built on the engine's own operators.
+``CassandraListenerRegistry.scala:27``) has no document pipeline; this
+is part of the LLM-pipeline closure built on the engine's own operators.
 """
 
 from __future__ import annotations

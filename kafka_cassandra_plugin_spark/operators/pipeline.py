@@ -52,8 +52,9 @@ reject sets are disjoint by construction, so the final assembly is a
 single union + one left join on the id - no per-stage full-table joins.
 
 Reference provenance: the reference plugin is a Cassandra KV/lease layer
-with no document pipeline (`CassandraSimpleClient.scala` CRUD); this is
-part of the LLM-pipeline closure built on the engine's own operators.
+with no document pipeline (`CassandraListenerRegistry.scala:27,52` point
+reads; `README.md:180-224` Storage CRUD spec); this is part of the
+LLM-pipeline closure built on the engine's own operators.
 """
 
 from __future__ import annotations
@@ -161,7 +162,9 @@ def curate_annotated(
     rejected (the CCNet middle-band criterion).  Cost shape: one gram
     explode of the BATCH joined against the broadcast (or
     shuffle-hash) model tables; the reject id set is batch-bounded and
-    broadcast back.
+    broadcast back.  Passing ``lm`` with neither ``max_ppl`` nor
+    ``min_ppl > 0`` raises ValueError - an unconstrained band would
+    silently gate nothing.
 
     ``seen`` (opt-in; a :class:`.bloom.BloomIndex` built with
     :meth:`.bloom.BloomIndex.build_over_content` over previously
@@ -179,6 +182,13 @@ def curate_annotated(
     non-default parameters must not silently dedup the batch under the
     defaults."""
     _check_reserved(batch, OUTPUT_COLS, "curate_annotated()")
+    if lm is not None and max_ppl is None and min_ppl <= 0.0:
+        raise ValueError(
+            "curate_annotated(lm=...) needs a perplexity band: pass "
+            "max_ppl and/or min_ppl > 0. With neither, the "
+            "ppl_out_of_band stage would be a silent no-op - a fitted "
+            "LM was supplied, so the caller clearly expects gating."
+        )
     mh_params = (
         {k: index.params[k] for k in ("n", "num_hashes", "bands", "hash_fn")}
         if index is not None

@@ -100,6 +100,21 @@ class CurationSink:
     ``batch=-1`` history partition BEFORE the next batch runs, which
     is the ordering that keeps the replay-exclusion argument intact.
 
+    ``lm_path``: maintain an incremental :class:`..operators.lm.NgramLM`
+    (geometry ``lm_n``/``lm_k``/``lm_digit_bucket``, pinned at init)
+    and run each micro-batch through the funnel's ``ppl_out_of_band``
+    stage against it - pass the band (``max_ppl`` and/or ``min_ppl``)
+    through ``curate_kwargs`` or the funnel refuses.  The model is
+    loaded AS OF THE BATCH'S PREDECESSORS (``exclude_batch``) and, with
+    ``lm_accumulate`` (default), grown with each batch's ACCEPTED
+    documents via overwrite-per-batch count partitions - the same
+    exactly-once replay discipline as the Bloom filter, and no corpus
+    refit ever.  A just-init'd empty model scores every scorable doc
+    ppl == 1: seed it (``NgramLM.init`` + ``append_batch`` over a
+    trusted corpus) before trusting a tight band.  ``compact_every``
+    folds committed LM count partitions into history alongside the
+    bloom/index compactions.
+
     ``compact_every``: every N index-growing micro-batches, rewrite the
     index's band/shingle parquet into ``compact_target_mb`` files
     (:meth:`MinHashIndex.compact`) AND coalesce the accepted dataset's
@@ -124,7 +139,16 @@ class CurationSink:
                  seen_bloom_path: str | None = None,
                  bloom_expected_items: int = 1_000_000,
                  bloom_fpp: float = 0.01,
+                 lm_path: str | None = None,
+                 lm_accumulate: bool = True,
+                 lm_n: int = 3, lm_k: float = 0.1,
+                 lm_digit_bucket: bool = False,
                  **curate_kwargs):
+        if lm_path is not None and "lm" in curate_kwargs:
+            raise ValueError(
+                "pass either lm_path (sink-maintained incremental model) "
+                "or lm= (caller-owned fitted model), not both"
+            )
         self.index_path = index_path
         self.out_path = out_path
         self.text_col = text_col
@@ -136,6 +160,11 @@ class CurationSink:
         self.seen_bloom_path = seen_bloom_path
         self.bloom_expected_items = bloom_expected_items
         self.bloom_fpp = bloom_fpp
+        self.lm_path = lm_path
+        self.lm_accumulate = lm_accumulate
+        self.lm_n = lm_n
+        self.lm_k = lm_k
+        self.lm_digit_bucket = lm_digit_bucket
         self.curate_kwargs = curate_kwargs
         self.funnel_by_batch: dict[int, dict[str, int]] = {}
         self._adds = 0
@@ -177,21 +206,51 @@ class CurationSink:
                 )
             elif (self.compact_every and self._adds
                     and self._adds % self.compact_every == 0):
-                # BEFORE the batch: only committed predecessors fold
-                # into history, so a replay's exclude_batch still hides
-                # this batch's own contribution (see BloomIndex.compact)
+                # BEFORE the batch, and with this batch's partition
+                # explicitly excluded: a failed first attempt of batch
+                # N may already have appended words/batch=N without the
+                # streaming commit, and the `_adds` counter (volatile,
+                # bumped pre-commit) can re-trigger compaction on the
+                # replay - folding that uncommitted partition into
+                # history would defeat exclude_batch and make the
+                # replay reject its own rows (see BloomIndex.compact)
                 BloomIndex.load(spark, self.seen_bloom_path).compact(
-                    self.compact_target_mb
+                    self.compact_target_mb, exclude_batch=batch_id
                 )
             # probe the filter as of this batch's PREDECESSORS: a
             # replayed batch must not see its own first attempt
             bloom = BloomIndex.load(spark, self.seen_bloom_path,
                                     exclude_batch=batch_id)
+        lm_kwargs = {}
+        lm = None
+        if self.lm_path is not None:
+            from ..operators.lm import NgramLM
+
+            if not self._path_exists(spark, f"{self.lm_path}/meta"):
+                NgramLM.init(spark, self.lm_path, n=self.lm_n,
+                             k=self.lm_k,
+                             digit_bucket=self.lm_digit_bucket)
+            elif (self.compact_every and self._adds
+                    and self._adds % self.compact_every == 0):
+                # same pre-batch + exclude-in-flight discipline as the
+                # bloom compaction above
+                NgramLM.load(spark, self.lm_path).compact(
+                    exclude_batch=batch_id
+                )
+            # score against the model as of this batch's PREDECESSORS
+            # (a replayed batch must not see its own failed attempt's
+            # counts).  An empty just-init'd model scores every
+            # scorable doc ppl == 1 (V=1 uniform): seed the model
+            # before trusting the band, or set min_ppl <= 1 while it
+            # warms up.
+            lm = NgramLM.load(spark, self.lm_path, exclude_batch=batch_id)
+            lm_kwargs["lm"] = lm
         annotated = curate_annotated(
             batch_df, index=index,
             text_col=self.text_col, id_col=self.id_col,
             benchmarks=self._bench,
             seen=bloom,
+            **lm_kwargs,
             **self.curate_kwargs,
         ).localCheckpoint()
         accepted = annotated.filter(F.col("reject_reason").isNull()).drop(
@@ -210,6 +269,15 @@ class CurationSink:
             # O(batch) overwrite of THIS batch's word partition -
             # exactly-once under replay, like the output dir above
             bloom.append_content(accepted, batch_id, self.text_col)
+        if lm is not None and self.lm_accumulate:
+            # grow the reference LM with this batch's ACCEPTED docs -
+            # O(batch) count partitions, overwrite-per-batch, so the
+            # model converges on the curated distribution without ever
+            # refitting over the corpus
+            lm.append_batch(
+                accepted.select(self.id_col, self.text_col),
+                batch_id, self.text_col,
+            )
         self._adds += 1
         if self.compact_every and self._adds % self.compact_every == 0:
             index.compact(self.compact_target_mb)

@@ -128,6 +128,65 @@ class TestComposition:
         assert dsk.exceptAll(mem).count() == 0
 
 
+class TestStreamingMaintenance:
+    def test_compact_exclude_batch_stays_hideable(self, spark, tmp_path):
+        """compact(exclude_batch=N) folds committed predecessors into
+        batch=-1 but leaves batch=N's partition intact, so a subsequent
+        load(exclude_batch=N) still hides exactly N's contribution -
+        the invariant a foreachBatch replay's pre-batch compaction
+        depends on."""
+        path = str(tmp_path / "bloom")
+        idx = BloomIndex.init(spark, path, expected_items=1_000)
+        a = spark.range(0, 100).select(F.col("id").cast("string").alias("k"))
+        b = spark.range(100, 200).select(F.col("id").cast("string").alias("k"))
+        c = spark.range(200, 300).select(F.col("id").cast("string").alias("k"))
+        idx = idx.append_batch(a, 0, "k")
+        idx = idx.append_batch(b, 1, "k")
+        idx = idx.append_batch(c, 2, "k")  # the uncommitted in-flight batch
+        idx.compact(exclude_batch=2)
+
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        glob = jvm.org.apache.hadoop.fs.Path(f"{path}/words/batch=*")
+        names = sorted(
+            s.getPath().getName()
+            for s in glob.getFileSystem(conf).globStatus(glob)
+        )
+        assert names == ["batch=-1", "batch=2"]
+
+        # replay view: batch 2's keys invisible, history fully visible
+        replay = BloomIndex.load(spark, path, exclude_batch=2)
+        assert replay.might_contain(
+            a.unionByName(b), "k"
+        ).filter(~F.col("might_contain")).count() == 0
+        assert replay.might_contain(c, "k").filter(
+            F.col("might_contain")
+        ).count() <= 3  # fpp-bounded false positives only
+
+        # committed view: everything visible
+        full = BloomIndex.load(spark, path)
+        assert full.might_contain(
+            a.unionByName(b).unionByName(c), "k"
+        ).filter(~F.col("might_contain")).count() == 0
+
+    def test_compact_without_exclusion_folds_everything(self, spark, tmp_path):
+        path = str(tmp_path / "bloom")
+        idx = BloomIndex.init(spark, path, expected_items=1_000)
+        a = spark.range(0, 50).select(F.col("id").cast("string").alias("k"))
+        idx = idx.append_batch(a, 0, "k").compact()
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        glob = jvm.org.apache.hadoop.fs.Path(f"{path}/words/batch=*")
+        names = [
+            s.getPath().getName()
+            for s in glob.getFileSystem(conf).globStatus(glob)
+        ]
+        assert names == ["batch=-1"]
+        assert idx.might_contain(a, "k").filter(
+            ~F.col("might_contain")
+        ).count() == 0
+
+
 class TestPlans:
     """The scale shapes: pure built-ins (no Python eval nodes anywhere),
     ONE shuffle to build, broadcast probe under the dense bound and

@@ -38,14 +38,16 @@ def _ppl(lm_, docs, doc_id):
 
 class TestExactArithmetic:
     def test_hand_computed_trigram(self, lm, spark):
-        """'the cat' context has 2 continuations (sat, ate), V=5:
-        P(ate | the cat) = (1 + 0.1) / (2 + 0.1*5) = 0.44."""
-        assert lm.vocab_size == 5
+        """'the cat' context has 2 continuations (sat, ate); V is the
+        FULL vocabulary {the, cat, sat, on, mat, ate} = 6 (every corpus
+        position, not just gram continuations):
+        P(ate | the cat) = (1 + 0.1) / (2 + 0.1*6) = 1.1/2.6."""
+        assert lm.vocab_size == 6
         doc = spark.createDataFrame([(4, "the cat ate")],
                                     "doc_id int, text string")
         ppl, n = _ppl(lm, doc, 4)
         assert n == 1
-        assert ppl == pytest.approx(1 / 0.44, rel=1e-9)
+        assert ppl == pytest.approx(2.6 / 1.1, rel=1e-9)
 
     def test_unseen_text_scores_exactly_vocab_size(self, lm, spark):
         """Every gram unseen: P = k/(kV) = 1/V, so ppl == V - the
@@ -91,8 +93,8 @@ class TestPruning:
         doc = spark.createDataFrame([(5, "the cat sat")],
                                     "doc_id int, text string")
         ppl, _ = _ppl(pruned, doc, 5)
-        # V=3 (ate, sat, cat... tokens appearing as gram targets): use
-        # the model's own V for the expected value
+        # V = |{the, cat, ate, sat}| = 4 (full vocabulary)
+        assert pruned.vocab_size == 4
         expected = (0 + 0.1) / (3 + 0.1 * pruned.vocab_size)
         assert ppl == pytest.approx(1 / expected, rel=1e-9)
 
@@ -177,6 +179,151 @@ class TestPersistenceAndPlans:
 
         lm_ = NgramLM.fit(tiny, n=2, k=0.5)
         assert "EvalPython" not in P.formatted_plan(lm_.grams)
+
+
+class TestIncrementalMaintenance:
+    """The D18 pattern applied to the LM: exact counts are
+    distributive, so batch-partitioned accumulation must be BIT-EXACT
+    against a refit over the union corpus - no drift tolerance."""
+
+    def _eq(self, a, b):
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+    def test_accumulate_equals_refit(self, spark, tmp_path):
+        corpus = spark.createDataFrame(
+            [(1, "the cat sat on the mat"), (2, "the cat ate"),
+             (3, "a dog sat on a log"), (4, "the dog ate the mat")],
+            "doc_id int, text string",
+        )
+        refit = NgramLM.fit(corpus, n=3, k=0.1)
+        inc = NgramLM.init(spark, str(tmp_path / "lm"), n=3, k=0.1)
+        inc = inc.append_batch(corpus.filter(F.col("doc_id") <= 2), 0)
+        inc = inc.append_batch(corpus.filter(F.col("doc_id") > 2), 1)
+        assert (inc.n, inc.k) == (refit.n, refit.k)
+        assert inc.vocab_size == refit.vocab_size
+        assert inc.gram_rows == refit.gram_rows
+        self._eq(inc.grams, refit.grams)
+        self._eq(inc.contexts, refit.contexts)
+        # and the scores agree exactly
+        a = refit.perplexity(corpus).orderBy("doc_id").collect()
+        b = inc.perplexity(corpus).orderBy("doc_id").collect()
+        assert a == b
+
+    def test_replay_overwrites_not_doublecounts(self, spark, tmp_path):
+        b0 = spark.createDataFrame([(1, "x y z x y")],
+                                   "doc_id int, text string")
+        lm_ = NgramLM.init(spark, str(tmp_path / "lm"), n=2, k=0.1)
+        once = lm_.append_batch(b0, 0)
+        counts_once = sorted(map(tuple, once.grams.collect()))
+        again = once.append_batch(b0, 0)  # foreachBatch replay
+        assert sorted(map(tuple, again.grams.collect())) == counts_once
+        assert again.vocab_size == once.vocab_size
+
+    def test_exclude_batch_hides_inflight_attempt(self, spark, tmp_path):
+        b0 = spark.createDataFrame([(1, "p q r p q")],
+                                   "doc_id int, text string")
+        b1 = spark.createDataFrame([(2, "s t u s t")],
+                                   "doc_id int, text string")
+        lm_ = NgramLM.init(spark, str(tmp_path / "lm"), n=2, k=0.1)
+        lm_ = lm_.append_batch(b0, 0)
+        lm_.append_batch(b1, 1)  # uncommitted first attempt
+        asof = NgramLM.load(spark, str(tmp_path / "lm"), exclude_batch=1)
+        committed = NgramLM.init(spark, str(tmp_path / "ctl"),
+                                 n=2, k=0.1).append_batch(b0, 0)
+        self._eq(asof.grams, committed.grams)
+        assert asof.vocab_size == committed.vocab_size
+
+    def test_compact_preserves_model_and_exclusion(self, spark, tmp_path):
+        path = str(tmp_path / "lm")
+        b0 = spark.createDataFrame([(1, "a b c a b")],
+                                   "doc_id int, text string")
+        b1 = spark.createDataFrame([(2, "c d e c d")],
+                                   "doc_id int, text string")
+        b2 = spark.createDataFrame([(3, "f g h f g")],
+                                   "doc_id int, text string")
+        lm_ = NgramLM.init(spark, path, n=2, k=0.1)
+        lm_ = lm_.append_batch(b0, 0).append_batch(b1, 1)
+        lm_ = lm_.append_batch(b2, 2)  # the in-flight batch
+        before = sorted(map(tuple, NgramLM.load(
+            spark, path, exclude_batch=2
+        ).grams.collect()))
+        lm_.compact(exclude_batch=2)
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        glob = jvm.org.apache.hadoop.fs.Path(f"{path}/grams/batch=*")
+        names = sorted(
+            s.getPath().getName()
+            for s in glob.getFileSystem(conf).globStatus(glob)
+        )
+        assert names == ["batch=-1", "batch=2"]
+        after = sorted(map(tuple, NgramLM.load(
+            spark, path, exclude_batch=2
+        ).grams.collect()))
+        assert before == after  # replay view unchanged by compaction
+        full = NgramLM.load(spark, path)
+        assert full.vocab_size == lm_.vocab_size
+        assert full.gram_rows == lm_.gram_rows
+
+    def test_compact_prune_matches_fit_prune(self, spark, tmp_path):
+        corpus = spark.createDataFrame(
+            [(1, "the cat ate"), (2, "the cat ate"), (3, "the cat sat")],
+            "doc_id int, text string",
+        )
+        refit = NgramLM.fit(corpus, n=3, k=0.1, prune_min_count=2)
+        inc = NgramLM.init(spark, str(tmp_path / "lm"), n=3, k=0.1)
+        inc = inc.append_batch(corpus.filter(F.col("doc_id") <= 1), 0)
+        inc = inc.append_batch(corpus.filter(F.col("doc_id") > 1), 1)
+        inc = inc.compact(prune_min_count=2)
+        assert inc.gram_rows == refit.gram_rows
+        assert inc.vocab_size == refit.vocab_size
+        self._eq(inc.grams, refit.grams)
+        self._eq(inc.contexts, refit.contexts)  # totals pre-prune
+
+    def test_append_guards(self, spark, tmp_path, tiny):
+        mem = NgramLM.fit(tiny, n=2)
+        with pytest.raises(ValueError, match="saved model"):
+            mem.append_batch(tiny, 0)
+        disk = NgramLM.init(spark, str(tmp_path / "lm"), n=2)
+        with pytest.raises(ValueError, match=">= 0"):
+            disk.append_batch(tiny, -1)
+
+
+class TestDigitBucketing:
+    """CCNet numeral normalization: digits collapse to 0 at fit AND
+    score time, and the flag survives persistence."""
+
+    def test_numeric_variants_score_identically(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "order 123 shipped on day 45"),
+             (2, "order 678 shipped on day 90")],
+            "doc_id int, text string",
+        )
+        lm_ = NgramLM.fit(corpus, n=2, k=0.1, digit_bucket=True)
+        a = spark.createDataFrame([(1, "order 555 shipped")],
+                                  "doc_id int, text string")
+        b = spark.createDataFrame([(1, "order 000 shipped")],
+                                  "doc_id int, text string")
+        assert _ppl(lm_, a, 1) == _ppl(lm_, b, 1)
+
+    def test_bucketing_shrinks_numeric_vocab(self, spark):
+        rows = [(i, f"price is {100 + i} dollars") for i in range(20)]
+        corpus = spark.createDataFrame(rows, "doc_id int, text string")
+        plain = NgramLM.fit(corpus, n=2)
+        bucketed = NgramLM.fit(corpus, n=2, digit_bucket=True)
+        # 20 distinct numerals collapse to one 000 pseudo-token
+        assert bucketed.vocab_size == plain.vocab_size - 19
+
+    def test_flag_persisted_and_applied_after_load(self, spark, tmp_path):
+        corpus = spark.createDataFrame(
+            [(1, "value 11 and value 22")], "doc_id int, text string"
+        )
+        lm_ = NgramLM.fit(corpus, n=2, k=0.1, digit_bucket=True)
+        loaded = lm_.save(str(tmp_path / "lm"))
+        assert loaded.digit_bucket is True
+        doc = spark.createDataFrame([(1, "value 99")],
+                                    "doc_id int, text string")
+        assert _ppl(loaded, doc, 1) == _ppl(lm_, doc, 1)
 
 
 class TestNgramExtraction:

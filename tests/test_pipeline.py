@@ -378,6 +378,15 @@ class TestPerplexityStage:
         [row] = ann.collect()
         assert row.reject_reason == "ppl_out_of_band"
 
+    def test_lm_without_band_raises(self, lm_setup):
+        """lm= with neither max_ppl nor min_ppl>0 would silently gate
+        nothing - the funnel refuses instead of no-opping."""
+        lm, batch = lm_setup
+        with pytest.raises(ValueError, match="perplexity band"):
+            PL.curate_annotated(batch, lm=lm)
+        with pytest.raises(ValueError, match="perplexity band"):
+            PL.curate_annotated(batch, lm=lm, min_ppl=0.0)
+
     def test_partition_property_and_off_by_default(self, lm_setup):
         lm, batch = lm_setup
         ann = PL.curate_annotated(batch, lm=lm, max_ppl=1e6)

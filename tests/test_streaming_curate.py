@@ -415,6 +415,127 @@ class TestSeenBloomMaintenance:
         }
         assert not leaked
 
+    def test_replay_after_failed_attempt_with_compaction(
+        self, spark, corpus, docs, tmp_path, monkeypatch
+    ):
+        """The exactly-once edge: batch 1's FIRST attempt appends its
+        bloom word partition, bumps the volatile ``_adds`` counter to a
+        compact_every multiple, then dies before the streaming commit.
+        The replay's pre-batch compaction must NOT fold the uncommitted
+        ``words/batch=1`` into history - otherwise ``exclude_batch=1``
+        can no longer hide it and the replay rejects its own rows as
+        seen_before (silent data loss).  Gate: the failed-then-replayed
+        run accepts exactly what an unfailed control run accepts."""
+        from kafka_cassandra_plugin_spark.streaming import curate as C
+
+        b1, b2 = make_batches(docs)
+
+        control = self._sink(spark, corpus, tmp_path / "ctl",
+                             compact_every=2)
+        control(b1, 0)
+        control(b2, 1)
+        want = sorted(
+            (r.doc_id, r.text)
+            for r in accepted_dataset(spark, control.out_path).collect()
+        )
+
+        sink = self._sink(spark, corpus, tmp_path / "run",
+                          compact_every=2)
+        sink(b1, 0)
+        # first attempt of batch 1: everything up to and including the
+        # bloom append + counter bump happens, then the funnel
+        # accounting dies (any post-append failure reproduces the bug)
+        real_funnel = C.curation_funnel
+        monkeypatch.setattr(
+            C, "curation_funnel",
+            lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("boom")),
+        )
+        with pytest.raises(RuntimeError, match="boom"):
+            sink(b2, 1)
+        monkeypatch.setattr(C, "curation_funnel", real_funnel)
+        assert sink._adds % 2 == 0  # the replay WILL trigger compaction
+        sink(b2, 1)  # foreachBatch replay
+        got = sorted(
+            (r.doc_id, r.text)
+            for r in accepted_dataset(spark, sink.out_path).collect()
+        )
+        assert got == want
+
+    def test_lm_band_gates_ingest_and_accumulates(
+        self, spark, corpus, tmp_path
+    ):
+        """lm_path=: the sink scores each batch against the stored
+        incremental NgramLM (seeded via fit().save() -> the batch=-1
+        history partition exclusion can never hide), rejects
+        out-of-band docs, and grows the model with accepted content -
+        overwrite-per-batch partitions, replay-idempotent."""
+        from kafka_cassandra_plugin_spark.operators.lm import NgramLM
+
+        templates = [
+            "the quick brown fox jumps over the lazy dog",
+            "a stitch in time saves nine every single day",
+            "all that glitters is not gold my friend",
+        ]
+        trusted = spark.createDataFrame(
+            [(i, templates[i % 3] + " " + templates[(i + 1) % 3])
+             for i in range(30)],
+            "doc_id long, text string",
+        )
+        lm_path = str(tmp_path / "lm")
+        NgramLM.fit(trusted, n=2, k=0.1).save(lm_path)
+
+        sink = fresh_sink(
+            spark, corpus, tmp_path,
+            lm_path=lm_path, lm_n=2, lm_k=0.1,
+            max_ppl=10.0, min_quality=0.0,
+        )
+        in_domain = spark.createDataFrame(
+            [(100 + i, templates[i % 3] + " " + templates[(i + 1) % 3])
+             for i in range(3)],
+            "doc_id long, text string",
+        )
+        soup = spark.createDataFrame(
+            [(999, " ".join(f"zq{i} xv{i}" for i in range(15)))],
+            "doc_id long, text string",
+        )
+        sink(in_domain.unionByName(soup), 0)
+        out = {
+            r.doc_id
+            for r in accepted_dataset(spark, sink.out_path).collect()
+        }
+        assert 999 not in out
+        assert {100, 101, 102} <= out
+        assert sink.funnel_by_batch[0].get("ppl_out_of_band", 0) >= 1
+
+        # accumulation: batch 0's accepted docs became count partitions
+        grown = NgramLM.load(spark, lm_path)
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        glob = jvm.org.apache.hadoop.fs.Path(f"{lm_path}/grams/batch=*")
+        names = sorted(
+            s.getPath().getName()
+            for s in glob.getFileSystem(conf).globStatus(glob)
+        )
+        assert names == ["batch=-1", "batch=0"]
+
+        # replay: identical acceptance, identical model counts
+        before = sorted(map(tuple, grown.grams.collect()))
+        sink(in_domain.unionByName(soup), 0)
+        after_out = {
+            r.doc_id
+            for r in accepted_dataset(spark, sink.out_path).collect()
+        }
+        assert after_out == out
+        after = sorted(map(tuple, NgramLM.load(
+            spark, lm_path
+        ).grams.collect()))
+        assert after == before
+
+    def test_lm_path_and_lm_kwarg_conflict(self, spark, corpus, tmp_path):
+        with pytest.raises(ValueError, match="not both"):
+            fresh_sink(spark, corpus, tmp_path,
+                       lm_path=str(tmp_path / "lm"), lm="sentinel")
+
     def test_compact_preserves_probe_answers(
         self, spark, corpus, docs, tmp_path
     ):

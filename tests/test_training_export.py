@@ -290,6 +290,30 @@ class TestShardExport:
         with pytest.raises(ValueError, match="fmt"):
             export_shards(docs, str(tmp_path / "x"), self.N, fmt="orc")
 
+    def test_json_schema_restores_null_columns_and_types(
+        self, spark, docs, tmp_path
+    ):
+        """The JSON writer omits null fields, so an entirely-null
+        column vanishes under inference and a timestamp comes back a
+        string; read_shards(schema=) makes the json round-trip
+        schema-faithful."""
+        from pyspark.sql import functions as F
+
+        aug = docs.withColumn("always_null", F.lit(None).cast("string")) \
+                  .withColumn("ts", F.lit("2026-01-02 03:04:05")
+                              .cast("timestamp"))
+        path = str(tmp_path / "nulls")
+        export_shards(aug, path, self.N, fmt="json")
+        inferred = read_shards(spark, path, fmt="json")
+        assert "always_null" not in inferred.columns  # the caveat, pinned
+        ddl = ("doc_id long, text string, always_null string, "
+               "ts timestamp, shard int")
+        faithful = read_shards(spark, path, fmt="json", schema=ddl)
+        assert "always_null" in faithful.columns
+        assert dict(faithful.dtypes)["ts"] == "timestamp"
+        row = faithful.filter(F.col("always_null").isNotNull()).take(1)
+        assert row == []
+
     def test_seed_reshuffles(self, docs):
         a = shard_assignments(docs, self.N, seed=1).select("doc_id", "shard")
         b = shard_assignments(docs, self.N, seed=2).select("doc_id", "shard")
