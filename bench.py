@@ -88,6 +88,13 @@ EXPLICIT_ANCHORS = {
     "leader_timeline_replay": 0.97,
     "join_range_bands": 0.95,
     "csv_roundtrip": 0.75,
+    # round-6 anchors for the round-5 ops (isolated best-of-3, quiet
+    # host; BASELINE.md "Round-6 anchors" note).  dedup_semantic's 7.93
+    # is the best r5 full-run reading (today's isolated: 9.1-10.0);
+    # lm_perplexity re-anchored 0.40 -> 1.02 with cause in BASELINE.md.
+    "dedup_semantic": 7.93,
+    "bloom_filter_new": 0.46,
+    "lm_perplexity": 1.02,
 }
 
 # Don't flag sub-half-second excursions: a 0.2 s row reading 0.45 s is
@@ -349,7 +356,11 @@ SF1_ORACLE = [
 def _tier_d_oracle_pairs():
     """The pytest-oracled tier-D (build, sql) pairs, re-checked at sf1
     too (cheap first; decontam_jaccard excluded - its 64-hash MinHash
-    SQL is quadratic-ish in DuckDB at sf1 and would eat the budget)."""
+    SQL is quadratic-ish in DuckDB at sf1 and would eat the budget).
+    ``dedup_semantic`` is an ORACLE-PAIR FACTORY (callable taking
+    (spark, sf_dir, con) and returning (df, sql)): its DuckDB side
+    needs the Spark-computed IVF cell assignment registered as a
+    side table before the SQL can run."""
     from kafka_cassandra_plugin_spark.queries import llm_ops as L
 
     return {
@@ -360,6 +371,7 @@ def _tier_d_oracle_pairs():
         "repetition_signals": (L.repetition_signals,
                                L.REPETITION_SIGNALS_SQL),
         "decontam_ngram13": (L.decontam_ngram13, L.DECONTAM_NGRAM13_SQL),
+        "dedup_semantic": L.semantic_dedup_oracle,
     }
 
 
@@ -373,12 +385,17 @@ def _sf1_oracle(spark, sf1_dir: str, registry,
     out = {}
     pairs = {n: (registry[n].build, registry[n].sql) for n in SF1_ORACLE}
     pairs.update(_tier_d_oracle_pairs())
-    for name, (build, sql) in pairs.items():
+    for name, entry in pairs.items():
         if time.perf_counter() - start > budget_s:
             out[name] = {"match": None, "rows": None, "err": "skipped_budget"}
             continue
         try:
-            rows = oracle.compare(build(spark, sf1_dir), con, sql, name)
+            if callable(entry):  # oracle-pair factory (see _tier_d_oracle_pairs)
+                df, sql = entry(spark, sf1_dir, con)
+            else:
+                build, sql = entry
+                df = build(spark, sf1_dir)
+            rows = oracle.compare(df, con, sql, name)
             out[name] = {"match": True, "rows": rows, "err": None}
         except Exception as ex:  # record, never abort the artifact
             out[name] = {"match": False, "rows": None, "err": str(ex)[:300]}

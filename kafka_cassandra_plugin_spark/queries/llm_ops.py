@@ -1253,6 +1253,86 @@ CHUNK_DOCUMENTS_SQL = r"""
 """
 
 
+SEMANTIC_DEDUP_SQL = r"""
+    WITH corpus AS (
+      SELECT vec_id AS id, embedding AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings
+      WHERE vec_id % 10 = 0
+    ),
+    cells AS (
+      SELECT c.id, c.v, s.list_id
+      FROM corpus c JOIN sem_cells s ON s.id = c.id
+    ),
+    sized AS (
+      SELECT id, v, list_id,
+             count(*) OVER (PARTITION BY list_id) AS cn
+      FROM cells
+    ),
+    kept AS (SELECT id, v, list_id FROM sized WHERE cn <= 100000),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             list_reduce(list_transform(range(1, len(a.v)+1),
+                                        i -> cast(a.v[i] AS double) * b.v[i]),
+                         (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(a.v,
+                                                x -> cast(x AS double) * x),
+                                 (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(b.v,
+                                                  x -> cast(x AS double) * x),
+                                   (x, y) -> x + y))) AS cos
+      FROM kept a JOIN kept b ON a.list_id = b.list_id AND a.id < b.id
+    )
+    SELECT id_a, id_b, round(cos, 4) AS cosine
+    FROM pairs WHERE cos >= 0.99
+    ORDER BY id_a, id_b
+"""
+
+
+def semantic_dedup_oracle(spark, sf_dir, con, threshold: float = 0.99,
+                          seed: int = 42):
+    """The D16 (SemDeDup cluster-blocked semantic dedup) oracle pair:
+    returns ``(spark_df, sql)`` after registering the Spark-computed
+    IVF cell assignment as the DuckDB table ``sem_cells``.
+
+    Split of responsibility (same philosophy as the ANN rows): the
+    KMeans quantizer fit is NOT SQL-expressible - its quality is gated
+    by recall/property tests - but everything downstream of the
+    assignment IS: DuckDB re-derives the planted-copy corpus, joins the
+    (id, list_id) literal table, re-applies the max_cluster_size cap,
+    enumerates within-cell pairs, and recomputes the EXACT left-fold
+    double cosine over the raw embeddings (bit-identical to the
+    engine's :func:`..operators.similarity.cosine`, like
+    ``sim_topk_bruteforce``).  A blocking bug, a pair-enumeration bug,
+    or a cosine drift all hash-mismatch.  The exported assignment is
+    (id, list_id) only - corpus-row count, driver-side, oracle/test
+    path exclusively."""
+    from ..operators.dedup import semantic_dedup_pairs
+    from ..operators.similarity import IvfIndex, adaptive_nlist
+
+    e = Catalog(spark, sf_dir).embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    corpus = e.unionByName(
+        e.filter(F.col("id") % 10 == 0).select(
+            (F.col("id") + 1_000_000).alias("id"), "vec"
+        )
+    )
+    idx = IvfIndex.build(
+        corpus.select(F.col("id").alias("vec_id"),
+                      F.col("vec").alias("embedding")),
+        nlist=adaptive_nlist(corpus.count()), seed=seed,
+    )
+    cells = idx.assigned.select(
+        F.col("neighbor_id").alias("id"), "list_id"
+    ).toPandas()
+    con.register("sem_cells", cells)
+    df = semantic_dedup_pairs(
+        corpus, threshold=threshold, index=idx
+    ).orderBy("id_a", "id_b")
+    return df, SEMANTIC_DEDUP_SQL
+
+
 def chunk_docs(spark, sf_dir):
     """Token-window document chunking (SURVEY §2.5 D17): 40-token
     windows with 8 tokens of overlap (stride 32) over documents — the

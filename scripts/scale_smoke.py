@@ -34,8 +34,44 @@ DECLARED = [
 DEPTH = [
     "stratified_sample", "shard_export[staging]", "mix_sources",
     "repetition_signals", "decontaminate_ngram13",
-    "decontaminate", "curation_funnel",
+    "bloom_filter_new", "lm_perplexity",
+    "decontaminate", "curation_funnel", "dedup_semantic",
 ]
+
+
+def bloom_lifetime_row(spark, sf_dir) -> dict:
+    """The Bloom probe with a LIFETIME-sized geometry (10^9 expected
+    keys -> dense bound m/8 ~ 1.2 GB > the 64 MB broadcast threshold):
+    the one configuration where the probe's broadcast/shuffle_hash
+    switch actually takes the shuffle branch, so the at-scale join
+    path is EXERCISED and its plan recorded, not just unit-asserted
+    with max_broadcast_bytes=0."""
+    from pyspark.sql import functions as F
+
+    from kafka_cassandra_plugin_spark import plans as P
+    from kafka_cassandra_plugin_spark.catalog import Catalog
+    from kafka_cassandra_plugin_spark.operators.bloom import BloomIndex
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    accepted = docs.filter(F.col("doc_id") % 3 != 0)
+    idx = BloomIndex.build(accepted, "doc_id",
+                           expected_items=1_000_000_000, fpp=0.01)
+    idx.words.persist().count()  # build once, like the bench row
+    batch = docs.filter(F.col("doc_id") % 6 < 2)
+    probe = idx.filter_new(batch)
+    plan = P.formatted_plan(probe)
+    t0 = time.perf_counter()
+    bench.materialize(probe)
+    wall = round(time.perf_counter() - t0, 3)
+    idx.words.unpersist()
+    return {
+        "wall_s": wall,
+        "expected_items": 1_000_000_000,
+        "dense_bound_mb": round(idx.m / 8 / 2**20, 1),
+        "probe_join": ("ShuffledHashJoin" if "ShuffledHashJoin" in plan
+                       else "BroadcastHashJoin" if "BroadcastHashJoin"
+                       in plan else "other"),
+    }
 
 
 def main() -> None:
@@ -65,6 +101,9 @@ def main() -> None:
         print(f"  {name}: {times[name]} s", flush=True)
     out = {"sf_dir": sf_dir, "queries": times, "skipped": skipped,
            "total": round(sum(times.values()), 3)}
+    if time.perf_counter() - start <= budget_s:
+        out["bloom_lifetime"] = bloom_lifetime_row(spark, sf_dir)
+        print(f"  bloom_lifetime: {out['bloom_lifetime']}", flush=True)
     print(json.dumps(out))
     spark.stop()
 

@@ -146,6 +146,30 @@ class TestPerturbedRecall:
         assert recall >= 0.9, recall
 
 
+class TestSemanticOracle:
+    """D16's DuckDB oracle (§2.4 canonical protocol at sf0.01): the
+    cell assignment exports as a literal (id, list_id) table and DuckDB
+    independently re-derives the planted corpus, the blocking join, the
+    cluster cap, and the exact left-fold cosine - everything downstream
+    of the (recall-gated) KMeans fit hash-matches."""
+
+    def test_oracle_match_sf001(self, spark, duck, oracle_sf_dir):
+        from kafka_cassandra_plugin_spark import oracle
+        from kafka_cassandra_plugin_spark.queries.llm_ops import (
+            semantic_dedup_oracle,
+        )
+
+        df, sql = semantic_dedup_oracle(spark, oracle_sf_dir, duck)
+        n = oracle.compare(df, duck, sql, name="dedup_semantic")
+        # every planted exact copy (id%10==0 -> id+1e6, cosine 1.0)
+        # must be in the matched result, so n bounds below at the
+        # planted-copy count
+        planted = duck.execute(
+            "SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0"
+        ).fetchone()[0]
+        assert n >= planted > 0
+
+
 class TestLoadedIndexPath:
     def test_disk_loaded_index_equivalent(self, spark, corpus, tmp_path):
         """The daily-run shape: semantic dedup over an index LOADED from

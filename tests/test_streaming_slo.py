@@ -74,6 +74,50 @@ class TestChangeNotificationLatencyLargeState:
         assert result["max_s"] <= 2.0, result
 
 
+class TestFunnelCadence:
+    """Per-micro-batch wall of the FULL-gate CurationSink (quality +
+    LM band + 13-gram decontamination + Bloom seen-filter + exact/near
+    dedup + corpus-index probe) inside a real StreamingQuery at the
+    reference's 500 ms trigger.  The funnel does NOT sustain 500 ms -
+    its per-batch floor is index/model load + the ~15-job gate chain -
+    so the gate here is honesty-shaped: every batch completes, the
+    stats are coherent, and the artifact says explicitly whether the
+    trigger is sustained instead of leaving the claim unmeasured
+    (measured steady state at 200-row batches: see BASELINE.md)."""
+
+    @pytest.fixture(scope="class")
+    def result(self, spark, tmp_path_factory):
+        from kafka_cassandra_plugin_spark.streaming.slo import (
+            measure_funnel_cadence,
+        )
+
+        work = str(tmp_path_factory.mktemp("slo_funnel"))
+        return measure_funnel_cadence(
+            spark, work, n_batches=4, warmup=1, batch_rows=200,
+            trigger_ms=500,
+        )
+
+    def test_all_batches_complete(self, result):
+        assert result["n"] == 4
+        assert len(result["raw"]) == 5  # warmup kept in raw
+
+    def test_stats_coherent_and_verdict_recorded(self, result):
+        assert 0 < result["p50_s"] <= result["max_s"]
+        assert result["p50_s"] <= result["p90_s"] <= result["max_s"]
+        assert isinstance(result["sustains_trigger"], bool)
+        # mechanical consistency of the verdict with the stats
+        assert result["sustains_trigger"] == (
+            result["p90_s"] <= result["trigger_ms"] / 1000.0
+        )
+        assert result["sustainable_rows_per_s"] > 0
+
+    def test_full_gate_set_declared(self, result):
+        assert set(result["gates"]) >= {
+            "ppl_out_of_band", "contaminated", "seen_before",
+            "exact_dup", "near_dup_batch", "near_dup_corpus",
+        }
+
+
 class TestLeaseFailover:
     @pytest.fixture(scope="class")
     def result(self, spark, tmp_path_factory):
