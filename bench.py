@@ -372,11 +372,16 @@ def _tier_d_oracle_pairs():
                                L.REPETITION_SIGNALS_SQL),
         "decontam_ngram13": (L.decontam_ngram13, L.DECONTAM_NGRAM13_SQL),
         "dedup_semantic": L.semantic_dedup_oracle,
+        # the reduced 16-hash family: same shingle/band/join/verify
+        # logic as the declared 64-hash decontam_jaccard at a quarter
+        # of the DuckDB hash cost - the sf1-budget variant (r5 brief #6)
+        "decontam_jaccard16": (L.decontam_jaccard_16,
+                               L.DECONTAM_JACCARD_SQL_16),
     }
 
 
 def _sf1_oracle(spark, sf1_dir: str, registry,
-                budget_s: float = 540.0) -> dict:
+                budget_s: float = 780.0) -> dict:
     from kafka_cassandra_plugin_spark import oracle
 
     budget_s = float(os.environ.get("SPARK_GRAFT_SF1_ORACLE_BUDGET", budget_s))

@@ -918,7 +918,19 @@ def decontam_ngram13(spark, sf_dir):
     )
 
 
-DECONTAM_JACCARD_SQL = r"""
+def _decontam_jaccard_sql(num_hashes: int, band_rows: int) -> str:
+    """The decontam-jaccard oracle SQL, parameterized on MinHash
+    geometry so the sf1 re-check can run a cheaper family (VERDICT r5
+    #6: the 64-hash CROSS JOIN is the DuckDB cost at sf1; a 16-hash /
+    8x2-band variant exercises the identical shingle->minhash->band->
+    join->exact-verify logic at a quarter of the hash work, with
+    candidate recall ~0.9997 at threshold 0.8)."""
+    return DECONTAM_JACCARD_SQL_TMPL.replace(
+        "{NH}", str(num_hashes)
+    ).replace("{BR}", str(band_rows))
+
+
+DECONTAM_JACCARD_SQL_TMPL = r"""
     WITH corpus AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0
     ),
@@ -959,13 +971,13 @@ DECONTAM_JACCARD_SQL = r"""
       SELECT doc_id, i,
              min(((1 + (i * 2654435761) % 67108858) * h0
                   + (i * 98765431 + 12345) % 67108859) % 67108859) AS mh
-      FROM base CROSS JOIN range(64) r(i)
+      FROM base CROSS JOIN range({NH}) r(i)
       GROUP BY doc_id, i
     ),
     bands AS (
-      SELECT doc_id, i // 4 AS band,
+      SELECT doc_id, i // {BR} AS band,
              array_to_string(list(mh ORDER BY i), ':') AS key
-      FROM minh GROUP BY doc_id, i // 4
+      FROM minh GROUP BY doc_id, i // {BR}
     ),
     cands AS (
       SELECT DISTINCT x.doc_id AS corpus_id, y.doc_id AS bench_id
@@ -988,6 +1000,35 @@ DECONTAM_JACCARD_SQL = r"""
     WHERE nc / (sa.n + sb.n - nc) >= 0.8
     ORDER BY corpus_id, bench_id
 """
+
+DECONTAM_JACCARD_SQL = _decontam_jaccard_sql(64, 4)
+DECONTAM_JACCARD_SQL_16 = _decontam_jaccard_sql(16, 2)
+
+
+def decontam_jaccard_16(spark, sf_dir):
+    """:func:`decontam_jaccard` under the reduced 16-hash / 8x2-band
+    MinHash family - the sf1-budget oracle variant (same shingle, base
+    hash, banding, and exact-jaccard verify logic; only the hash-family
+    size differs).  Exact verification makes both variants return the
+    SAME link set whenever banding recall holds, which is itself the
+    property the sf1 run retires risk on."""
+    from ..operators import contamination as C
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    planted = (
+        corpus.filter((F.col("doc_id") % 7 == 1) & (F.instr("text", " ") > 0))
+        .select(
+            (F.col("doc_id") + 5_000_000).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+    )
+    clean = d.filter(F.col("doc_id") % 3 == 0)
+    bench = planted.unionByName(clean)
+    return C.contamination_links(
+        corpus, bench, threshold=0.8, n=3, num_hashes=16, bands=8,
+        hash_fn="md5",
+    ).orderBy("corpus_id", "bench_id")
 
 
 def decontam_jaccard(spark, sf_dir):

@@ -190,7 +190,11 @@ TIER_D = {
             "planted exact copies paired at cosine 1.0 and dropped; "
             "prebuilt-index equivalence (zero clustering on reuse); "
             "exact-copy subset of all-pairs baseline; no-cartesian plan "
-            "gate; cell-cap fanout bound; benched as "
+            "gate; cell-cap fanout bound; DuckDB oracle (round 6): cell "
+            "assignment exported as a literal table, DuckDB re-derives "
+            "the blocking join + cap + exact left-fold cosine - pytest "
+            "at sf0.01 + bench sf1_oracle entry; anchored + sf10 "
+            "probe-only row (BASELINE.md); benched as "
             "extra_queries['dedup_semantic'] (tests/test_semantic.py)"),
     "D17": ("document chunking (chunk_documents - token windows with "
             "overlap, the pack_sequences oversize bridge)",
@@ -209,21 +213,32 @@ TIER_D = {
             "bit-for-bit; save/load probe-identical; geometry-mismatch "
             "raises; one-Exchange build / broadcast-or-shuffle_hash probe "
             "plan gates, no EvalPython; funnel seen_before stage + "
-            "CurationSink(seen_bloom_path=) exactly-once replay tests; "
-            "benched as extra_queries['bloom_filter_new'] "
+            "CurationSink(seen_bloom_path=) exactly-once replay tests "
+            "incl. failed-attempt-then-compact replay (round 6: "
+            "compact(exclude_batch) keeps the in-flight partition "
+            "hideable); shuffle_hash probe branch observed at sf10 under "
+            "a lifetime-sized geometry (BASELINE.md); benched as "
+            "extra_queries['bloom_filter_new'] sf0.1+sf1+sf10 "
             "(tests/test_bloom.py, test_pipeline.py, "
             "test_streaming_curate.py)"),
     "D19": ("n-gram LM perplexity gate (NgramLM - CCNet-style model-based "
             "quality filter; add-k LM as two count DataFrames, explode+join "
-            "scoring, zero UDFs)",
+            "scoring, zero UDFs; round 6: incremental batch-partitioned "
+            "maintenance (init/append_batch/compact, replay-exclusion "
+            "discipline shared with D18; CurationSink(lm_path=)), CCNet "
+            "digit bucketing persisted in meta, V = full-vocabulary "
+            "distinct count)",
             "operators/lm.py",
             "hand-computed add-k probabilities exact; unseen text scores "
             "ppl == V exactly; pruned grams degrade to the smoothed floor "
             "with totals unchanged; in-domain 5x below gibberish on planted "
-            "structure; save/load score-identical; band gate + short-doc "
-            "drop; broadcast/shuffle_hash scoring plan gates, no "
-            "EvalPython; benched as extra_queries['lm_perplexity'] "
-            "(tests/test_lm.py)"),
+            "structure; save/load score-identical; accumulate == refit "
+            "bit-exact; replay overwrites not double-counts; "
+            "compact(exclude_batch) keeps an in-flight attempt hideable; "
+            "band gate + short-doc drop; broadcast/shuffle_hash scoring "
+            "plan gates, no EvalPython; benched as "
+            "extra_queries['lm_perplexity'] sf0.1+sf1+sf10 "
+            "(tests/test_lm.py, test_streaming_curate.py)"),
 }
 
 

@@ -84,10 +84,19 @@ def main() -> None:
     )
     registry["agg_pricing_summary"].build(spark, sf_dir).count()  # warmup
 
+    # optional row subset: $SPARK_GRAFT_SMOKE_ROWS="a,b,c" runs only
+    # those rows (targeted campaigns for newly-added ops; the full list
+    # stays the default so a plain invocation reproduces prior rounds)
+    rows = DECLARED + DEPTH
+    subset = os.environ.get("SPARK_GRAFT_SMOKE_ROWS", "").strip()
+    if subset:
+        want = [n for n in subset.split(",") if n]
+        rows = [n for n in rows if n in want]
+
     depth_fns = bench._depth_ops(sf_dir)
     start = time.perf_counter()
     times, skipped = {}, []
-    for name in DECLARED + DEPTH:
+    for name in rows:
         if time.perf_counter() - start > budget_s:
             skipped.append(name)
             continue
