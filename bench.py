@@ -377,11 +377,14 @@ def _tier_d_oracle_pairs():
         # of the DuckDB hash cost - the sf1-budget variant (r5 brief #6)
         "decontam_jaccard16": (L.decontam_jaccard_16,
                                L.DECONTAM_JACCARD_SQL_16),
+        # D20/D21 (round 6): sub-document dedup under the raw oracle key
+        "dedup_substring": (L.dedup_substring_spans, L.DEDUP_SUBSTRING_SQL),
+        "dedup_lines": (L.dedup_lines_boilerplate, L.DEDUP_LINES_SQL),
     }
 
 
 def _sf1_oracle(spark, sf1_dir: str, registry,
-                budget_s: float = 780.0) -> dict:
+                budget_s: float = 900.0) -> dict:
     from kafka_cassandra_plugin_spark import oracle
 
     budget_s = float(os.environ.get("SPARK_GRAFT_SF1_ORACLE_BUDGET", budget_s))
@@ -746,6 +749,48 @@ def _depth_ops(sf_dir):
             _state["lm"].contexts.persist().count()
         return _state["lm"].perplexity(docs)
 
+    # D20/D21 rows (round 6): exact substring-span dedup (Lee et al.
+    # 2022 - window hash counts, canonical-exempt coverage, islands
+    # fold) over documents + planted 25-token quotes; CCNet line dedup
+    # over documents wrapped with shared header/footer boilerplate.
+    # Both use the xxhash64 at-scale key; the raw-key oracle twins live
+    # in tests/test_substring_dedup.py.
+    def substring_spans(spark):
+        from kafka_cassandra_plugin_spark.operators.substring import (
+            duplicated_ngram_spans,
+        )
+
+        d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+        toks = F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+        )
+        with_t = d.select("doc_id", toks.alias("t"))
+        planted = with_t.filter(
+            (F.col("doc_id") % 5 == 0) & (F.size("t") >= 25)
+        ).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(
+                F.array_join(F.slice("t", 1, 25), " "),
+                F.lit(" uq"), F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+        return duplicated_ngram_spans(d.unionByName(planted), n=20)
+
+    def line_dedup(spark):
+        from kafka_cassandra_plugin_spark.operators.substring import (
+            dedup_lines,
+        )
+
+        d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+        corpus = d.select(
+            "doc_id",
+            F.concat(
+                F.lit("shared header line\n"), F.col("text"),
+                F.lit("\nfooter "), (F.col("doc_id") % 10).cast("string"),
+            ).alias("text"),
+        )
+        return dedup_lines(corpus)
+
     return {"curation_funnel": curation_funnel, "sim_ivf_pq": ivf_pq,
             "decontaminate": decontaminate,
             "shard_export[staging]": shard_export_staging,
@@ -755,7 +800,8 @@ def _depth_ops(sf_dir):
             "decontaminate_ngram13": decontam_ngram,
             "pii_redaction": pii, "sample_per_group": per_group,
             "dedup_semantic": semantic, "chunk_documents": chunk,
-            "bloom_filter_new": bloom_probe, "lm_perplexity": lm_ppl}
+            "bloom_filter_new": bloom_probe, "lm_perplexity": lm_ppl,
+            "dedup_substring": substring_spans, "dedup_lines": line_dedup}
 
 
 if __name__ == "__main__":

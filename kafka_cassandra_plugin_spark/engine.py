@@ -40,6 +40,7 @@ from .operators import pipeline as _pipeline
 from .operators import quantization as _quantization
 from .operators import sampling as _sampling
 from .operators import similarity as _similarity
+from .operators import substring as _substring
 from .operators import text as _text
 from .operators.dedup_index import MinHashIndex
 from .session import ensure_engine_confs, get_spark
@@ -146,8 +147,9 @@ class Engine:
     pack_sequences = staticmethod(_packing.pack_sequences)
     packing_stats = staticmethod(_packing.packing_stats)
 
-    def read_shards(self, path: str, shards=None) -> DataFrame:
-        return _export.read_shards(self.spark, path, shards)
+    def read_shards(self, path: str, shards=None, fmt: str = "parquet",
+                    schema=None) -> DataFrame:
+        return _export.read_shards(self.spark, path, shards, fmt, schema)
 
     # -- round-5 additions (SURVEY §2.5 D12-D16) ------------------------------
     pii_profile = staticmethod(_pii.pii_profile)
@@ -167,8 +169,18 @@ class Engine:
     def load_bloom(self, path: str) -> "_bloom.BloomIndex":
         return _bloom.BloomIndex.load(self.spark, path)
 
-    # -- D19: n-gram LM perplexity quality gate -------------------------------
+    # -- D19: n-gram LM perplexity quality gate (round 6: incremental) --------
     fit_ngram_lm = staticmethod(_lm.NgramLM.fit)
 
-    def load_ngram_lm(self, path: str) -> "_lm.NgramLM":
-        return _lm.NgramLM.load(self.spark, path)
+    def init_ngram_lm(self, path: str, **kwargs) -> "_lm.NgramLM":
+        return _lm.NgramLM.init(self.spark, path, **kwargs)
+
+    def load_ngram_lm(self, path: str,
+                      exclude_batch: int | None = None) -> "_lm.NgramLM":
+        return _lm.NgramLM.load(self.spark, path, exclude_batch)
+
+    # -- D20/D21: sub-document dedup (round 6) --------------------------------
+    duplicated_ngram_spans = staticmethod(_substring.duplicated_ngram_spans)
+    remove_duplicated_spans = staticmethod(_substring.remove_duplicated_spans)
+    dedup_lines = staticmethod(_substring.dedup_lines)
+    duplicated_line_counts = staticmethod(_substring.duplicated_line_counts)

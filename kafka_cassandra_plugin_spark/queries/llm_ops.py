@@ -1294,6 +1294,143 @@ CHUNK_DOCUMENTS_SQL = r"""
 """
 
 
+DEDUP_SUBSTRING_SQL = r"""
+    WITH toks0 AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    corpus AS (
+      SELECT doc_id, t FROM toks0
+      UNION ALL
+      SELECT doc_id + 2000000,
+             list_concat(t[1:25], ['uq' || doc_id])
+      FROM toks0 WHERE doc_id % 5 = 0 AND len(t) >= 25
+    ),
+    starts AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t) - 19)) AS gs
+      FROM corpus WHERE len(t) >= 20
+    ),
+    win AS (
+      SELECT doc_id, gs - 1 AS start,
+             array_to_string(t[gs:gs+19], ' ') AS gram
+      FROM starts
+    ),
+    dup AS (
+      SELECT doc_id, start,
+             count(*) OVER (PARTITION BY gram) AS cnt,
+             row_number() OVER (PARTITION BY gram
+                                ORDER BY doc_id, start) AS rn
+      FROM win
+    ),
+    expand AS (
+      SELECT doc_id, start, unnest(generate_series(0, 19)) AS j
+      FROM dup WHERE cnt >= 2 AND rn > 1
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, start + j AS pos FROM expand
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS grp
+      FROM covered
+    )
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 1 AS span_end
+    FROM isl GROUP BY doc_id, grp
+    ORDER BY doc_id, span_start
+"""
+
+
+def dedup_substring_spans(spark, sf_dir):
+    """The D20 declared-shape query (Lee et al. 2022 exact substring
+    dedup): documents plus planted quoted passages (every 5th doc's
+    25-token prefix re-appears under a fresh id with a unique tail),
+    duplicated spans at n=20 under the raw (oracle-portable) window
+    key - the xxhash64 twin is the bench row."""
+    from ..operators.substring import duplicated_ngram_spans
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    with_t = d.select("doc_id", toks.alias("t"))
+    planted = with_t.filter(
+        (F.col("doc_id") % 5 == 0) & (F.size("t") >= 25)
+    ).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice("t", 1, 25), " "),
+            F.lit(" uq"), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    corpus = d.unionByName(planted)
+    return duplicated_ngram_spans(
+        corpus, n=20, hash_fn="raw"
+    ).orderBy("doc_id", "span_start")
+
+
+DEDUP_LINES_SQL = r"""
+    WITH corpus AS (
+      SELECT doc_id,
+             'shared header line' || chr(10) || text || chr(10)
+             || 'footer ' || (doc_id % 10) AS text
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, chr(10)), 1) - 1
+               AS line_no,
+             unnest(string_split(text, chr(10))) AS line
+      FROM corpus
+    ),
+    content AS (
+      SELECT doc_id, line_no, line,
+             regexp_replace(lower(trim(line)), '[0-9]', '0', 'g') AS key
+      FROM lines WHERE trim(line) <> ''
+    ),
+    dup AS (
+      SELECT doc_id, line_no,
+             count(*) OVER (PARTITION BY key) AS cnt,
+             row_number() OVER (PARTITION BY key
+                                ORDER BY doc_id, line_no) AS rn
+      FROM content
+    ),
+    dropped AS (
+      SELECT doc_id, line_no FROM dup WHERE cnt >= 2 AND rn > 1
+    ),
+    kept AS (
+      SELECT l.doc_id, l.line_no, l.line
+      FROM lines l ANTI JOIN dropped d
+        ON l.doc_id = d.doc_id AND l.line_no = d.line_no
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(list(line ORDER BY line_no), chr(10)),
+                    '') AS text
+    FROM kept GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+def dedup_lines_boilerplate(spark, sf_dir):
+    """The D21 declared-shape query (CCNet line dedup): every document
+    gains a corpus-shared header and a footer shared by its doc_id%10
+    class; duplicated lines drop (canonical copy survives) under the
+    raw (oracle-portable) key - the xxhash64 twin is the bench row."""
+    from ..operators.substring import dedup_lines
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    corpus = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("shared header line\n"), F.col("text"),
+            F.lit("\nfooter "), (F.col("doc_id") % 10).cast("string"),
+        ).alias("text"),
+    )
+    return dedup_lines(corpus, hash_fn="raw").orderBy("doc_id")
+
+
 SEMANTIC_DEDUP_SQL = r"""
     WITH corpus AS (
       SELECT vec_id AS id, embedding AS v FROM embeddings

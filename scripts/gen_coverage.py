@@ -239,6 +239,29 @@ TIER_D = {
             "plan gates, no EvalPython; benched as "
             "extra_queries['lm_perplexity'] sf0.1+sf1+sf10 "
             "(tests/test_lm.py, test_streaming_curate.py)"),
+    "D20": ("exact substring-span dedup (duplicated_ngram_spans/"
+            "remove_duplicated_spans - Lee et al. 2022 repeated-passage "
+            "removal via window-hash counting; canonical copy exempt, "
+            "maximal spans, zero UDFs)",
+            "operators/substring.py",
+            "planted quotes found at exact offsets, canonical exempt; "
+            "overlapping windows merge to one maximal span; removal "
+            "reassembles exactly the uncovered tokens; fully-covered doc "
+            "-> empty string; raw == xxhash64 keys; no-cartesian/"
+            "no-Python plan gates; DuckDB oracle sf0.01 (pytest) + sf1 "
+            "(bench 'dedup_substring'); benched as "
+            "extra_queries['dedup_substring'] "
+            "(tests/test_substring_dedup.py)"),
+    "D21": ("CCNet line-level dedup (dedup_lines/duplicated_line_counts - "
+            "normalized line-hash boilerplate removal, originals "
+            "preserved, zero UDFs)",
+            "operators/substring.py",
+            "duplicated header dropped everywhere but the canonical doc; "
+            "normalization buckets case+digits; empty lines pass "
+            "through; keep_first=False strips all copies; raw == "
+            "xxhash64; DuckDB oracle sf0.01 (pytest) + sf1 (bench "
+            "'dedup_lines'); benched as extra_queries['dedup_lines'] "
+            "(tests/test_substring_dedup.py)"),
 }
 
 
@@ -280,11 +303,13 @@ def main() -> None:
     n_oracle = sum(1 for q in reg.values() if q.sql)
     lines.append(
         f"**Totals**: {n_q} declared queries ({n_oracle} oracle-matched, "
-        f"{n_q - n_oracle} rows-only) + 6 pytest-oracled tier-D queries "
+        f"{n_q - n_oracle} rows-only) + 9 pytest-oracled tier-D queries "
         "(`repetition_signals`, `decontam_ngram13`, `decontam_jaccard`, "
-        "`quality_report`, `pii_redaction`, `sample_per_group` — the "
+        "`quality_report`, `pii_redaction`, `sample_per_group`, "
+        "`dedup_semantic`, `dedup_substring`, `dedup_lines` — the "
         "driver's 50-query verdict window is full, so their DuckDB "
-        "oracles run in pytest through the same harness); inventory rows "
+        "oracles run in pytest through the same harness, and the bench "
+        "re-checks them at sf1); inventory rows "
         f"uncovered: {missing or 'none'}."
     )
     with open(os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md"), "w") as f:
