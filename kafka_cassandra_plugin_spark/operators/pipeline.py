@@ -144,6 +144,12 @@ def curate_annotated(
     Redaction is the alternative posture: run
     :func:`.pii.redact_pii` on the batch BEFORE the funnel to keep the
     documents and strip the identifiers instead of dropping rows.
+    The sub-document dedup transforms take the same pre-funnel
+    posture: :func:`.substring.dedup_lines` (CCNet boilerplate-line
+    removal) and :func:`.substring.remove_duplicated_spans` (repeated-
+    passage removal) REWRITE text rather than reject rows, so they run
+    before the funnel — and should, since boilerplate inflates the
+    near-dup signature of otherwise-distinct documents.
 
     ``benchmarks`` (a (id, text) frame of evaluation documents) adds a
     ``contaminated`` stage between the gates and the dedup stages: any

@@ -1404,12 +1404,18 @@ DEDUP_LINES_SQL = r"""
       SELECT l.doc_id, l.line_no, l.line
       FROM lines l ANTI JOIN dropped d
         ON l.doc_id = d.doc_id AND l.line_no = d.line_no
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             array_to_string(list(line ORDER BY line_no), chr(10)) AS text
+      FROM kept GROUP BY doc_id
     )
-    SELECT doc_id,
-           coalesce(array_to_string(list(line ORDER BY line_no), chr(10)),
-                    '') AS text
-    FROM kept GROUP BY doc_id
-    ORDER BY doc_id
+    -- fully-boilerplate documents keep their row with text='' (the
+    -- engine contract: dedup_lines never drops rows), so rebuild joins
+    -- back to the corpus rather than grouping kept alone
+    SELECT c.doc_id, coalesce(r.text, '') AS text
+    FROM corpus c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id
+    ORDER BY c.doc_id
 """
 
 
