@@ -36,6 +36,7 @@ DEPTH = [
     "repetition_signals", "decontaminate_ngram13",
     "bloom_filter_new", "lm_perplexity",
     "decontaminate", "curation_funnel", "dedup_semantic",
+    "dedup_substring", "dedup_lines",
 ]
 
 
