@@ -380,6 +380,9 @@ def _tier_d_oracle_pairs():
         # D20/D21 (round 6): sub-document dedup under the raw oracle key
         "dedup_substring": (L.dedup_substring_spans, L.DEDUP_SUBSTRING_SQL),
         "dedup_lines": (L.dedup_lines_boilerplate, L.DEDUP_LINES_SQL),
+        # D22/D23 (round 6): retrieval + selection under portable keys
+        "bm25_topk": (L.bm25_search, L.BM25_TOPK_SQL),
+        "dsir_select": (L.dsir_selection, L.DSIR_SELECT_SQL),
     }
 
 
@@ -480,6 +483,10 @@ def _sf1_smoke(spark, sf1_dir: str, registry,
         t0 = time.perf_counter()
         depth["sim_ivf_pq"](spark)  # eager IVF+codebook fit; probe discarded
         times["sim_ivf_pq[index_build]"] = round(time.perf_counter() - t0, 3)
+    if not over_budget():
+        t0 = time.perf_counter()
+        depth["bm25_topk"](spark)  # eager postings build; search discarded
+        times["bm25_topk[index_build]"] = round(time.perf_counter() - t0, 3)
     for name, fn in depth.items():
         if over_budget():
             skipped.append(name)
@@ -791,6 +798,46 @@ def _depth_ops(sf_dir):
         )
         return dedup_lines(corpus)
 
+    # D22/D23 rows (round 6): BM25 top-10 over the corpus for the
+    # doc_id%97 query probe set (fit-once/search-many like the ANN and
+    # LM rows: the one-off index build is excluded, the recurring
+    # search cost is the row); DSIR Gumbel top-200 against the src1
+    # target slice.  Both use the xxhash64 at-scale keys; the portable
+    # oracle twins live in tests/test_retrieval.py / test_selection.py
+    # and the bench sf1 oracle.
+    def bm25(spark):
+        from kafka_cassandra_plugin_spark.operators.retrieval import (
+            Bm25Index,
+        )
+
+        d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+        if "bm25_idx" not in _state:
+            idx = Bm25Index.build(d)
+            idx.postings.persist().count()
+            idx.docfreq.persist().count()
+            idx.stats.persist().count()
+            _state["bm25_idx"] = idx
+        toks = F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            lambda t: t != F.lit(""),
+        )
+        queries = d.filter(F.col("doc_id") % 97 == 3).select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(toks, 1, 6), " ").alias("text"),
+        )
+        return _state["bm25_idx"].topk(queries, k=10)
+
+    def dsir(spark):
+        from kafka_cassandra_plugin_spark.operators.selection import (
+            dsir_select,
+        )
+
+        d = Catalog(spark, sf_dir).documents.select(
+            "doc_id", "text", "lang", "source")
+        return dsir_select(
+            d, d.filter(F.col("source") == "src1"), k=200
+        ).select("doc_id", "lang", "source", "logw", "gumbel_key")
+
     return {"curation_funnel": curation_funnel, "sim_ivf_pq": ivf_pq,
             "decontaminate": decontaminate,
             "shard_export[staging]": shard_export_staging,
@@ -801,7 +848,8 @@ def _depth_ops(sf_dir):
             "pii_redaction": pii, "sample_per_group": per_group,
             "dedup_semantic": semantic, "chunk_documents": chunk,
             "bloom_filter_new": bloom_probe, "lm_perplexity": lm_ppl,
-            "dedup_substring": substring_spans, "dedup_lines": line_dedup}
+            "dedup_substring": substring_spans, "dedup_lines": line_dedup,
+            "bm25_topk": bm25, "dsir_select": dsir}
 
 
 if __name__ == "__main__":

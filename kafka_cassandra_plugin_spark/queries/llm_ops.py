@@ -1529,3 +1529,169 @@ def chunk_docs(spark, sf_dir):
     return chunk_documents(d, max_tokens=40, overlap=8).orderBy(
         "doc_id", "chunk_idx"
     )
+
+
+# --------------------------------------------------------------------------
+# D22: BM25 top-k retrieval
+# --------------------------------------------------------------------------
+
+BM25_TOPK_SQL = r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    exploded AS (
+      SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok
+    ),
+    postings AS (
+      SELECT doc_id, term, count(*) AS tf, first(dl) AS dl
+      FROM exploded GROUP BY doc_id, term
+    ),
+    docfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+    stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM tok),
+    qterms AS (
+      SELECT query_id, term, count(*) AS qtf FROM (
+        SELECT doc_id AS query_id, unnest(t[1:6]) AS term
+        FROM tok WHERE doc_id % 97 = 3
+      ) GROUP BY query_id, term
+    ),
+    idf AS (
+      SELECT d.term,
+             ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) AS idf,
+             s.avgdl
+      FROM docfreq d, stats s
+      WHERE d.term IN (SELECT DISTINCT term FROM qterms)
+    ),
+    contrib AS (
+      SELECT q.query_id, p.doc_id,
+             q.qtf * i.idf * p.tf * 2.2
+               / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / i.avgdl)) AS part
+      FROM postings p
+      JOIN qterms q ON p.term = q.term
+      JOIN idf i ON p.term = i.term
+    ),
+    scored AS (
+      SELECT query_id, doc_id, sum(part) AS score
+      FROM contrib GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(score, 6) DESC, doc_id)
+               AS rank
+      FROM scored
+    )
+    SELECT query_id, doc_id, round(score, 4) AS score, rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+"""
+
+
+def bm25_search(spark, sf_dir):
+    """The D22 declared-shape query: every ``doc_id % 97 == 3`` document
+    contributes a query (its first 6 tokens), scored BM25 (k1=1.2,
+    b=0.75, Lucene idf) against the full corpus, top-10 per query under
+    the raw (oracle-portable) term key - the xxhash64 twin is the bench
+    row.  Rank ties break on (round(score,6) DESC, doc_id) in both
+    engines; the reported score pre-rounds to 4 (float-repr protocol)."""
+    from ..operators.retrieval import bm25_topk
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    queries = d.filter(F.col("doc_id") % 97 == 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 6), " ").alias("text"),
+    )
+    out = bm25_topk(d, queries, k=10, hash_fn="raw")
+    return out.select(
+        "query_id", "doc_id", F.round("score", 4).alias("score"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# D23: DSIR importance-resampled selection
+# --------------------------------------------------------------------------
+
+DSIR_SELECT_SQL = r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source, unnest(t) AS gram FROM tok
+      UNION ALL
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS gram
+      FROM tok
+    ),
+    occ AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(gram), 1, 13))::BIGINT % 10000 AS bucket
+      FROM grams
+    ),
+    tdist AS (
+      SELECT bucket, count(*) AS cnt FROM occ WHERE source = 'src1'
+      GROUP BY bucket
+    ),
+    rdist AS (SELECT bucket, count(*) AS cnt FROM occ GROUP BY bucket),
+    tot AS (
+      SELECT (SELECT coalesce(sum(cnt), 0) FROM tdist) AS ttot,
+             (SELECT coalesce(sum(cnt), 0) FROM rdist) AS rtot
+    ),
+    ratio AS (
+      SELECT r.bucket,
+             ln((coalesce(t.cnt, 0) + 1.0) / (x.ttot + 10000.0))
+               - ln((r.cnt + 1.0) / (x.rtot + 10000.0)) AS logr
+      FROM rdist r LEFT JOIN tdist t ON r.bucket = t.bucket, tot x
+    ),
+    weighted AS (
+      SELECT o.doc_id, sum(ra.logr) AS logw
+      FROM occ o JOIN ratio ra ON o.bucket = ra.bucket
+      GROUP BY o.doc_id
+    ),
+    keyed AS (
+      SELECT d.doc_id, d.lang, d.source,
+             coalesce(w.logw, 0.0) AS logw,
+             coalesce(w.logw, 0.0)
+               - ln(-ln((('0x' || substr(md5(d.doc_id::VARCHAR || ':42'),
+                                         1, 13))::BIGINT + 1.0)
+                        / (4503599627370496.0 + 2.0))) AS gumbel_key
+      FROM documents d LEFT JOIN weighted w ON d.doc_id = w.doc_id
+    )
+    SELECT doc_id, lang, source,
+           round(logw, 4) AS logw, round(gumbel_key, 4) AS gumbel_key
+    FROM keyed
+    ORDER BY keyed.gumbel_key DESC, doc_id
+    LIMIT 200
+"""
+
+
+def dsir_selection(spark, sf_dir):
+    """The D23 declared-shape query (DSIR, arXiv:2302.03169): target =
+    the ``source = 'src1'`` slice, raw = the whole documents table,
+    hashed unigram+bigram buckets (B=10,000, portable md5 hash - the
+    xxhash64 twin is the bench row), add-1 smoothing, deterministic
+    seed-42 Gumbel top-200 without replacement.  The raw-distribution
+    fit INCLUDES the target slice (the paper's setting: target text is
+    drawn from the raw pool's distribution support).  Floats pre-round
+    to 4 (protocol); the Gumbel key is exposed so the draw itself is
+    oracle-audited, not just the weights."""
+    from ..operators.selection import dsir_select
+
+    d = Catalog(spark, sf_dir).documents.select(
+        "doc_id", "text", "lang", "source")
+    target = d.filter(F.col("source") == "src1")
+    sel = dsir_select(d, target, k=200, hash_fn="md5")
+    return sel.select(
+        "doc_id", "lang", "source",
+        F.round("logw", 4).alias("logw"),
+        F.round("gumbel_key", 4).alias("gumbel_key"),
+    )
