@@ -383,6 +383,9 @@ def _tier_d_oracle_pairs():
         # D22/D23 (round 6): retrieval + selection under portable keys
         "bm25_topk": (L.bm25_search, L.BM25_TOPK_SQL),
         "dsir_select": (L.dsir_selection, L.DSIR_SELECT_SQL),
+        # D24: oracle-pair factory (fitted coefficients register as
+        # DuckDB literal tables before the SQL runs, like dedup_semantic)
+        "quality_classifier": L.quality_classifier_oracle,
     }
 
 
@@ -838,6 +841,24 @@ def _depth_ops(sf_dir):
             d, d.filter(F.col("source") == "src1"), k=200
         ).select("doc_id", "lang", "source", "logw", "gumbel_key")
 
+    # D24 row (round 6): hashed-ngram quality classifier - the MLlib
+    # LR fit is one-off (cached like the ANN/LM fits), the row is the
+    # recurring production term: score every document through the
+    # broadcast weight table.
+    def quality_clf(spark):
+        from kafka_cassandra_plugin_spark.operators.classifier import (
+            QualityClassifier,
+        )
+
+        d = Catalog(spark, sf_dir).documents.select("doc_id", "text", "lang")
+        if "qclf" not in _state:
+            _state["qclf"] = QualityClassifier.fit(
+                d.filter(F.col("lang") == "en"),
+                d.filter(F.col("lang") != "en"),
+                buckets=4096,
+            )
+        return _state["qclf"].score(d.select("doc_id", "text"))
+
     return {"curation_funnel": curation_funnel, "sim_ivf_pq": ivf_pq,
             "decontaminate": decontaminate,
             "shard_export[staging]": shard_export_staging,
@@ -849,7 +870,8 @@ def _depth_ops(sf_dir):
             "dedup_semantic": semantic, "chunk_documents": chunk,
             "bloom_filter_new": bloom_probe, "lm_perplexity": lm_ppl,
             "dedup_substring": substring_spans, "dedup_lines": line_dedup,
-            "bm25_topk": bm25, "dsir_select": dsir}
+            "bm25_topk": bm25, "dsir_select": dsir,
+            "quality_classifier": quality_clf}
 
 
 if __name__ == "__main__":

@@ -1695,3 +1695,76 @@ def dsir_selection(spark, sf_dir):
         F.round("logw", 4).alias("logw"),
         F.round("gumbel_key", 4).alias("gumbel_key"),
     )
+
+
+# --------------------------------------------------------------------------
+# D24: hashed-ngram quality classifier
+# --------------------------------------------------------------------------
+
+QUALITY_CLASSIFIER_SQL = r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(t) AS gram FROM tok
+      UNION ALL
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS gram
+      FROM tok
+    ),
+    occ AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(gram), 1, 13))::BIGINT % 4096 AS bucket
+      FROM grams
+    ),
+    feats AS (
+      SELECT doc_id, bucket, ln(1.0 + count(*)) AS x
+      FROM occ GROUP BY doc_id, bucket
+    ),
+    margin AS (
+      SELECT f.doc_id, sum(f.x * w.weight) AS dot
+      FROM feats f JOIN clf_weights w ON f.bucket = w.bucket
+      GROUP BY f.doc_id
+    )
+    SELECT d.doc_id,
+           round(1.0 / (1.0 + exp(-(coalesce(m.dot, 0.0)
+                 + (SELECT intercept FROM clf_meta)))), 4)
+             AS quality_score
+    FROM documents d LEFT JOIN margin m ON d.doc_id = m.doc_id
+    ORDER BY d.doc_id
+"""
+
+
+def quality_classifier_oracle(spark, sf_dir, con):
+    """The D24 oracle pair: returns ``(spark_df, sql)`` after
+    registering the FITTED model as DuckDB tables (``clf_weights`` +
+    ``clf_meta``) - the IVF split of responsibility: the MLlib
+    LogisticRegression fit is property-gated (not SQL-expressible),
+    but everything downstream of the coefficients IS, so DuckDB
+    re-derives the hashed features, the broadcast-weight dot product,
+    and the sigmoid from the raw documents.  A featurization bug, a
+    join bug, or a sigmoid drift all hash-mismatch.  Fit: positive =
+    ``lang = 'en'`` documents, negative = the rest (the label split is
+    arbitrary for the oracle - score PORTABILITY is what's verified)."""
+    from ..operators.classifier import QualityClassifier
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "text", "lang")
+    clf = QualityClassifier.fit(
+        d.filter(F.col("lang") == "en"),
+        d.filter(F.col("lang") != "en"),
+        buckets=4096, hash_fn="md5",
+    )
+    con.register("clf_weights", clf.weights.toPandas())
+    import pandas as pd
+
+    con.register("clf_meta", pd.DataFrame({"intercept": [clf.intercept]}))
+    df = (
+        clf.score(d.select("doc_id", "text"))
+        .select("doc_id", F.round("quality_score", 4).alias("quality_score"))
+        .orderBy("doc_id")
+    )
+    return df, QUALITY_CLASSIFIER_SQL

@@ -37,7 +37,7 @@ DEPTH = [
     "bloom_filter_new", "lm_perplexity",
     "decontaminate", "curation_funnel", "dedup_semantic",
     "dedup_substring", "dedup_lines",
-    "bm25_topk", "dsir_select",
+    "bm25_topk", "dsir_select", "quality_classifier",
 ]
 
 
