@@ -33,6 +33,10 @@ reject reasons are disjoint and the funnel partitions the input):
     [``min_ppl``, ``max_ppl``] or too short to score (opt-in via
     ``lm=`` + ``max_ppl=``; the CCNet middle-band quality gate -
     broadcast model-table joins over the batch's grams, see :mod:`.lm`)
+2b'''. ``clf_low_quality`` - fitted quality-classifier probability
+    below ``min_clf_score`` (opt-in via ``clf=`` + ``min_clf_score=``;
+    the GPT-3-style learned reference-vs-crawl gate - one broadcast
+    weight join over the batch's hashed ngrams, see :mod:`.classifier`)
 2c. ``contaminated``  - shares an exact token 13-gram with a benchmark
     document (opt-in via ``benchmarks=``; broadcast gram join - the
     "never train on eval data" gate, enforced at ingest)
@@ -121,6 +125,8 @@ def curate_annotated(
     lm=None,
     max_ppl: float | None = None,
     min_ppl: float = 0.0,
+    clf=None,
+    min_clf_score: float | None = None,
     seen=None,
     split_fractions: dict[str, float] | None = None,
     split_salt: str = "",
@@ -172,6 +178,16 @@ def curate_annotated(
     ``min_ppl > 0`` raises ValueError - an unconstrained band would
     silently gate nothing.
 
+    ``clf`` + ``min_clf_score`` (opt-in; a fitted
+    :class:`.classifier.QualityClassifier`) adds a ``clf_low_quality``
+    stage after the LM band: rows whose classifier probability of the
+    reference class falls below ``min_clf_score`` are rejected — the
+    learned counterpart of the stage-1 heuristic gate (GPT-3 §A /
+    LLaMA quality filtering).  Cost shape: one hashed-ngram explode of
+    the BATCH joined against the broadcast (bucket, weight) table;
+    reject set batch-bounded.  Passing ``clf`` without
+    ``min_clf_score`` raises ValueError (same contract as ``lm``).
+
     ``seen`` (opt-in; a :class:`.bloom.BloomIndex` built with
     :meth:`.bloom.BloomIndex.build_over_content` over previously
     ACCEPTED documents) adds a ``seen_before`` stage before intra-batch
@@ -194,6 +210,13 @@ def curate_annotated(
             "max_ppl and/or min_ppl > 0. With neither, the "
             "ppl_out_of_band stage would be a silent no-op - a fitted "
             "LM was supplied, so the caller clearly expects gating."
+        )
+    if clf is not None and min_clf_score is None:
+        raise ValueError(
+            "curate_annotated(clf=...) needs min_clf_score: without a "
+            "threshold the clf_low_quality stage would be a silent "
+            "no-op - a fitted classifier was supplied, so the caller "
+            "clearly expects gating."
         )
     mh_params = (
         {k: index.params[k] for k in ("n", "num_hashes", "bands", "hash_fn")}
@@ -228,6 +251,19 @@ def curate_annotated(
         join_rejects.append(bad.select(
             F.col(id_col).alias("__rid"),
             F.lit("ppl_out_of_band").alias("__reason"),
+        ))
+        gated = gated.join(F.broadcast(bad), id_col, "left_anti")
+
+    # stage 2b''': learned quality gate (broadcast weight join; reject
+    # set batch-bounded)
+    if clf is not None:
+        scored = clf.score(gated.select(id_col, text_col), text_col, id_col)
+        bad = scored.filter(
+            F.col("quality_score") < min_clf_score
+        ).select(id_col)
+        join_rejects.append(bad.select(
+            F.col(id_col).alias("__rid"),
+            F.lit("clf_low_quality").alias("__reason"),
         ))
         gated = gated.join(F.broadcast(bad), id_col, "left_anti")
 

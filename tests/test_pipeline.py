@@ -395,3 +395,52 @@ class TestPerplexityStage:
         plain = PL.curate_annotated(batch)
         reasons = {r.stage for r in PL.curation_funnel(plain).collect()}
         assert "ppl_out_of_band" not in reasons
+
+
+class TestClassifierStage:
+    """Opt-in learned quality gate (2b''', clf= + min_clf_score=)."""
+
+    @pytest.fixture(scope="class")
+    def clf_setup(self, spark, docs):
+        from kafka_cassandra_plugin_spark.operators.classifier import (
+            QualityClassifier,
+        )
+
+        pos = docs.filter(F.col("doc_id") % 2 == 0)
+        neg = spark.createDataFrame(
+            [(8_000_000 + i, "spamword buynow clickbait prize winner blob")
+             for i in range(30)],
+            "doc_id long, text string",
+        )
+        clf = QualityClassifier.fit(pos, neg, buckets=1024)
+        spam = spark.createDataFrame(
+            [(9_700_000, "spamword buynow clickbait prize winner blob")],
+            "doc_id long, text string",
+        )
+        batch = docs.filter(F.col("doc_id") % 2 == 1).unionByName(spam)
+        return clf, batch
+
+    def test_gate_rejects_crawl_like_keeps_reference_like(self, clf_setup):
+        clf, batch = clf_setup
+        ann = PL.curate_annotated(batch, clf=clf, min_clf_score=0.5,
+                                  min_quality=0.0)
+        got = {r.doc_id: r.reject_reason for r in ann.collect()}
+        assert got[9_700_000] == "clf_low_quality"
+        # reference-like rows overwhelmingly survive the learned gate
+        rejected = sum(1 for v in got.values() if v == "clf_low_quality")
+        assert rejected < len(got) * 0.2
+
+    def test_clf_without_threshold_raises(self, clf_setup):
+        clf, batch = clf_setup
+        with pytest.raises(ValueError, match="min_clf_score"):
+            PL.curate_annotated(batch, clf=clf)
+
+    def test_partition_property_and_off_by_default(self, clf_setup):
+        clf, batch = clf_setup
+        ann = PL.curate_annotated(batch, clf=clf, min_clf_score=0.5,
+                                  min_quality=0.0)
+        counts = {r.stage: r.rows for r in PL.curation_funnel(ann).collect()}
+        assert sum(counts.values()) == batch.count()
+        plain = PL.curate_annotated(batch)
+        reasons = {r.stage for r in PL.curation_funnel(plain).collect()}
+        assert "clf_low_quality" not in reasons
