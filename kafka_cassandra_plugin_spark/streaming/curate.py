@@ -100,6 +100,14 @@ class CurationSink:
     ``batch=-1`` history partition BEFORE the next batch runs, which
     is the ordering that keeps the replay-exclusion argument intact.
 
+    ``clf_path``: a saved :class:`..operators.classifier.QualityClassifier`
+    directory; the sink loads it ONCE and runs the funnel's
+    ``clf_low_quality`` stage every micro-batch (pass ``min_clf_score``
+    through ``curate_kwargs`` - the funnel raises without it).  The
+    model is static (fit-once), so unlike ``lm_path`` there is no
+    accumulation; callers that already hold a fitted object can pass
+    ``clf=`` directly instead.
+
     ``lm_path``: maintain an incremental :class:`..operators.lm.NgramLM`
     (geometry ``lm_n``/``lm_k``/``lm_digit_bucket``, pinned at init)
     and run each micro-batch through the funnel's ``ppl_out_of_band``
@@ -143,11 +151,17 @@ class CurationSink:
                  lm_accumulate: bool = True,
                  lm_n: int = 3, lm_k: float = 0.1,
                  lm_digit_bucket: bool = False,
+                 clf_path: str | None = None,
                  **curate_kwargs):
         if lm_path is not None and "lm" in curate_kwargs:
             raise ValueError(
                 "pass either lm_path (sink-maintained incremental model) "
                 "or lm= (caller-owned fitted model), not both"
+            )
+        if clf_path is not None and "clf" in curate_kwargs:
+            raise ValueError(
+                "pass either clf_path (saved QualityClassifier, loaded "
+                "once) or clf= (caller-owned fitted model), not both"
             )
         self.index_path = index_path
         self.out_path = out_path
@@ -165,7 +179,9 @@ class CurationSink:
         self.lm_n = lm_n
         self.lm_k = lm_k
         self.lm_digit_bucket = lm_digit_bucket
+        self.clf_path = clf_path
         self.curate_kwargs = curate_kwargs
+        self._clf = None
         self.funnel_by_batch: dict[int, dict[str, int]] = {}
         self._adds = 0
         self._bench: DataFrame | None = None
@@ -245,12 +261,23 @@ class CurationSink:
             # warms up.
             lm = NgramLM.load(spark, self.lm_path, exclude_batch=batch_id)
             lm_kwargs["lm"] = lm
+        clf_kwargs = {}
+        if self.clf_path is not None:
+            if self._clf is None:
+                # static model like the benchmark set: load once, reuse
+                # for the sink's lifetime (the classifier is fit-once;
+                # unlike the LM there is nothing to accumulate)
+                from ..operators.classifier import QualityClassifier
+
+                self._clf = QualityClassifier.load(spark, self.clf_path)
+            clf_kwargs["clf"] = self._clf
         annotated = curate_annotated(
             batch_df, index=index,
             text_col=self.text_col, id_col=self.id_col,
             benchmarks=self._bench,
             seen=bloom,
             **lm_kwargs,
+            **clf_kwargs,
             **self.curate_kwargs,
         ).localCheckpoint()
         accepted = annotated.filter(F.col("reject_reason").isNull()).drop(

@@ -564,3 +564,45 @@ class TestSeenBloomMaintenance:
             for r in compacted.might_contain(keyed, BloomIndex.CONTENT_KEY).collect()
         )
         assert before == after
+
+
+class TestClassifierGate:
+    """clf_path=: the sink loads a saved QualityClassifier once and
+    runs the learned quality gate every micro-batch."""
+
+    def test_crawl_like_rows_rejected_at_ingest(self, spark, corpus, docs,
+                                                tmp_path):
+        from kafka_cassandra_plugin_spark.operators.classifier import (
+            QualityClassifier,
+        )
+
+        neg = spark.createDataFrame(
+            [(8_100_000 + i, "spamword buynow clickbait prize winner blob")
+             for i in range(30)],
+            "doc_id long, text string",
+        )
+        clf = QualityClassifier.fit(corpus, neg, buckets=1024)
+        clf_path = str(tmp_path / "clf")
+        clf.save(clf_path)
+
+        sink = fresh_sink(spark, corpus, tmp_path, clf_path=clf_path,
+                          min_clf_score=0.5, min_quality=0.0)
+        b1, _ = make_batches(docs)
+        spam = spark.createDataFrame(
+            [(9_800_000, "spamword buynow clickbait prize winner blob")],
+            "doc_id long, text string",
+        )
+        sink(b1.unionByName(spam), 0)
+        got = {r.doc_id for r in
+               accepted_dataset(spark, sink.out_path).collect()}
+        assert 9_800_000 not in got
+        assert sink.funnel_totals.get("clf_low_quality", 0) >= 1
+        # the model loaded once and is reused across batches
+        first = sink._clf
+        sink(spam.select((F.col("doc_id") + 1).alias("doc_id"), "text"), 1)
+        assert sink._clf is first
+
+    def test_clf_path_and_clf_kwarg_conflict(self, spark, corpus, tmp_path):
+        with pytest.raises(ValueError, match="clf_path"):
+            fresh_sink(spark, corpus, tmp_path, clf_path="/x", clf=object(),
+                       min_clf_score=0.5)
