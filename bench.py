@@ -386,11 +386,16 @@ def _tier_d_oracle_pairs():
         # D24: oracle-pair factory (fitted coefficients register as
         # DuckDB literal tables before the SQL runs, like dedup_semantic)
         "quality_classifier": L.quality_classifier_oracle,
+        # D19 (round 6): the fitted trigram count tables export the same
+        # way (27k gram rows at sf1 - the rotate corpus bounds vocab)
+        "lm_perplexity": L.lm_perplexity_oracle,
     }
 
 
 def _sf1_oracle(spark, sf1_dir: str, registry,
-                budget_s: float = 900.0) -> dict:
+                budget_s: float = 1100.0) -> dict:
+    # budget raised 900 -> 1100 with the round-6 D22-D24 entries
+    # (bm25 ~45 s, quality_classifier ~41 s, dsir ~6 s measured)
     from kafka_cassandra_plugin_spark import oracle
 
     budget_s = float(os.environ.get("SPARK_GRAFT_SF1_ORACLE_BUDGET", budget_s))

@@ -1768,3 +1768,83 @@ def quality_classifier_oracle(spark, sf_dir, con):
         .orderBy("doc_id")
     )
     return df, QUALITY_CLASSIFIER_SQL
+
+
+# --------------------------------------------------------------------------
+# D19 oracle: add-k trigram perplexity re-derived from the exported model
+# --------------------------------------------------------------------------
+
+LM_PERPLEXITY_SQL = r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> x <> ''),
+               t -> lower(t)) AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(t) - 1),
+               i -> struct_pack(ctx := t[i] || ' ' || t[i+1],
+                                tok := t[i+2]))) AS gr
+      FROM tok WHERE len(t) >= 3
+    ),
+    scored AS (
+      SELECT x.doc_id,
+             ln((coalesce(lg.cnt, 0) + m.k)
+                / (coalesce(lc.total, 0) + m.k * m.vocab_size)) AS logp
+      FROM (SELECT doc_id, gr.ctx AS ctx, gr.tok AS tok FROM g) x
+      LEFT JOIN lm_grams lg ON x.ctx = lg.ctx AND x.tok = lg.tok
+      LEFT JOIN lm_contexts lc ON x.ctx = lc.ctx
+      CROSS JOIN lm_meta m
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_grams, avg(logp) AS avg_logp
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_grams, 0) AS n_grams,
+           round(p.avg_logp, 4) AS avg_logp,
+           round(exp(-p.avg_logp), 4) AS ppl
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    ORDER BY d.doc_id
+"""
+
+
+def lm_perplexity_oracle(spark, sf_dir, con):
+    """The D19 oracle pair: returns ``(spark_df, sql)`` after
+    registering the FITTED trigram model as DuckDB tables
+    (``lm_grams``, ``lm_contexts``, ``lm_meta``) — closing the one
+    depth-tier op whose correctness rested on hand-computed pytest
+    cases alone.  Same split as the classifier/semantic factories: the
+    model is literally two count tables + (n, k, V), so DuckDB
+    re-derives tokenization, trigram assembly, the add-k probability
+    (absent pairs -> the smoothed floor through the same LEFT-join
+    nulls), and exp(-avg log P) from the raw documents.  A
+    tokenization drift, a join bug, a smoothing-constant error, or a
+    short-doc edge (NULL ppl, never an invented number) all
+    hash-mismatch.  Fit: the doc_id % 3 != 0 slice (the bench row's
+    reference corpus), n=3, k=0.1, no digit bucketing."""
+    import pandas as pd
+
+    from ..operators.lm import NgramLM
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    lm = NgramLM.fit(d.filter(F.col("doc_id") % 3 != 0), n=3, k=0.1)
+    con.register("lm_grams", lm.grams.toPandas())
+    con.register("lm_contexts", lm.contexts.toPandas())
+    con.register("lm_meta", pd.DataFrame(
+        {"k": [float(lm.k)], "vocab_size": [float(lm.vocab_size)]}))
+    df = (
+        lm.perplexity(d)
+        .select(
+            "doc_id", "n_grams",
+            F.round("avg_logp", 4).alias("avg_logp"),
+            F.round("ppl", 4).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
+    return df, LM_PERPLEXITY_SQL

@@ -337,3 +337,21 @@ class TestNgramExtraction:
     def test_window_count(self, spark):
         df = spark.createDataFrame([(1, "a b c d e")], "doc_id int, text string")
         assert _doc_ngrams(df, "text", 3).count() == 3
+
+
+class TestOracle:
+    """D19's DuckDB oracle (round 6): the fitted count tables export as
+    literal tables and DuckDB re-derives every document's add-k trigram
+    perplexity from the raw text — the last depth-tier op whose
+    correctness rested on hand-computed cases alone."""
+
+    def test_lm_perplexity_oracle_sf001(self, spark, duck, oracle_sf_dir):
+        from kafka_cassandra_plugin_spark import oracle
+        from kafka_cassandra_plugin_spark.queries.llm_ops import (
+            lm_perplexity_oracle,
+        )
+
+        df, sql = lm_perplexity_oracle(spark, oracle_sf_dir, duck)
+        n = oracle.compare(df, duck, sql, "lm_perplexity")
+        n_docs = duck.execute("SELECT count(*) FROM documents").fetchone()[0]
+        assert n == n_docs  # every document scored (NULL ppl for short)
