@@ -37,8 +37,11 @@ from .operators import membership as _membership
 from .operators import packing as _packing
 from .operators import pii as _pii
 from .operators import pipeline as _pipeline
+from .operators import classifier as _classifier
 from .operators import quantization as _quantization
+from .operators import retrieval as _retrieval
 from .operators import sampling as _sampling
+from .operators import selection as _selection
 from .operators import similarity as _similarity
 from .operators import substring as _substring
 from .operators import text as _text
@@ -184,3 +187,23 @@ class Engine:
     remove_duplicated_spans = staticmethod(_substring.remove_duplicated_spans)
     dedup_lines = staticmethod(_substring.dedup_lines)
     duplicated_line_counts = staticmethod(_substring.duplicated_line_counts)
+
+    # -- D22: BM25 full-text retrieval (round 6) ------------------------------
+    bm25_topk = staticmethod(_retrieval.bm25_topk)
+    build_bm25 = staticmethod(_retrieval.Bm25Index.build)
+
+    def load_bm25(self, path: str) -> "_retrieval.Bm25Index":
+        return _retrieval.Bm25Index.load(self.spark, path)
+
+    # -- D23: DSIR importance-resampled selection (round 6) -------------------
+    dsir_select = staticmethod(_selection.dsir_select)
+    dsir_select_threshold = staticmethod(_selection.dsir_select_threshold)
+    dsir_logweights = staticmethod(_selection.dsir_logweights)
+    bucket_distribution = staticmethod(_selection.bucket_distribution)
+
+    # -- D24: hashed-ngram quality classifier (round 6) -----------------------
+    fit_quality_classifier = staticmethod(_classifier.QualityClassifier.fit)
+
+    def load_quality_classifier(
+            self, path: str) -> "_classifier.QualityClassifier":
+        return _classifier.QualityClassifier.load(self.spark, path)

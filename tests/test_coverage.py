@@ -64,6 +64,28 @@ class TestEngineFacade:
                                    index=loaded)
         assert {"reject_reason", "split"} <= set(out.columns)
 
+    def test_round6_depth_ops_binding(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        eng = Engine(spark, sf_dir)
+        docs = eng.table("documents").select("doc_id", "text")
+        # D22: build/save/load/search through the facade
+        eng.build_bm25(docs).save(str(tmp_path / "bm25"))
+        idx = eng.load_bm25(str(tmp_path / "bm25"))
+        q = spark.createDataFrame([(1, "the")], "query_id long, text string")
+        assert idx.topk(q, k=3).count() <= 3
+        # D23: end-to-end selection
+        sel = eng.dsir_select(docs, docs.filter(F.col("doc_id") % 7 == 0),
+                              k=5, buckets=256)
+        assert sel.count() == 5
+        # D24: fit/save/load/score through the facade
+        clf = eng.fit_quality_classifier(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1), buckets=256)
+        clf.save(str(tmp_path / "clf"))
+        scored = eng.load_quality_classifier(str(tmp_path / "clf")).score(docs)
+        assert "quality_score" in scored.columns
+
 
 class TestSaltedJoin:
     def test_equals_plain_join(self, spark, sf_dir):
