@@ -22,8 +22,8 @@ DataFrame arithmetic and DuckDB-oracle-verifiable: the model IS a
 with x the log1p'd occurrence count — one explode -> groupBy(doc,
 bucket) -> BROADCAST join against the <= B-row weight table -> one
 per-doc sum.  Zero Python UDFs anywhere; even the fit features are
-assembled JVM-side (counts -> map_from_entries -> dense array ->
-``array_to_vector``).
+assembled JVM-side (counts -> sorted gaps-run flatten -> dense array
+-> ``array_to_vector``).
 
 Features reuse :func:`.selection.hashed_ngram_buckets` — the SAME
 hashed unigram+bigram featurization DSIR uses, so a pipeline computes
@@ -109,19 +109,25 @@ class QualityClassifier:
         from pyspark.ml.classification import LogisticRegression
         from pyspark.ml.functions import array_to_vector
 
-        def capped(docs: DataFrame, label: float) -> DataFrame:
+        def capped(docs: DataFrame, label: float, tag: str) -> DataFrame:
             n = docs.count()
             if n > fit_cap:
                 docs = docs.sample(fraction=fit_cap / n, seed=seed)
+            # internal fit key prefixed per side: pos and neg corpora
+            # routinely carry their OWN sequential doc_ids, and a raw
+            # id_col key would merge the two sides' features for every
+            # colliding id while keeping both labels — silent garbage
             return docs.select(
-                F.col(id_col),
+                F.concat(F.lit(tag), F.col(id_col).cast("string"))
+                .alias("__fit_id"),
                 F.col(text_col),
                 F.lit(label).alias("label"),
             )
 
-        labeled = capped(pos_docs, 1.0).unionByName(capped(neg_docs, 0.0))
-        feats = _doc_features(labeled, text_col, id_col, buckets, ng_max,
-                              hash_fn)
+        labeled = capped(pos_docs, 1.0, "p:").unionByName(
+            capped(neg_docs, 0.0, "n:"))
+        feats = _doc_features(labeled, text_col, "__fit_id", buckets,
+                              ng_max, hash_fn)
         # dense assembly by SORTED gap runs: for entries
         # [(b1,x1),(b2,x2),...] emit zeros(b1) ++ [x1] ++
         # zeros(b2-b1-1) ++ [x2] ++ ... ++ trailing zeros — O(B) per
@@ -129,11 +135,11 @@ class QualityClassifier:
         # i -> coalesce(m[i], 0))` is O(B x nnz): Catalyst map lookup
         # is a linear scan — measured 238 s vs ~2 s at sf0.1.)
         assembled = (
-            feats.groupBy(id_col)
+            feats.groupBy("__fit_id")
             .agg(F.array_sort(
                 F.collect_list(F.struct("bucket", "x"))).alias("e"))
             .select(
-                id_col,
+                "__fit_id",
                 array_to_vector(
                     F.concat(
                         F.flatten(F.transform(
@@ -167,8 +173,8 @@ class QualityClassifier:
         # (fit_cap x 32 KB real width; observed driver OOM at sf1) —
         # so the join is pinned to sort-merge.
         train = (
-            labeled.select(id_col, "label")
-            .join(assembled.hint("merge"), id_col, "left")
+            labeled.select("__fit_id", "label")
+            .join(assembled.hint("merge"), "__fit_id", "left")
             .withColumn(
                 "features",
                 F.coalesce(
@@ -196,20 +202,23 @@ class QualityClassifier:
     # -- persist -----------------------------------------------------------
 
     def save(self, path: str) -> None:
-        self.weights.withColumn(
-            "intercept", F.lit(self.intercept)
-        ).withColumn("buckets", F.lit(self.buckets)).withColumn(
-            "ng_max", F.lit(self.ng_max)
-        ).withColumn("hash_fn", F.lit(self.hash_fn)).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(path, "weights"))
+        """Meta lives in its OWN 1-row parquet: denormalizing it onto
+        weight rows would make an intercept-only model (every
+        coefficient regularized/converged to exactly 0 — weights frame
+        empty) unloadable."""
+        self.weights.write.mode("overwrite").parquet(
+            os.path.join(path, "weights"))
+        spark = self.weights.sparkSession
+        spark.createDataFrame(
+            [(self.intercept, self.buckets, self.ng_max, self.hash_fn)],
+            "intercept double, buckets int, ng_max int, hash_fn string",
+        ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "QualityClassifier":
-        w = spark.read.parquet(os.path.join(path, "weights"))
-        meta = w.select("intercept", "buckets", "ng_max", "hash_fn").first()
-        return cls(w.select("bucket", "weight"), meta.intercept,
-                   meta.buckets, meta.ng_max, meta.hash_fn)
+        meta = spark.read.parquet(os.path.join(path, "meta")).first()
+        return cls(spark.read.parquet(os.path.join(path, "weights")),
+                   meta.intercept, meta.buckets, meta.ng_max, meta.hash_fn)
 
     # -- score -------------------------------------------------------------
 

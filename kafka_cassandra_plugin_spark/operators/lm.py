@@ -72,7 +72,7 @@ from .text import tokens
 DEFAULT_MAX_BROADCAST_ROWS = 2_000_000
 
 
-def _norm_tokens(df: DataFrame, text_col: str, digit_bucket: bool):
+def _norm_tokens(text_col: str, digit_bucket: bool):
     """The normalized token array column: whitespace tokens
     (:func:`.text.tokens`), lowercased; with ``digit_bucket`` every
     ASCII digit collapses to ``0`` (CCNet numeral normalization)."""
@@ -89,7 +89,7 @@ def _doc_ngrams(df: DataFrame, text_col: str, n: int,
     """One row per document n-gram: ``ctx`` (the n-1 preceding tokens,
     space-joined; empty string for unigram models) and ``tok``.
     Documents shorter than ``n`` tokens contribute no rows."""
-    out = df.withColumn("__toks", _norm_tokens(df, text_col, digit_bucket))
+    out = df.withColumn("__toks", _norm_tokens(text_col, digit_bucket))
     # slide a window of n over the token array: positions 1..len-n+1.
     # Spark's sequence(1, 0) is DESCENDING ([1, 0]), so sub-n-token
     # docs must short-circuit to an empty array, not an empty sequence.
@@ -112,7 +112,7 @@ def _doc_tokens(df: DataFrame, text_col: str,
                 digit_bucket: bool = False) -> DataFrame:
     """One row per token (normalized) - the stream V is counted over."""
     return df.select(
-        F.explode(_norm_tokens(df, text_col, digit_bucket)).alias("tok")
+        F.explode(_norm_tokens(text_col, digit_bucket)).alias("tok")
     )
 
 
@@ -283,14 +283,20 @@ class NgramLM:
     # -- streaming maintenance ----------------------------------------------
 
     def append_batch(self, corpus_batch: DataFrame, batch_id: int,
-                     text_col: str = "text") -> "NgramLM":
+                     text_col: str = "text",
+                     reload: bool = True) -> "NgramLM | None":
         """Fold reference batch ``batch_id`` into a DISK-BACKED model
         by OVERWRITING that batch's three count partitions - O(batch)
         work (counts are distributive: no history is re-read), and
         exactly-once under replay: a replayed batch rewrites its own
         partitions instead of double-counting.  ``batch_id`` must be
         non-negative (negative ids are reserved for compacted
-        history)."""
+        history).
+
+        ``reload=False`` makes the append WRITE-ONLY (returns None):
+        the default reload is two eager model-wide count jobs (V +
+        gram rows), which a streaming sink that discards the return
+        value would otherwise pay every micro-batch."""
         if self.path is None:
             raise ValueError(
                 "append_batch requires a saved model (use save()/init())"
@@ -305,6 +311,8 @@ class NgramLM:
             self._tdir("contexts", batch_id)
         )
         vocab.write.mode("overwrite").parquet(self._tdir("vocab", batch_id))
+        if not reload:
+            return None
         return NgramLM.load(self.grams.sparkSession, self.path)
 
     def compact(self, prune_min_count: int = 1,

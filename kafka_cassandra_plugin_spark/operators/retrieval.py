@@ -152,6 +152,11 @@ class Bm25Index:
         distributive-counts property the module doc notes."""
         if other.hash_fn != self.hash_fn:
             raise ValueError("merge: hash_fn mismatch")
+        if other.lowercase != self.lowercase:
+            # cased and folded term keys are different vocabularies —
+            # a silent merge would make corpus B's cased postings
+            # unreachable from folded queries (and corrupt df sums)
+            raise ValueError("merge: lowercase mismatch")
         postings = self.postings.unionByName(other.postings)
         docfreq = (
             self.docfreq.unionByName(other.docfreq)

@@ -253,9 +253,17 @@ def dsir_select_threshold(raw_docs: DataFrame, target_docs: DataFrame,
     keyed = weighted.withColumn(
         "gumbel_key", F.col("logw") + _gumbel_key(id_col, seed)
     )
-    n = keyed.count()
-    if k >= n:
-        return keyed
-    q = 1.0 - k / n
-    thr = keyed.stat.approxQuantile("gumbel_key", [q], rel_err)[0]
+    # the weighting lineage (explode -> broadcast joins -> per-doc sum)
+    # is the dominant cost, and three actions would run it three times:
+    # persist a NARROW (id, key) projection for the count + quantile
+    # pair, then pay the full lineage exactly once in the final filter
+    keys = keyed.select(id_col, "gumbel_key").persist()
+    try:
+        n = keys.count()
+        if k >= n:
+            return keyed
+        q = 1.0 - k / n
+        thr = keys.stat.approxQuantile("gumbel_key", [q], rel_err)[0]
+    finally:
+        keys.unpersist()
     return keyed.filter(F.col("gumbel_key") >= thr)

@@ -185,6 +185,14 @@ def remove_duplicated_spans(docs: DataFrame, n: int = 50,
 # CCNet line-level dedup (D21)
 # --------------------------------------------------------------------------
 
+def _split_lines(text_col: str, sep: str):
+    """Split on the LITERAL separator (regex-quoted): F.split takes a
+    Java regex, but the docstrings, the array_join reassembly, and the
+    DuckDB oracle all treat ``sep`` literally - an unquoted '.' or '|'
+    separator would split per character and mangle every document."""
+    return F.split(F.col(text_col), "\\Q" + sep + "\\E")
+
+
 def _line_key(normalize: bool, hash_fn: str) -> Column:
     key = F.trim(F.col("line"))
     if normalize:
@@ -207,7 +215,7 @@ def duplicated_line_counts(docs: DataFrame, text_col: str = "text",
     table is boilerplate creeping into an ingest).  One explode + one
     groupBy; shuffle term = DISTINCT line count."""
     lines = docs.select(
-        id_col, F.explode(F.split(F.col(text_col), sep)).alias("line")
+        id_col, F.explode(_split_lines(text_col, sep)).alias("line")
     ).filter(F.trim("line") != "")
     return (
         lines.select(_line_key(normalize, hash_fn).alias("key"))
@@ -237,7 +245,7 @@ def dedup_lines(docs: DataFrame, text_col: str = "text",
     all-pairs, shuffle term = distinct lines."""
     lines = docs.select(
         id_col,
-        F.posexplode(F.split(F.col(text_col), sep)).alias("line_no", "line"),
+        F.posexplode(_split_lines(text_col, sep)).alias("line_no", "line"),
     )
     content = lines.filter(F.trim("line") != "").withColumn(
         "key", _line_key(normalize, hash_fn)

@@ -301,9 +301,12 @@ class CurationSink:
             # O(batch) count partitions, overwrite-per-batch, so the
             # model converges on the curated distribution without ever
             # refitting over the corpus
+            # write-only: the sink discards the reloaded model (next
+            # batch loads fresh with its own exclude_batch anyway), and
+            # the default reload costs two model-wide count jobs
             lm.append_batch(
                 accepted.select(self.id_col, self.text_col),
-                batch_id, self.text_col,
+                batch_id, self.text_col, reload=False,
             )
         self._adds += 1
         if self.compact_every and self._adds % self.compact_every == 0:

@@ -112,7 +112,11 @@ def main() -> None:
         print(f"  {name}: {times[name]} s", flush=True)
     out = {"sf_dir": sf_dir, "queries": times, "skipped": skipped,
            "total": round(sum(times.values()), 3)}
-    if time.perf_counter() - start <= budget_s:
+    # the bloom lifetime-geometry probe respects the row subset too: a
+    # targeted campaign must not pay a ~1.2 GB dense-bound index build
+    # it did not ask for
+    want_bloom = (not subset) or ("bloom_lifetime" in subset)
+    if want_bloom and time.perf_counter() - start <= budget_s:
         out["bloom_lifetime"] = bloom_lifetime_row(spark, sf_dir)
         print(f"  bloom_lifetime: {out['bloom_lifetime']}", flush=True)
     print(json.dumps(out))

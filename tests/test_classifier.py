@@ -157,3 +157,43 @@ class TestOracle:
         n = oracle.compare(df, duck, sql, "quality_classifier")
         n_docs = duck.execute("SELECT count(*) FROM documents").fetchone()[0]
         assert n == n_docs  # every document scored, none dropped
+
+
+class TestFitIdCollision:
+    def test_colliding_ids_across_sides_still_separate(self, spark):
+        """pos and neg corpora with the SAME sequential doc_ids (the
+        common two-independent-corpora setup): features must not merge
+        across sides — the internal per-side fit key keeps the planted
+        separable corpora separable."""
+        pos = _docs(spark, [
+            (i, "scholarly treatise on quantum thermodynamics analysis")
+            for i in range(30)
+        ])
+        neg = _docs(spark, [  # identical id range 0..29
+            (i, "click here buy now free casino winner prize")
+            for i in range(30)
+        ])
+        clf = QualityClassifier.fit(pos, neg, buckets=512, hash_fn="md5")
+        probe = _docs(spark, [
+            (1, "quantum thermodynamics analysis"),
+            (2, "free casino prize click here"),
+        ])
+        got = {r.doc_id: r.quality_score
+               for r in clf.score(probe).collect()}
+        assert got[1] > 0.9
+        assert got[2] < 0.1
+
+
+class TestEmptyWeightsModel:
+    def test_intercept_only_model_roundtrips(self, spark, tmp_path):
+        """A model whose every coefficient is zero (weights frame
+        empty) must save and load — meta lives in its own file."""
+        empty = spark.createDataFrame([], "bucket int, weight double")
+        clf = QualityClassifier(empty, 0.7, buckets=64, ng_max=2,
+                                hash_fn="md5")
+        clf.save(str(tmp_path / "m"))
+        back = QualityClassifier.load(spark, str(tmp_path / "m"))
+        assert back.intercept == 0.7 and back.buckets == 64
+        got = back.score(_docs(spark, [(1, "anything")])).first()
+        assert got.quality_score == pytest.approx(
+            1.0 / (1.0 + math.exp(-0.7)), abs=1e-12)

@@ -194,3 +194,10 @@ class TestOracle:
         # each query's own document scores (it contains the query
         # verbatim), so every query returns rows
         assert n >= n_queries > 0
+
+
+class TestMergeLowercaseGuard:
+    def test_lowercase_mismatch_raises(self, corpus):
+        with pytest.raises(ValueError, match="lowercase"):
+            Bm25Index.build(corpus).merge(
+                Bm25Index.build(corpus, lowercase=False))

@@ -205,3 +205,25 @@ class TestOracle:
         assert n == duck.execute(
             "SELECT count(*) FROM documents"
         ).fetchone()[0]
+
+
+class TestLiteralSeparator:
+    def test_regex_metachar_separator_is_literal(self, spark):
+        """sep='|' (a regex metachar) must split on the literal pipe:
+        an unquoted F.split would explode per character and mangle
+        every document on rebuild."""
+        docs = _docs(spark, [
+            (1, "shared line|unique one"),
+            (2, "shared line|unique two"),
+        ])
+        out = {r.doc_id: r.text
+               for r in dedup_lines(docs, sep="|", hash_fn="raw").collect()}
+        assert out[1] == "shared line|unique one"   # canonical copy kept
+        assert out[2] == "unique two"               # duplicate line dropped
+
+    def test_dot_separator(self, spark):
+        docs = _docs(spark, [(1, "a.b"), (2, "a.c")])
+        out = {r.doc_id: r.text
+               for r in dedup_lines(docs, sep=".", hash_fn="raw").collect()}
+        assert out[1] == "a.b"
+        assert out[2] == "c"
