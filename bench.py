@@ -394,7 +394,7 @@ def _tier_d_oracle_pairs():
 
 def _sf1_oracle(spark, sf1_dir: str, registry,
                 budget_s: float = 1100.0) -> dict:
-    # budget raised 900 -> 1100 with the round-6 D22-D24 entries
+    # budget raised 540 -> 1100 with the round-6 D22-D24 entries
     # (bm25 ~45 s, quality_classifier ~41 s, dsir ~6 s measured)
     from kafka_cassandra_plugin_spark import oracle
 

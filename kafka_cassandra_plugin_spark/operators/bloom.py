@@ -164,8 +164,16 @@ class BloomIndex:
         return f"{self.path}/words/batch={int(batch_id)}"
 
     def save(self, path: str) -> "BloomIndex":
-        """Write words + geometry; returns the disk-backed handle."""
+        """Write words + geometry; returns the disk-backed handle.
+        Pre-existing ``words/batch=<id>`` partitions under ``path`` are
+        DELETED first: save() writes a consolidated model, and the
+        overwrite below only replaces ``batch=-1`` - without the
+        cleanup, stale batch partitions from a previous filter at the
+        same path would silently OR into the loaded view."""
+        from ..fsutil import delete_dir
+
         spark = self.words.sparkSession
+        delete_dir(spark, f"{path}/words")
         self.words.write.mode("overwrite").parquet(
             f"{path}/words/batch={self.COMPACT_BATCH}"
         )
@@ -285,13 +293,20 @@ class BloomIndex:
             )
             if fs.exists(hexc):
                 # preserve the in-flight partition verbatim (a rename,
-                # no data read) so exclude_batch probes keep working
-                fs.rename(
+                # no data read) so exclude_batch probes keep working.
+                # The result is CHECKED: a silently failed rename here
+                # followed by the delete below would discard the
+                # in-flight batch's contribution.
+                if not fs.rename(
                     hexc,
                     jvm.org.apache.hadoop.fs.Path(
                         f"{tmp}/batch={int(exclude_batch)}"
                     ),
-                )
+                ):
+                    raise IOError(
+                        f"compact: rename of in-flight partition "
+                        f"{self._batch_dir(exclude_batch)} -> {tmp} failed"
+                    )
         fs.delete(hsrc, True)
         if not fs.rename(htmp, hsrc):
             raise IOError(f"compact: rename {tmp} -> {src} failed")

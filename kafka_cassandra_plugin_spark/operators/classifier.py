@@ -124,8 +124,15 @@ class QualityClassifier:
                 F.lit(label).alias("label"),
             )
 
+        # localCheckpoint: `labeled` fans into TWO plan branches (the
+        # feature assembly and the label join), and docs.sample() would
+        # otherwise be free to re-evaluate per branch - with
+        # nondeterministically-partitioned inputs the two evaluations
+        # can select DIFFERENT rows when fit_cap triggers, mispairing
+        # labels with features.  Materializing the capped sample once
+        # pins a single draw.
         labeled = capped(pos_docs, 1.0, "p:").unionByName(
-            capped(neg_docs, 0.0, "n:"))
+            capped(neg_docs, 0.0, "n:")).localCheckpoint()
         feats = _doc_features(labeled, text_col, "__fit_id", buckets,
                               ng_max, hash_fn)
         # dense assembly by SORTED gap runs: for entries

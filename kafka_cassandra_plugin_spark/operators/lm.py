@@ -202,8 +202,16 @@ class NgramLM:
         """Write the model as consolidated history (``batch=-1``)
         plus geometry meta; returns the disk-backed handle (which
         recomputes V / gram_rows from the stored tables - identical
-        for a just-fit model, by the distributivity argument above)."""
+        for a just-fit model, by the distributivity argument above).
+        Pre-existing ``batch=<id>`` partitions under ``path`` are
+        DELETED first: the overwrite below only replaces ``batch=-1``,
+        and stale batch partitions from a previous model at the same
+        path would otherwise silently sum into the loaded counts."""
+        from ..fsutil import delete_dir
+
         spark = self.grams.sparkSession
+        for table in ("grams", "contexts", "vocab"):
+            delete_dir(spark, f"{path}/{table}")
         self.grams.write.mode("overwrite").parquet(
             f"{path}/grams/batch={self.COMPACT_BATCH}"
         )
@@ -358,12 +366,19 @@ class NgramLM:
                     self._tdir(table, exclude_batch)
                 )
                 if fs.exists(hexc):
-                    fs.rename(
+                    # checked: a silently failed rename + the delete
+                    # below would discard the in-flight partition
+                    if not fs.rename(
                         hexc,
                         jvm.org.apache.hadoop.fs.Path(
                             f"{tmp}/batch={int(exclude_batch)}"
                         ),
-                    )
+                    ):
+                        raise IOError(
+                            f"compact: rename of in-flight partition "
+                            f"{self._tdir(table, exclude_batch)} -> "
+                            f"{tmp} failed"
+                        )
             fs.delete(hsrc, True)
             if not fs.rename(htmp, hsrc):
                 raise IOError(f"compact: rename {tmp} -> {src} failed")

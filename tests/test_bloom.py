@@ -169,6 +169,30 @@ class TestStreamingMaintenance:
             a.unionByName(b).unionByName(c), "k"
         ).filter(~F.col("might_contain")).count() == 0
 
+    def test_save_onto_stale_path_replaces_history(self, spark, tmp_path):
+        """save() to a path already holding batch=N partitions must
+        REPLACE them, not merge: the overwrite only targets batch=-1,
+        so without the pre-write cleanup a fresh filter saved over a
+        previous filter's path would silently OR the stale batches
+        into its loaded view (r6 ADVICE)."""
+        path = str(tmp_path / "bloom")
+        idx = BloomIndex.init(spark, path, expected_items=1_000)
+        old = spark.range(0, 100).select(F.col("id").cast("string").alias("k"))
+        idx.append_batch(old, 0, "k")
+        fresh_keys = spark.range(500, 550).select(
+            F.col("id").cast("string").alias("k")
+        )
+        loaded = BloomIndex.build(
+            fresh_keys, "k", expected_items=1_000
+        ).save(path)
+        # the stale batch's keys must be gone (fpp-bounded FPs only)
+        assert loaded.might_contain(old, "k").filter(
+            F.col("might_contain")
+        ).count() <= 3
+        assert loaded.might_contain(fresh_keys, "k").filter(
+            ~F.col("might_contain")
+        ).count() == 0
+
     def test_compact_without_exclusion_folds_everything(self, spark, tmp_path):
         path = str(tmp_path / "bloom")
         idx = BloomIndex.init(spark, path, expected_items=1_000)

@@ -210,6 +210,25 @@ class TestIncrementalMaintenance:
         b = inc.perplexity(corpus).orderBy("doc_id").collect()
         assert a == b
 
+    def test_save_onto_stale_path_replaces_history(self, spark, tmp_path):
+        """save() to a path already holding batch=N partitions must
+        REPLACE them: without the pre-write cleanup, the stale counts
+        would silently SUM into the freshly-saved model's loaded view
+        (r6 ADVICE)."""
+        path = str(tmp_path / "lm")
+        old = spark.createDataFrame([(1, "aaa bbb aaa bbb aaa")],
+                                    "doc_id int, text string")
+        stale = NgramLM.init(spark, path, n=2, k=0.1)
+        stale.append_batch(old, 0)
+        new_corpus = spark.createDataFrame([(9, "ccc ddd ccc ddd")],
+                                           "doc_id int, text string")
+        fresh = NgramLM.fit(new_corpus, n=2, k=0.1)
+        loaded = fresh.save(path)
+        assert loaded.vocab_size == fresh.vocab_size
+        assert loaded.gram_rows == fresh.gram_rows
+        self._eq(loaded.grams, fresh.grams)
+        self._eq(loaded.contexts, fresh.contexts)
+
     def test_replay_overwrites_not_doublecounts(self, spark, tmp_path):
         b0 = spark.createDataFrame([(1, "x y z x y")],
                                    "doc_id int, text string")
