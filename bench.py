@@ -389,13 +389,19 @@ def _tier_d_oracle_pairs():
         # D19 (round 6): the fitted trigram count tables export the same
         # way (27k gram rows at sf1 - the rotate corpus bounds vocab)
         "lm_perplexity": L.lm_perplexity_oracle,
+        # D25 (round 7): langid NB - dense model tables (B x L rows)
+        # register as literals; DuckDB re-derives char-gram features,
+        # the smoothed join, argmax, and the softmax from raw text
+        "langid": L.langid_oracle,
     }
 
 
 def _sf1_oracle(spark, sf1_dir: str, registry,
-                budget_s: float = 1100.0) -> dict:
+                budget_s: float = 1250.0) -> dict:
     # budget raised 540 -> 1100 with the round-6 D22-D24 entries
-    # (bm25 ~45 s, quality_classifier ~41 s, dsir ~6 s measured)
+    # (bm25 ~45 s, quality_classifier ~41 s, dsir ~6 s measured);
+    # -> 1250 with the round-7 langid entry (DuckDB's side is ~30M
+    # char-gram rows x L langs through the model join at sf1)
     from kafka_cassandra_plugin_spark import oracle
 
     budget_s = float(os.environ.get("SPARK_GRAFT_SF1_ORACLE_BUDGET", budget_s))
@@ -487,14 +493,27 @@ def _sf1_smoke(spark, sf1_dir: str, registry,
         skipped.append("sim_topk_bruteforce[q200]")
 
     depth = _depth_ops(sf1_dir)
-    if not over_budget():
+    # One-off fit/build cost recorded SEPARATELY from the recurring
+    # row for every fit-once/score-many op: each factory's first call
+    # runs its eager fit (MLlib LR, NB counts, postings persist, IVF
+    # KMeans) and returns the score plan LAZILY, so timing the bare
+    # call isolates the fit.  Without this split the op's smoke row
+    # silently bundles a one-time cost into the recurring term
+    # (round-6 verdict: quality_classifier's 26.2 s sf1 row was ~24 s
+    # fit + ~2.3 s score).
+    for op, row in (("sim_ivf_pq", "sim_ivf_pq[index_build]"),
+                    ("bm25_topk", "bm25_topk[index_build]"),
+                    ("quality_classifier", "quality_classifier[fit]"),
+                    ("lm_perplexity", "lm_perplexity[fit]"),
+                    ("langid", "langid[fit]"),
+                    ("dedup_semantic", "dedup_semantic[index_build]"),
+                    ("bloom_filter_new", "bloom_filter_new[build]")):
+        if over_budget():
+            skipped.append(row)
+            continue
         t0 = time.perf_counter()
-        depth["sim_ivf_pq"](spark)  # eager IVF+codebook fit; probe discarded
-        times["sim_ivf_pq[index_build]"] = round(time.perf_counter() - t0, 3)
-    if not over_budget():
-        t0 = time.perf_counter()
-        depth["bm25_topk"](spark)  # eager postings build; search discarded
-        times["bm25_topk[index_build]"] = round(time.perf_counter() - t0, 3)
+        depth[op](spark)  # eager fit; the returned plan is discarded
+        times[row] = round(time.perf_counter() - t0, 3)
     for name, fn in depth.items():
         if over_budget():
             skipped.append(name)
@@ -846,6 +865,22 @@ def _depth_ops(sf_dir):
             d, d.filter(F.col("source") == "src1"), k=200
         ).select("doc_id", "lang", "source", "logw", "gumbel_key")
 
+    # D25 row (round 7): language identification - the closed-form NB
+    # fit is one-off (cached), the row is the recurring term: predict
+    # (lang, confidence) for every document through the broadcast
+    # dense model table.
+    def lang_identify(spark):
+        from kafka_cassandra_plugin_spark.operators.langid import (
+            LangIdModel,
+        )
+
+        d = Catalog(spark, sf_dir).documents.select("doc_id", "text", "lang")
+        if "lid" not in _state:
+            _state["lid"] = LangIdModel.fit(d, buckets=4096)
+            _state["lid"].table.persist().count()
+            _state["lid"].priors.persist().count()
+        return _state["lid"].predict(d.select("doc_id", "text"))
+
     # D24 row (round 6): hashed-ngram quality classifier - the MLlib
     # LR fit is one-off (cached like the ANN/LM fits), the row is the
     # recurring production term: score every document through the
@@ -876,7 +911,7 @@ def _depth_ops(sf_dir):
             "bloom_filter_new": bloom_probe, "lm_perplexity": lm_ppl,
             "dedup_substring": substring_spans, "dedup_lines": line_dedup,
             "bm25_topk": bm25, "dsir_select": dsir,
-            "quality_classifier": quality_clf}
+            "quality_classifier": quality_clf, "langid": lang_identify}
 
 
 if __name__ == "__main__":

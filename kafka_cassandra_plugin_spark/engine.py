@@ -38,6 +38,7 @@ from .operators import packing as _packing
 from .operators import pii as _pii
 from .operators import pipeline as _pipeline
 from .operators import classifier as _classifier
+from .operators import langid as _langid
 from .operators import quantization as _quantization
 from .operators import retrieval as _retrieval
 from .operators import sampling as _sampling
@@ -207,3 +208,9 @@ class Engine:
     def load_quality_classifier(
             self, path: str) -> "_classifier.QualityClassifier":
         return _classifier.QualityClassifier.load(self.spark, path)
+
+    # -- D25: language identification (round 7) -------------------------------
+    fit_langid = staticmethod(_langid.LangIdModel.fit)
+
+    def load_langid(self, path: str) -> "_langid.LangIdModel":
+        return _langid.LangIdModel.load(self.spark, path)

@@ -23,7 +23,13 @@ Stage order (each stage sees only the previous stages' survivors, so
 reject reasons are disjoint and the funnel partitions the input):
 
 1. ``low_quality``    - composite heuristic below ``min_quality``
-2. ``wrong_lang``     - language ID outside ``langs`` (when given)
+2. ``wrong_lang``     - language ID outside ``langs`` (when given);
+   with ``langid=`` (a fitted :class:`.langid.LangIdModel`) the
+   ``lang`` annotation is the MODEL's prediction instead of the
+   marker-word heuristic — the CCNet step-0 posture
+2a. ``wrong_language`` - model confidence below ``min_lang_conf``
+    (opt-in via ``langid=`` + ``min_lang_conf=``; the unreliable-
+    identification reject CCNet applies before any quality gate)
 2b. ``repetitive``    - fails a Gopher repetition threshold (opt-in via
     ``drop_repetitive=True``; still map-only column arithmetic)
 2b'. ``pii_heavy``    - carries more than ``max_pii`` PII pattern hits
@@ -117,6 +123,8 @@ def curate_annotated(
     id_col: str = "doc_id",
     min_quality: float = 0.5,
     langs: tuple[str, ...] | None = None,
+    langid=None,
+    min_lang_conf: float | None = None,
     drop_repetitive: bool = False,
     max_pii: int | None = None,
     benchmarks: DataFrame | None = None,
@@ -134,6 +142,22 @@ def curate_annotated(
     """Every batch row, annotated + tagged: ``reject_reason`` (null =
     accepted) and ``split`` (null for rejected rows).  See module doc
     for stage order and scale shape.
+
+    ``langid`` (opt-in; a fitted :class:`.langid.LangIdModel`)
+    replaces the marker-word heuristic as the source of the ``lang``
+    annotation: every row's ``lang`` becomes the model's prediction
+    and a ``lang_conf`` column (the softmax posterior) is added — so
+    the ``langs`` allow-list, the (lang, split) output partitioning,
+    and every downstream lang consumer see the LEARNED
+    identification.  ``min_lang_conf`` then adds a ``wrong_language``
+    gate: rows whose identification confidence falls below it are
+    rejected (the CCNet "langid is unreliable here" reject, applied
+    before any quality gate).  Cost shape: one char-gram explode of
+    the BATCH joined against the broadcast B x L model table — still
+    batch-bounded, no corpus term.  ``min_lang_conf`` without
+    ``langid`` raises (there is no confidence column to gate on);
+    ``langid`` alone (neither ``langs`` nor ``min_lang_conf``) is
+    allowed — upgrading the annotation is a real effect by itself.
 
     ``drop_repetitive=True`` adds a ``repetitive`` gate after
     ``wrong_lang``: documents failing any Gopher repetition threshold
@@ -204,6 +228,14 @@ def curate_annotated(
     non-default parameters must not silently dedup the batch under the
     defaults."""
     _check_reserved(batch, OUTPUT_COLS, "curate_annotated()")
+    if min_lang_conf is not None and langid is None:
+        raise ValueError(
+            "curate_annotated(min_lang_conf=...) needs langid=: the "
+            "confidence column only exists when a fitted LangIdModel "
+            "supplies the lang annotation."
+        )
+    if langid is not None:
+        _check_reserved(batch, ("lang_conf",), "curate_annotated(langid=)")
     if lm is not None and max_ppl is None and min_ppl <= 0.0:
         raise ValueError(
             "curate_annotated(lm=...) needs a perplexity band: pass "
@@ -223,11 +255,30 @@ def curate_annotated(
         if index is not None
         else {}
     )
-    ann = annotate(batch, text_col).localCheckpoint()
+    ann = annotate(batch, text_col)
+    if langid is not None:
+        # the model's prediction REPLACES the heuristic lang column
+        # (one batch-bounded explode + broadcast model join); the left
+        # join is total — predict() scores every row, zero-gram docs
+        # on the priors alone
+        pred = langid.predict(
+            batch.select(id_col, text_col), text_col, id_col
+        ).select(
+            id_col, F.col("lang_pred").alias("__lid_lang"), "lang_conf"
+        )
+        ann = (
+            ann.drop("lang")
+            .join(pred, id_col, "left")
+            .withColumnRenamed("__lid_lang", "lang")
+        )
+    ann = ann.localCheckpoint()
 
     gate = F.when(F.col("quality") < min_quality, "low_quality")
     if langs is not None:
         gate = gate.when(~F.col("lang").isin(*langs), "wrong_lang")
+    if langid is not None and min_lang_conf is not None:
+        gate = gate.when(
+            F.col("lang_conf") < min_lang_conf, "wrong_language")
     if drop_repetitive:
         gate = gate.when(~repetition_gate(text_col), "repetitive")
     if max_pii is not None:

@@ -1848,3 +1848,85 @@ def lm_perplexity_oracle(spark, sf_dir, con):
         .orderBy("doc_id")
     )
     return df, LM_PERPLEXITY_SQL
+
+
+# --------------------------------------------------------------------------
+# D25: language identification (multinomial NB over hashed char n-grams)
+# --------------------------------------------------------------------------
+
+LANGID_SQL = r"""
+    WITH s AS (
+      SELECT doc_id, lower(substr(text, 1, 200)) AS s FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(
+        range(1, greatest(length(s) - 0, 0) + 1), i -> substr(s, i, 1)
+      )) AS gram FROM s
+      UNION ALL
+      SELECT doc_id, unnest(list_transform(
+        range(1, greatest(length(s) - 1, 0) + 1), i -> substr(s, i, 2)
+      )) AS gram FROM s
+      UNION ALL
+      SELECT doc_id, unnest(list_transform(
+        range(1, greatest(length(s) - 2, 0) + 1), i -> substr(s, i, 3)
+      )) AS gram FROM s
+    ),
+    occ AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(gram), 1, 13))::BIGINT % 1024 AS bucket
+      FROM grams
+    ),
+    ll AS (
+      SELECT o.doc_id, t.lang, sum(t.logp) AS ll
+      FROM occ o JOIN langid_table t ON o.bucket = t.bucket
+      GROUP BY o.doc_id, t.lang
+    ),
+    scores AS (
+      SELECT d.doc_id, p.lang,
+             p.logprior + coalesce(l.ll, 0.0) AS score
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      CROSS JOIN langid_priors p
+      LEFT JOIN ll l ON d.doc_id = l.doc_id AND p.lang = l.lang
+    ),
+    wm AS (
+      SELECT *,
+             max(score) OVER (PARTITION BY doc_id) AS m,
+             round(score, 6) AS rs,
+             max(round(score, 6)) OVER (PARTITION BY doc_id) AS rm
+      FROM scores
+    )
+    SELECT doc_id,
+           min(CASE WHEN rs = rm THEN lang END) AS lang_pred,
+           round(1.0 / sum(exp(score - m)), 4) AS lang_conf
+    FROM wm GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def langid_oracle(spark, sf_dir, con):
+    """The D25 oracle pair: returns ``(spark_df, sql)`` after
+    registering the FITTED NB model as DuckDB tables (``langid_table``
+    + ``langid_priors``).  Stronger than the D24 split of
+    responsibility: the NB fit is closed-form count arithmetic, so the
+    exported tables are itself a deterministic function of the corpus
+    and the oracle verifies the whole featurize -> dense-smoothed-join
+    -> argmax/softmax path — a char-gram drift, a bucket-hash bug, a
+    smoothing error, or an argmax tie-break divergence all
+    hash-mismatch.  Fit: the documents table's own ``lang`` labels
+    (synthetic — label/score PORTABILITY is what's verified, per the
+    D24 precedent); md5-portable buckets, B=1024, char 1..3-grams over
+    the first 200 chars.  Argmax compares round(score, 6) in BOTH
+    engines so summation-order ulps cannot flip near-ties."""
+    from ..operators.langid import LangIdModel
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "text", "lang")
+    model = LangIdModel.fit(d, buckets=1024, ng_max=3, max_chars=200,
+                            hash_fn="md5")
+    con.register("langid_table", model.table.toPandas())
+    con.register("langid_priors", model.priors.toPandas())
+    df = (
+        model.predict(d.select("doc_id", "text"))
+        .select("doc_id", "lang_pred",
+                F.round("lang_conf", 4).alias("lang_conf"))
+        .orderBy("doc_id")
+    )
+    return df, LANGID_SQL

@@ -108,6 +108,16 @@ class CurationSink:
     accumulation; callers that already hold a fitted object can pass
     ``clf=`` directly instead.
 
+    ``langid_path``: a saved :class:`..operators.langid.LangIdModel`
+    directory; the sink loads it ONCE and every micro-batch's ``lang``
+    annotation becomes the model's prediction (plus ``lang_conf``),
+    with the funnel's ``wrong_language`` gate active when
+    ``min_lang_conf`` rides ``curate_kwargs`` — CCNet step 0 enforced
+    at ingest.  Static like ``clf_path`` (NB counts would admit
+    accumulation, but a langid model is fit on trusted per-language
+    reference corpora, not on the ingest stream — growing it from its
+    own predictions would be self-training drift).
+
     ``lm_path``: maintain an incremental :class:`..operators.lm.NgramLM`
     (geometry ``lm_n``/``lm_k``/``lm_digit_bucket``, pinned at init)
     and run each micro-batch through the funnel's ``ppl_out_of_band``
@@ -152,6 +162,7 @@ class CurationSink:
                  lm_n: int = 3, lm_k: float = 0.1,
                  lm_digit_bucket: bool = False,
                  clf_path: str | None = None,
+                 langid_path: str | None = None,
                  **curate_kwargs):
         if lm_path is not None and "lm" in curate_kwargs:
             raise ValueError(
@@ -162,6 +173,11 @@ class CurationSink:
             raise ValueError(
                 "pass either clf_path (saved QualityClassifier, loaded "
                 "once) or clf= (caller-owned fitted model), not both"
+            )
+        if langid_path is not None and "langid" in curate_kwargs:
+            raise ValueError(
+                "pass either langid_path (saved LangIdModel, loaded "
+                "once) or langid= (caller-owned fitted model), not both"
             )
         self.index_path = index_path
         self.out_path = out_path
@@ -180,8 +196,10 @@ class CurationSink:
         self.lm_k = lm_k
         self.lm_digit_bucket = lm_digit_bucket
         self.clf_path = clf_path
+        self.langid_path = langid_path
         self.curate_kwargs = curate_kwargs
         self._clf = None
+        self._langid = None
         self.funnel_by_batch: dict[int, dict[str, int]] = {}
         self._adds = 0
         self._bench: DataFrame | None = None
@@ -271,6 +289,14 @@ class CurationSink:
 
                 self._clf = QualityClassifier.load(spark, self.clf_path)
             clf_kwargs["clf"] = self._clf
+        if self.langid_path is not None:
+            if self._langid is None:
+                # static model, load-once (see class doc: accumulation
+                # would be self-training drift)
+                from ..operators.langid import LangIdModel
+
+                self._langid = LangIdModel.load(spark, self.langid_path)
+            clf_kwargs["langid"] = self._langid
         annotated = curate_annotated(
             batch_df, index=index,
             text_col=self.text_col, id_col=self.id_col,
