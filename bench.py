@@ -398,7 +398,7 @@ def _tier_d_oracle_pairs():
 
 def _sf1_oracle(spark, sf1_dir: str, registry,
                 budget_s: float = 1250.0) -> dict:
-    # budget raised 540 -> 1100 with the round-6 D22-D24 entries
+    # budget raised 900 -> 1100 with the round-6 D22-D24 entries
     # (bm25 ~45 s, quality_classifier ~41 s, dsir ~6 s measured);
     # -> 1250 with the round-7 langid entry (DuckDB's side is ~30M
     # char-gram rows x L langs through the model join at sf1)

@@ -165,18 +165,24 @@ class BloomIndex:
 
     def save(self, path: str) -> "BloomIndex":
         """Write words + geometry; returns the disk-backed handle.
-        Pre-existing ``words/batch=<id>`` partitions under ``path`` are
-        DELETED first: save() writes a consolidated model, and the
-        overwrite below only replaces ``batch=-1`` - without the
-        cleanup, stale batch partitions from a previous filter at the
-        same path would silently OR into the loaded view."""
-        from ..fsutil import delete_dir
+        Pre-existing ``words/batch=<id>`` partitions under ``path``
+        must not survive (save() writes a consolidated model; stale
+        batch partitions from a previous filter at the same path would
+        silently OR into the loaded view) - but ``self.words`` may be
+        a lazy read of those very partitions
+        (``BloomIndex.load(p).save(p)``), so the consolidated table is
+        staged to a ``__saving`` sibling FIRST and then swapped over
+        the old directory (checked rename), never
+        delete-before-write."""
+        from ..fsutil import delete_dir, rename_or_raise
 
         spark = self.words.sparkSession
-        delete_dir(spark, f"{path}/words")
+        delete_dir(spark, f"{path}/words__saving")
         self.words.write.mode("overwrite").parquet(
-            f"{path}/words/batch={self.COMPACT_BATCH}"
+            f"{path}/words__saving/batch={self.COMPACT_BATCH}"
         )
+        delete_dir(spark, f"{path}/words")
+        rename_or_raise(spark, f"{path}/words__saving", f"{path}/words")
         spark.createDataFrame(
             [(self.m, self.k, self.seed)], "m long, k int, seed int"
         ).write.mode("overwrite").parquet(f"{path}/meta")
@@ -268,14 +274,11 @@ class BloomIndex:
         CurationSink` passes the in-flight batch id."""
         if self.path is None:
             raise ValueError("compact requires a saved filter (use save())")
+        from ..fsutil import delete_dir, path_exists, rename_or_raise
+
         spark = self.words.sparkSession
         src = f"{self.path}/words"
         tmp = f"{self.path}/words__compacting"
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        hsrc = jvm.org.apache.hadoop.fs.Path(src)
-        htmp = jvm.org.apache.hadoop.fs.Path(tmp)
-        fs = hsrc.getFileSystem(conf)
         words = spark.read.parquet(src)
         if exclude_batch is not None:
             words = words.filter(F.col("batch") != int(exclude_batch))
@@ -287,29 +290,19 @@ class BloomIndex:
         consolidated.write.mode("overwrite").parquet(
             f"{tmp}/batch={self.COMPACT_BATCH}"
         )
-        if exclude_batch is not None:
-            hexc = jvm.org.apache.hadoop.fs.Path(
-                self._batch_dir(exclude_batch)
+        if exclude_batch is not None and path_exists(
+            spark, self._batch_dir(exclude_batch)
+        ):
+            # preserve the in-flight partition verbatim (a rename, no
+            # data read) so exclude_batch probes keep working; checked:
+            # a silently failed rename here followed by the delete
+            # below would discard the in-flight batch's contribution
+            rename_or_raise(
+                spark, self._batch_dir(exclude_batch),
+                f"{tmp}/batch={int(exclude_batch)}",
             )
-            if fs.exists(hexc):
-                # preserve the in-flight partition verbatim (a rename,
-                # no data read) so exclude_batch probes keep working.
-                # The result is CHECKED: a silently failed rename here
-                # followed by the delete below would discard the
-                # in-flight batch's contribution.
-                if not fs.rename(
-                    hexc,
-                    jvm.org.apache.hadoop.fs.Path(
-                        f"{tmp}/batch={int(exclude_batch)}"
-                    ),
-                ):
-                    raise IOError(
-                        f"compact: rename of in-flight partition "
-                        f"{self._batch_dir(exclude_batch)} -> {tmp} failed"
-                    )
-        fs.delete(hsrc, True)
-        if not fs.rename(htmp, hsrc):
-            raise IOError(f"compact: rename {tmp} -> {src} failed")
+        delete_dir(spark, src)
+        rename_or_raise(spark, tmp, src)
         return BloomIndex.load(spark, self.path)
 
     # -- composition -------------------------------------------------------

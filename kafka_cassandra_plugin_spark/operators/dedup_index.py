@@ -263,19 +263,14 @@ class MinHashIndex:
         not concurrently with probes."""
         if self.path is None:
             raise ValueError("compact requires a saved index (use save())")
+        from ..fsutil import delete_dir, rename_or_raise
         from ..sources import compact_parquet
 
         spark = self.bands.sparkSession
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
         for sub, pby in (("bands", ("band",)), ("shingles", ())):
             src = f"{self.path}/{sub}"
             tmp = f"{self.path}/{sub}__compacting"
             compact_parquet(spark, src, tmp, target_file_mb, partition_by=pby)
-            hsrc = jvm.org.apache.hadoop.fs.Path(src)
-            htmp = jvm.org.apache.hadoop.fs.Path(tmp)
-            fs = hsrc.getFileSystem(conf)
-            fs.delete(hsrc, True)
-            if not fs.rename(htmp, hsrc):
-                raise IOError(f"compact: rename {tmp} -> {src} failed")
+            delete_dir(spark, src)
+            rename_or_raise(spark, tmp, src)
         return MinHashIndex.load(spark, self.path)

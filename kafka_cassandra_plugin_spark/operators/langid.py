@@ -156,7 +156,19 @@ class LangIdModel:
         counts = occ.groupBy("lang", "bucket").agg(
             F.count(F.lit(1)).alias("cnt"))
         totals = counts.groupBy("lang").agg(F.sum("cnt").alias("tot"))
-        langs = totals.select("lang", "tot")
+        # the language SET comes from the labels, not from the gram
+        # counts: a language whose training docs are all empty or
+        # whitespace contributes priors but no grams, and deriving
+        # langs from totals would drop its dense-table rows - its
+        # per-doc likelihood would then coalesce to 0.0 at predict and
+        # win argmax over every non-empty document.  tot=0 under the
+        # left join prices every bucket at the smoothed floor
+        # log(1/B) - finite, and dominated by any real evidence.
+        langs = (
+            labeled_docs.select(F.col(lang_col).alias("lang")).distinct()
+            .join(totals, "lang", "left")
+            .select("lang", F.coalesce("tot", F.lit(0)).alias("tot"))
+        )
         dense = (
             spark.range(buckets)
             .select(F.col("id").cast("int").alias("bucket"))

@@ -203,24 +203,32 @@ class NgramLM:
         plus geometry meta; returns the disk-backed handle (which
         recomputes V / gram_rows from the stored tables - identical
         for a just-fit model, by the distributivity argument above).
-        Pre-existing ``batch=<id>`` partitions under ``path`` are
-        DELETED first: the overwrite below only replaces ``batch=-1``,
+        Pre-existing ``batch=<id>`` partitions under ``path`` must not
+        survive (the staged write below only materializes ``batch=-1``,
         and stale batch partitions from a previous model at the same
-        path would otherwise silently sum into the loaded counts."""
-        from ..fsutil import delete_dir
+        path would otherwise silently sum into the loaded counts) -
+        but the tables of THIS model may be lazy reads of those very
+        partitions (``NgramLM.load(p).save(p)``), so each table is
+        staged to a ``__saving`` sibling FIRST and only then swapped
+        over the old directory (checked renames), never
+        delete-before-write."""
+        from ..fsutil import delete_dir, rename_or_raise
 
         spark = self.grams.sparkSession
+        for table, df in (
+            ("grams", self.grams),
+            ("contexts", self.contexts),
+            ("vocab", self._vocab),
+        ):
+            delete_dir(spark, f"{path}/{table}__saving")
+            df.write.mode("overwrite").parquet(
+                f"{path}/{table}__saving/batch={self.COMPACT_BATCH}"
+            )
+        # all three staged (source partitions untouched); now swap
         for table in ("grams", "contexts", "vocab"):
             delete_dir(spark, f"{path}/{table}")
-        self.grams.write.mode("overwrite").parquet(
-            f"{path}/grams/batch={self.COMPACT_BATCH}"
-        )
-        self.contexts.write.mode("overwrite").parquet(
-            f"{path}/contexts/batch={self.COMPACT_BATCH}"
-        )
-        self._vocab.write.mode("overwrite").parquet(
-            f"{path}/vocab/batch={self.COMPACT_BATCH}"
-        )
+            rename_or_raise(spark, f"{path}/{table}__saving",
+                            f"{path}/{table}")
         spark.createDataFrame(
             [(self.n, float(self.k), bool(self.digit_bucket))],
             "n int, k double, digit_bucket boolean",
@@ -339,10 +347,9 @@ class NgramLM:
         replay."""
         if self.path is None:
             raise ValueError("compact requires a saved model (use save())")
-        spark = self.grams.sparkSession
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        from ..fsutil import delete_dir, path_exists, rename_or_raise
 
+        spark = self.grams.sparkSession
         consolidated = NgramLM.load(spark, self.path,
                                     exclude_batch=exclude_batch)
         grams = consolidated.grams
@@ -358,30 +365,18 @@ class NgramLM:
             df.write.mode("overwrite").parquet(
                 f"{tmp}/batch={self.COMPACT_BATCH}"
             )
-            hsrc = jvm.org.apache.hadoop.fs.Path(src)
-            htmp = jvm.org.apache.hadoop.fs.Path(tmp)
-            fs = hsrc.getFileSystem(conf)
-            if exclude_batch is not None:
-                hexc = jvm.org.apache.hadoop.fs.Path(
-                    self._tdir(table, exclude_batch)
+            if exclude_batch is not None and path_exists(
+                spark, self._tdir(table, exclude_batch)
+            ):
+                # preserve the in-flight partition verbatim (checked:
+                # a silently failed rename + the delete below would
+                # discard its contribution)
+                rename_or_raise(
+                    spark, self._tdir(table, exclude_batch),
+                    f"{tmp}/batch={int(exclude_batch)}",
                 )
-                if fs.exists(hexc):
-                    # checked: a silently failed rename + the delete
-                    # below would discard the in-flight partition
-                    if not fs.rename(
-                        hexc,
-                        jvm.org.apache.hadoop.fs.Path(
-                            f"{tmp}/batch={int(exclude_batch)}"
-                        ),
-                    ):
-                        raise IOError(
-                            f"compact: rename of in-flight partition "
-                            f"{self._tdir(table, exclude_batch)} -> "
-                            f"{tmp} failed"
-                        )
-            fs.delete(hsrc, True)
-            if not fs.rename(htmp, hsrc):
-                raise IOError(f"compact: rename {tmp} -> {src} failed")
+            delete_dir(spark, src)
+            rename_or_raise(spark, tmp, src)
         return NgramLM.load(spark, self.path)
 
     # -- scoring -----------------------------------------------------------

@@ -460,12 +460,11 @@ class IvfIndex:
         if self.path is None:
             raise ValueError("compact() needs a disk-backed index "
                              "(save() it first)")
+        from ..fsutil import _fs_and_path, delete_dir, rename_or_raise
+
         spark = self.assigned.sparkSession
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
         src = f"{self.path}/assigned"
-        hsrc = jvm.org.apache.hadoop.fs.Path(src)
-        fs = hsrc.getFileSystem(conf)
+        fs, hsrc, _ = _fs_and_path(spark, src)
         total_bytes = fs.getContentSummary(hsrc).getLength()
         nfiles = max(1, -(-total_bytes // (target_mb << 20)))
         tmp = f"{self.path}/__compacting_assigned"
@@ -476,9 +475,8 @@ class IvfIndex:
             .partitionBy("list_id")
             .parquet(tmp)
         )
-        fs.delete(hsrc, True)
-        if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hsrc):
-            raise IOError(f"IvfIndex.compact: rename {tmp} -> {src} failed")
+        delete_dir(spark, src)
+        rename_or_raise(spark, tmp, src)
         return IvfIndex.load(spark, self.path)
 
     def save(self, path: str) -> "IvfIndex":

@@ -193,6 +193,26 @@ class TestStreamingMaintenance:
             ~F.col("might_contain")
         ).count() == 0
 
+    def test_save_onto_own_path_preserves_membership(self, spark, tmp_path):
+        """``BloomIndex.load(p).save(p)``: the loaded word table is a
+        LAZY read of the partitions save() replaces - a
+        delete-before-write save() would destroy the files its own
+        write plan reads (r7 ADVICE medium).  The staged-sibling swap
+        makes this a lossless consolidation."""
+        from kafka_cassandra_plugin_spark.fsutil import list_batch_ids
+
+        path = str(tmp_path / "bloom")
+        idx = BloomIndex.init(spark, path, expected_items=1_000)
+        a = spark.range(0, 60).select(F.col("id").cast("string").alias("k"))
+        b = spark.range(60, 120).select(F.col("id").cast("string").alias("k"))
+        idx = idx.append_batch(a, 0, "k")
+        idx.append_batch(b, 1, "k")
+        resaved = BloomIndex.load(spark, path).save(path)
+        assert resaved.might_contain(
+            a.unionByName(b), "k"
+        ).filter(~F.col("might_contain")).count() == 0
+        assert list_batch_ids(spark, f"{path}/words") == [-1]
+
     def test_compact_without_exclusion_folds_everything(self, spark, tmp_path):
         path = str(tmp_path / "bloom")
         idx = BloomIndex.init(spark, path, expected_items=1_000)

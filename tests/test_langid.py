@@ -57,6 +57,27 @@ class TestFit:
         assert got.lang_pred == "en"
         assert got.lang_conf == pytest.approx(30 / 75, abs=1e-9)
 
+    def test_empty_corpus_language_cannot_hijack_argmax(self, spark):
+        """A language whose training docs are all empty/whitespace
+        contributes priors but no grams.  If the dense table's language
+        set came from gram totals, that language would have NO table
+        rows, its likelihood would coalesce to 0.0 at predict, and it
+        would beat every real language (whose likelihoods are large
+        negative sums) on every non-empty document (r7 ADVICE).  With
+        langs drawn from the labels and tot=0 priced at the smoothed
+        log(1/B) floor, real evidence must win."""
+        rows = [(i, "the quick brown fox jumps over the dog", "en")
+                for i in range(10)]
+        rows += [(100 + i, "   ", "xx") for i in range(10)]
+        labeled = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string")
+        m = LangIdModel.fit(labeled, buckets=256, hash_fn="md5")
+        # the empty-trained language is priced in the dense table
+        assert m.table.filter(F.col("lang") == "xx").count() == 256
+        got = m.predict(
+            _docs(spark, [(1, "the fox jumps over the dog")])).first()
+        assert got.lang_pred == "en"
+
     def test_keep_filters(self, spark, fitted):
         probe = _docs(spark, [
             (1, "the dog jumps over the fox"),

@@ -229,6 +229,29 @@ class TestIncrementalMaintenance:
         self._eq(loaded.grams, fresh.grams)
         self._eq(loaded.contexts, fresh.contexts)
 
+    def test_save_onto_own_path_preserves_model(self, spark, tmp_path):
+        """``NgramLM.load(p).save(p)``: the loaded tables are LAZY
+        reads of the very partitions save() replaces, so a
+        delete-before-write save() would destroy the data its own
+        write plan reads (r7 ADVICE medium).  The staged-sibling swap
+        must make this a lossless consolidation instead."""
+        path = str(tmp_path / "lm")
+        b0 = spark.createDataFrame([(1, "m n o m n")],
+                                   "doc_id int, text string")
+        b1 = spark.createDataFrame([(2, "o p q o p")],
+                                   "doc_id int, text string")
+        lm_ = NgramLM.init(spark, path, n=2, k=0.1)
+        lm_ = lm_.append_batch(b0, 0)
+        lm_ = lm_.append_batch(b1, 1)
+        before_grams = sorted(map(tuple, lm_.grams.collect()))
+        before_v = lm_.vocab_size
+        resaved = NgramLM.load(spark, path).save(path)
+        assert sorted(map(tuple, resaved.grams.collect())) == before_grams
+        assert resaved.vocab_size == before_v
+        # and the batch partitions are consolidated into batch=-1 only
+        from kafka_cassandra_plugin_spark.fsutil import list_batch_ids
+        assert list_batch_ids(spark, f"{path}/grams") == [-1]
+
     def test_replay_overwrites_not_doublecounts(self, spark, tmp_path):
         b0 = spark.createDataFrame([(1, "x y z x y")],
                                    "doc_id int, text string")
