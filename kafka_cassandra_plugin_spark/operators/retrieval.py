@@ -21,13 +21,20 @@ Spark-first shape (never a UDF, never all-pairs):
   (doc, term) pairs and distinct terms — sub-corpus-width.
 - **search**: query terms are driver-scale, so they BROADCAST: a
   left-semi join prunes postings and docfreq map-side to the query
-  vocabulary (at 100 TB the scan reads only matching postings; with
-  the index saved partitioned/bucketed by term key the pruning is
-  file-level), one broadcast join attaches idf+qtf, the score is pure
+  vocabulary, one broadcast join attaches idf+qtf, the score is pure
   column arithmetic, one (query, doc) groupBy sums term contributions
   (map-side combined), and per-query top-k runs through the
   rank-window path Spark rewrites to WindowGroupLimit — shuffle
-  O(tasks x k), like :func:`.sampling.take_per_group`.
+  O(tasks x k), like :func:`.sampling.take_per_group`.  Against a
+  SAVED index the pruning is FILE-level, not just map-side: save()
+  partitions postings and docfreq by a term-bucket column
+  (``tbucket = pmod(term key, bucket_partitions)``), and topk()
+  collects the query terms' bucket set (driver-scale by the same
+  argument that lets the vocabulary broadcast, and capped at
+  ``bucket_partitions`` values) into a partition filter — the scan
+  reads only the bucket directories the query touches.  At 100 TB
+  the difference between "prunes to query-term files" and "scans all
+  postings" is the whole point of an inverted index.
 
 Ranking portability: rank orders by ``round(score, 6) DESC, doc_id``
 so the float summation-order ulps of different engines cannot flip
@@ -38,11 +45,21 @@ shuffles and halves posting width at scale; ``'raw'`` keeps the term
 string — the engine-portable DuckDB-oracle twin, same discipline as
 :mod:`.substring`.
 
-Incremental maintenance note: df and tf are distributive over
-document-disjoint batches (a doc lives in exactly one batch), so the
-index admits the same ``batch=<id>`` partitioned accumulation as
-:class:`.bloom.BloomIndex` / :class:`.lm.NgramLM`; build here is
-fit-once + save/load, with ``merge`` covering the two-index union.
+**Incremental maintenance** (the same discipline as
+:class:`.bloom.BloomIndex` / :class:`.lm.NgramLM`): df and tf are
+distributive over document-disjoint batches (a doc lives in exactly
+one batch), so the stored index is batch-partitioned —
+``postings/batch=<id>/tbucket=<b>/``, ``docfreq/batch=<id>/
+tbucket=<b>/``, ``stats/batch=<id>/`` — and :meth:`Bm25Index.
+append_batch` folds a new corpus batch in by OVERWRITING its own
+partitions (exactly-once under foreachBatch replay;
+``load(exclude_batch=N)`` hides an uncommitted attempt).
+Consolidation is lazy (df sums per term, stats sum — postings need
+none: batches are disjoint rows); :meth:`Bm25Index.compact` rewrites
+history into ``batch=-1`` when file counts decay.  Stats persist as
+EXACT longs (n_docs, total_dl) so accumulate == whole-build is
+bit-exact including avgdl (one long/long division either way), and
+``merge`` covers the in-memory two-index union.
 
 Reference provenance: no counterpart in /root/reference (string KV
 layer, CassandraListenerRegistry.scala:27); LLM-pipeline closure
@@ -50,8 +67,6 @@ layer, CassandraListenerRegistry.scala:27); LLM-pipeline closure
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -76,18 +91,48 @@ def _term_key(hash_fn: str) -> Column:
     raise ValueError(f"hash_fn must be 'xxhash64' or 'raw', got {hash_fn!r}")
 
 
+def _tbucket(term_key: Column, hash_fn: str, nb: int) -> Column:
+    """The term-bucket partition column: ``pmod`` of the (hashed) term
+    key into ``nb`` buckets.  Raw string keys hash first so the bucket
+    is uniform either way."""
+    h = term_key if hash_fn == "xxhash64" else F.xxhash64(term_key)
+    return F.pmod(h, F.lit(int(nb))).cast("int")
+
+
+def _finalize_stats(stats: DataFrame) -> DataFrame:
+    """(n_docs, total_dl) -> + derived ``avgdl``.  total_dl is a LONG,
+    so every path (build, merge, batch accumulation) derives avgdl by
+    the same single long/long division — bit-exact across them."""
+    return stats.select(
+        "n_docs", "total_dl",
+        F.when(F.col("n_docs") > 0,
+               F.col("total_dl") / F.col("n_docs"))
+        .otherwise(F.lit(0.0)).alias("avgdl"),
+    )
+
+
 class Bm25Index:
     """Inverted index: ``postings`` (term, doc_id, tf, dl), ``docfreq``
-    (term, df), ``stats`` (n_docs, avgdl) — all DataFrames, so build,
-    save, load, and search are one lazy plan each."""
+    (term, df), ``stats`` (n_docs, total_dl, avgdl) — all DataFrames,
+    so build, save, load, and search are one lazy plan each.
+    Disk-backed handles additionally carry ``path`` and
+    ``bucket_partitions`` (the tbucket fan-out pinned at save/init
+    time), and their postings/docfreq keep the ``tbucket`` column for
+    partition-pruned search."""
+
+    COMPACT_BATCH = -1
 
     def __init__(self, postings: DataFrame, docfreq: DataFrame,
-                 stats: DataFrame, hash_fn: str, lowercase: bool):
+                 stats: DataFrame, hash_fn: str, lowercase: bool,
+                 path: str | None = None,
+                 bucket_partitions: int | None = None):
         self.postings = postings
         self.docfreq = docfreq
         self.stats = stats
         self.hash_fn = hash_fn
         self.lowercase = lowercase
+        self.path = path
+        self.bucket_partitions = bucket_partitions
 
     # -- build / persist ---------------------------------------------------
 
@@ -96,7 +141,7 @@ class Bm25Index:
               id_col: str = "doc_id", hash_fn: str = "xxhash64",
               lowercase: bool = True) -> "Bm25Index":
         toks = docs.select(
-            F.col(id_col).alias("doc_id"),
+            F.col(id_col).cast("long").alias("doc_id"),
             _terms(text_col, lowercase).alias("__t"),
         ).select(
             "doc_id", F.size("__t").alias("dl"),
@@ -114,37 +159,210 @@ class Bm25Index:
         )
         # collection stats over ALL docs (zero-token docs count toward
         # N and pull avgdl down, matching the probabilistic model's
-        # collection definition; they can never match a query)
-        stats = docs.agg(
+        # collection definition; they can never match a query).  Kept
+        # as exact longs; avgdl derives by one division (see
+        # _finalize_stats) so batch accumulation is bit-exact.
+        stats = _finalize_stats(docs.agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.coalesce(
-                F.avg(F.size(_terms(text_col, lowercase))), F.lit(0.0)
-            ).alias("avgdl"),
-        )
+                F.sum(F.size(_terms(text_col, lowercase))), F.lit(0)
+            ).cast("long").alias("total_dl"),
+        ))
         return cls(postings, docfreq, stats, hash_fn, lowercase)
 
-    def save(self, path: str) -> None:
-        """Persist as parquet; postings repartitioned by term key so a
-        term's posting list is file-co-located (search-time semi-join
-        prunes at file level once bucketed)."""
-        self.postings.repartition("term").write.mode(
-            "overwrite").parquet(os.path.join(path, "postings"))
-        self.docfreq.write.mode("overwrite").parquet(
-            os.path.join(path, "docfreq"))
-        self.stats.withColumn("hash_fn", F.lit(self.hash_fn)).withColumn(
-            "lowercase", F.lit(self.lowercase)
-        ).write.mode("overwrite").parquet(os.path.join(path, "stats"))
+    # -- persistence ---------------------------------------------------------
+    #
+    # On-disk layout: <path>/meta (hash_fn, lowercase, bucket_partitions)
+    #   <path>/postings/batch=<id>/tbucket=<b>/   (term, doc_id, tf, dl)
+    #   <path>/docfreq/batch=<id>/tbucket=<b>/    (term, df)
+    #   <path>/stats/batch=<id>/                  (n_docs, total_dl)
+    # ONE partition triple per contributing batch, each written with
+    # overwrite (exactly-once per batch — the BloomIndex/NgramLM
+    # discipline).  Postings concatenate across batches (documents are
+    # batch-disjoint); df sums per term; stats sum — all distributive,
+    # so the consolidated view is BIT-EXACTLY the whole-corpus build.
+    # tbucket sub-partitions both term tables so a search's partition
+    # filter prunes to the query's bucket directories at the scan.
+    # COMPACT_BATCH (-1) holds consolidated history; real batch ids
+    # are non-negative, so exclusion can never hide compacted history.
+
+    def _tdir(self, table: str, batch_id: int) -> str:
+        return f"{self.path}/{table}/batch={int(batch_id)}"
+
+    def _tables(self) -> tuple[tuple[str, DataFrame], ...]:
+        nb = self.bucket_partitions
+        return (
+            ("postings", self.postings.select(
+                "term", "doc_id", "tf", "dl",
+                _tbucket(F.col("term"), self.hash_fn, nb).alias("tbucket"))),
+            ("docfreq", self.docfreq.select(
+                "term", "df",
+                _tbucket(F.col("term"), self.hash_fn, nb).alias("tbucket"))),
+            ("stats", self.stats.select("n_docs", "total_dl")),
+        )
+
+    def save(self, path: str,
+             bucket_partitions: int = 1024) -> "Bm25Index":
+        """Write the index as consolidated history (``batch=-1``) with
+        postings and docfreq partitioned by the ``tbucket`` term-bucket
+        column — the layout that makes a loaded-index search's pruning
+        FILE-level (topk pushes the query buckets as a partition
+        filter).  Each table stages to a ``__saving`` sibling and swaps
+        via checked rename, so saving a loaded handle back onto its own
+        path is a lossless consolidation, never delete-before-write.
+        Returns the disk-backed handle."""
+        from ..fsutil import delete_dir, rename_or_raise
+
+        spark = self.postings.sparkSession
+        staged = Bm25Index(self.postings, self.docfreq, self.stats,
+                           self.hash_fn, self.lowercase, path=path,
+                           bucket_partitions=int(bucket_partitions))
+        for table, df in staged._tables():
+            delete_dir(spark, f"{path}/{table}__saving")
+            w = df.write.mode("overwrite")
+            if table != "stats":
+                w = w.partitionBy("tbucket")
+            w.parquet(f"{path}/{table}__saving/batch={self.COMPACT_BATCH}")
+        for table in ("postings", "docfreq", "stats"):
+            delete_dir(spark, f"{path}/{table}")
+            rename_or_raise(spark, f"{path}/{table}__saving",
+                            f"{path}/{table}")
+        spark.createDataFrame(
+            [(self.hash_fn, bool(self.lowercase), int(bucket_partitions))],
+            "hash_fn string, lowercase boolean, bucket_partitions int",
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+        return Bm25Index.load(spark, path)
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str) -> "Bm25Index":
-        stats = spark.read.parquet(os.path.join(path, "stats"))
-        meta = stats.select("hash_fn", "lowercase").first()
-        return cls(
-            spark.read.parquet(os.path.join(path, "postings")),
-            spark.read.parquet(os.path.join(path, "docfreq")),
-            stats.select("n_docs", "avgdl"),
-            meta.hash_fn, meta.lowercase,
+    def init(cls, spark: SparkSession, path: str,
+             hash_fn: str = "xxhash64", lowercase: bool = True,
+             bucket_partitions: int = 1024) -> "Bm25Index":
+        """Create an EMPTY disk-backed index (term convention and
+        bucket fan-out pinned).  The streaming accumulation path: init
+        once, then every corpus batch goes through
+        :meth:`append_batch`."""
+        _term_key(hash_fn)  # validate
+        term_t = "long" if hash_fn == "xxhash64" else "string"
+        empty = cls(
+            spark.createDataFrame(
+                [], f"term {term_t}, doc_id long, tf long, dl int"),
+            spark.createDataFrame([], f"term {term_t}, df long"),
+            _finalize_stats(spark.createDataFrame(
+                [(0, 0)], "n_docs long, total_dl long")),
+            hash_fn, lowercase,
         )
+        return empty.save(path, bucket_partitions=bucket_partitions)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str,
+             exclude_batch: int | None = None) -> "Bm25Index":
+        """The stored batch partitions, consolidated lazily (postings
+        concatenate; df sums per (term, tbucket); stats sum — all fold
+        into the search plan).  ``exclude_batch``: skip that batch's
+        partitions (pruned at the scan) — what a foreachBatch caller
+        passes so a REPLAYED batch searches the index as of its
+        predecessors, not as of its own failed first attempt.  Load
+        cost: one 1-row meta read, no model-wide jobs."""
+        meta = spark.read.parquet(f"{path}/meta").first()
+        term_t = "long" if meta.hash_fn == "xxhash64" else "string"
+        # explicit schemas: an EMPTY partitionBy write (init, or an
+        # empty batch) leaves a batch dir with no data files, which
+        # schema inference cannot read — the declared schema makes
+        # such dirs read as zero rows instead of erroring
+        schemas = {
+            "postings": f"term {term_t}, doc_id long, tf long, dl int, "
+                        "tbucket int, batch int",
+            "docfreq": f"term {term_t}, df long, tbucket int, batch int",
+            "stats": "n_docs long, total_dl long, batch int",
+        }
+
+        def _table(name: str) -> DataFrame:
+            t = spark.read.schema(schemas[name]).parquet(f"{path}/{name}")
+            if exclude_batch is not None:
+                t = t.filter(F.col("batch") != int(exclude_batch))
+            return t.drop("batch")
+
+        postings = _table("postings")
+        # tbucket is a grouping column, so topk's bucket filter pushes
+        # through this aggregate down to the scan's PartitionFilters
+        docfreq = _table("docfreq").groupBy("term", "tbucket").agg(
+            F.sum("df").alias("df")
+        )
+        stats = _finalize_stats(_table("stats").agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+            F.coalesce(F.sum("total_dl"), F.lit(0)).alias("total_dl"),
+        ))
+        return cls(postings, docfreq, stats, meta.hash_fn,
+                   bool(meta.lowercase), path=path,
+                   bucket_partitions=int(meta.bucket_partitions))
+
+    # -- streaming maintenance ------------------------------------------------
+
+    def append_batch(self, docs: DataFrame, batch_id: int,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     reload: bool = True) -> "Bm25Index | None":
+        """Fold corpus batch ``batch_id`` into a DISK-BACKED index by
+        OVERWRITING that batch's three partitions — O(batch) work (df,
+        tf, stats are distributive over document-disjoint batches; no
+        history is re-read), exactly-once under replay (a replayed
+        batch rewrites its own partitions).  ``batch_id`` must be
+        non-negative (negative ids are reserved for compacted
+        history).  ``reload=False`` makes the append WRITE-ONLY
+        (returns None) for sinks that discard the return value."""
+        if self.path is None:
+            raise ValueError(
+                "append_batch requires a saved index (use save()/init())"
+            )
+        if int(batch_id) < 0:
+            raise ValueError(f"batch_id must be >= 0, got {batch_id}")
+        sub = Bm25Index.build(docs, text_col=text_col, id_col=id_col,
+                              hash_fn=self.hash_fn, lowercase=self.lowercase)
+        sub.path = self.path
+        sub.bucket_partitions = self.bucket_partitions
+        for table, df in sub._tables():
+            w = df.write.mode("overwrite")
+            if table != "stats":
+                w = w.partitionBy("tbucket")
+            w.parquet(self._tdir(table, batch_id))
+        if not reload:
+            return None
+        return Bm25Index.load(self.postings.sparkSession, self.path)
+
+    def compact(self, exclude_batch: int | None = None) -> "Bm25Index":
+        """Rewrite the stored batch partitions into one consolidated
+        ``batch=-1`` triple (sibling-then-rename swap; not atomic —
+        run between batches, never concurrently with searches).
+        ``exclude_batch``: leave that batch's partitions uncompacted
+        (moved through the swap verbatim) so ``load(exclude_batch=N)``
+        can still hide an uncommitted first attempt on replay — the
+        same discipline as :meth:`.bloom.BloomIndex.compact`."""
+        if self.path is None:
+            raise ValueError("compact requires a saved index (use save())")
+        from ..fsutil import delete_dir, path_exists, rename_or_raise
+
+        spark = self.postings.sparkSession
+        consolidated = Bm25Index.load(spark, self.path,
+                                      exclude_batch=exclude_batch)
+        consolidated.bucket_partitions = self.bucket_partitions
+        for table, df in consolidated._tables():
+            src = f"{self.path}/{table}"
+            tmp = f"{self.path}/{table}__compacting"
+            w = df.write.mode("overwrite")
+            if table != "stats":
+                w = w.partitionBy("tbucket")
+            w.parquet(f"{tmp}/batch={self.COMPACT_BATCH}")
+            if exclude_batch is not None and path_exists(
+                spark, self._tdir(table, exclude_batch)
+            ):
+                rename_or_raise(
+                    spark, self._tdir(table, exclude_batch),
+                    f"{tmp}/batch={int(exclude_batch)}",
+                )
+            delete_dir(spark, src)
+            rename_or_raise(spark, tmp, src)
+        return Bm25Index.load(spark, self.path)
+
+    # -- composition -----------------------------------------------------------
 
     def merge(self, other: "Bm25Index") -> "Bm25Index":
         """Union two indexes over DOCUMENT-DISJOINT corpora: tf/dl rows
@@ -157,18 +375,22 @@ class Bm25Index:
             # a silent merge would make corpus B's cased postings
             # unreachable from folded queries (and corrupt df sums)
             raise ValueError("merge: lowercase mismatch")
-        postings = self.postings.unionByName(other.postings)
+        cols = ("term", "doc_id", "tf", "dl")
+        postings = self.postings.select(*cols).unionByName(
+            other.postings.select(*cols))
         docfreq = (
-            self.docfreq.unionByName(other.docfreq)
+            self.docfreq.select("term", "df")
+            .unionByName(other.docfreq.select("term", "df"))
             .groupBy("term").agg(F.sum("df").alias("df"))
         )
-        # stats combine distributively: weighted mean of the two avgdl
-        stats = (
-            self.stats.unionByName(other.stats)
+        # stats combine distributively over the EXACT longs; avgdl
+        # re-derives by the same one division as build — bit-exact
+        stats = _finalize_stats(
+            self.stats.select("n_docs", "total_dl")
+            .unionByName(other.stats.select("n_docs", "total_dl"))
             .agg(
                 F.sum("n_docs").alias("n_docs"),
-                (F.sum(F.col("avgdl") * F.col("n_docs"))
-                 / F.sum("n_docs")).alias("avgdl"),
+                F.sum("total_dl").alias("total_dl"),
             )
         )
         return Bm25Index(postings, docfreq, stats, self.hash_fn,
@@ -214,8 +436,28 @@ class Bm25Index:
         )
         bc = F.broadcast if broadcast_queries else (lambda df: df)
         qvocab = qterms.select("term").distinct()
+        postings_src, docfreq_src = self.postings, self.docfreq
+        if self.bucket_partitions is not None and broadcast_queries:
+            # FILE-level pruning against a saved index: collect the
+            # query terms' bucket set (driver-scale by the same
+            # argument that lets the vocabulary broadcast, and capped
+            # at bucket_partitions values) and push it as a partition
+            # filter — the tbucket filter reaches the scan's
+            # PartitionFilters (through docfreq's consolidation
+            # aggregate too, since tbucket is a grouping column), so
+            # only the query's bucket directories are read.
+            bks = sorted(
+                r[0] for r in qvocab.select(
+                    _tbucket(F.col("term"), self.hash_fn,
+                             self.bucket_partitions).alias("tb")
+                ).distinct().collect()
+            )
+            bfilter = (F.col("tbucket").isin(bks) if bks
+                       else F.lit(False))
+            postings_src = postings_src.filter(bfilter)
+            docfreq_src = docfreq_src.filter(bfilter)
         matched_df = (
-            self.docfreq.join(bc(qvocab), "term", "left_semi")
+            docfreq_src.join(bc(qvocab), "term", "left_semi")
             .crossJoin(F.broadcast(self.stats))
         )
         if max_df_ratio is not None:
@@ -235,7 +477,7 @@ class Bm25Index:
         # corpus-side postings pay ONE broadcast probe, and df-pruned
         # terms never touch a posting list at all
         qscore = qterms.join(idf, "term")
-        matched = self.postings.join(bc(qscore), "term")
+        matched = postings_src.join(bc(qscore), "term")
         contrib = matched.select(
             "query_id", "doc_id",
             (
