@@ -36,22 +36,6 @@ def delete_dir(spark: SparkSession, path: str) -> bool:
     return False
 
 
-def has_data_files(spark: SparkSession, path: str) -> bool:
-    """True iff ``path`` exists and contains anything besides write
-    markers (``_SUCCESS`` etc.).  A ``partitionBy`` write of an EMPTY
-    frame creates the directory with only markers — readers that union
-    ``batch=<id>`` partitions use this to skip such dirs precisely,
-    instead of swallowing read exceptions (which would also hide real
-    corruption)."""
-    fs, hpath, _ = _fs_and_path(spark, path)
-    if not fs.exists(hpath):
-        return False
-    for status in fs.listStatus(hpath):
-        if not status.getPath().getName().startswith("_"):
-            return True
-    return False
-
-
 def list_batch_ids(spark: SparkSession, path: str) -> list[int]:
     """Sorted batch ids of the ``batch=<id>`` partition dirs under
     ``path`` (empty list when none)."""

@@ -140,6 +140,24 @@ class Bm25Index:
     def build(cls, docs: DataFrame, text_col: str = "text",
               id_col: str = "doc_id", hash_fn: str = "xxhash64",
               lowercase: bool = True) -> "Bm25Index":
+        """``id_col`` must be an integral column: the pinned on-disk
+        posting schema stores doc_id as long, and a silent cast of a
+        string-id corpus would null every id and collapse all scores
+        into one (NULL, term) group — so non-integral ids raise here
+        instead.  Map string ids first (``F.xxhash64`` or an id
+        dictionary join)."""
+        from pyspark.sql import types as T
+
+        id_type = docs.schema[id_col].dataType
+        if not isinstance(id_type, (T.ByteType, T.ShortType,
+                                    T.IntegerType, T.LongType)):
+            raise TypeError(
+                f"Bm25Index requires an integral id column; "
+                f"{id_col!r} is {id_type.simpleString()}. Map string "
+                "ids to longs first (F.xxhash64(id) or an id-dictionary "
+                "join) — a silent cast would null non-numeric ids and "
+                "collapse every document into one posting group."
+            )
         toks = docs.select(
             F.col(id_col).cast("long").alias("doc_id"),
             _terms(text_col, lowercase).alias("__t"),
@@ -263,6 +281,15 @@ class Bm25Index:
         passes so a REPLAYED batch searches the index as of its
         predecessors, not as of its own failed first attempt.  Load
         cost: one 1-row meta read, no model-wide jobs."""
+        from ..fsutil import path_exists
+
+        if not path_exists(spark, f"{path}/meta"):
+            raise ValueError(
+                f"no Bm25Index meta table under {path!r}: either the "
+                "path is not a saved Bm25Index, or the index predates "
+                "the batch-partitioned layout (settings embedded in "
+                "stats, no meta dir) — rebuild it with build().save()."
+            )
         meta = spark.read.parquet(f"{path}/meta").first()
         term_t = "long" if meta.hash_fn == "xxhash64" else "string"
         # explicit schemas: an EMPTY partitionBy write (init, or an
