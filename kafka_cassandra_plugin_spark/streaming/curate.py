@@ -133,6 +133,20 @@ class CurationSink:
     folds committed LM count partitions into history alongside the
     bloom/index compactions.
 
+    ``bm25_path``: maintain an incremental :class:`..operators.retrieval.
+    Bm25Index` over every ACCEPTED document — the retrieval surface
+    ("find the training documents most relevant to this probe") kept
+    current at ingest instead of rebuilt per audit.  Each micro-batch
+    overwrites its own ``batch=<id>`` postings/docfreq/stats partitions
+    (``append_batch(reload=False)`` — O(batch) work, exactly-once under
+    replay, no history re-read; df/tf/stats are distributive over the
+    document-disjoint batches the sink produces).  The first batch
+    creates the index (``bm25_bucket_partitions`` pins the term-bucket
+    fan-out for file-level search pruning); ``compact_every`` folds
+    committed batch partitions into history alongside the bloom/LM
+    compactions, with the same exclude-in-flight discipline.  Search
+    any time with ``Bm25Index.load(spark, bm25_path).topk(...)``.
+
     ``compact_every``: every N index-growing micro-batches, rewrite the
     index's band/shingle parquet into ``compact_target_mb`` files
     (:meth:`MinHashIndex.compact`) AND coalesce the accepted dataset's
@@ -163,6 +177,8 @@ class CurationSink:
                  lm_digit_bucket: bool = False,
                  clf_path: str | None = None,
                  langid_path: str | None = None,
+                 bm25_path: str | None = None,
+                 bm25_bucket_partitions: int = 1024,
                  **curate_kwargs):
         if lm_path is not None and "lm" in curate_kwargs:
             raise ValueError(
@@ -197,6 +213,8 @@ class CurationSink:
         self.lm_digit_bucket = lm_digit_bucket
         self.clf_path = clf_path
         self.langid_path = langid_path
+        self.bm25_path = bm25_path
+        self.bm25_bucket_partitions = bm25_bucket_partitions
         self.curate_kwargs = curate_kwargs
         self._clf = None
         self._langid = None
@@ -279,6 +297,23 @@ class CurationSink:
             # warms up.
             lm = NgramLM.load(spark, self.lm_path, exclude_batch=batch_id)
             lm_kwargs["lm"] = lm
+        if self.bm25_path is not None:
+            from ..operators.retrieval import Bm25Index
+
+            if not self._path_exists(spark, f"{self.bm25_path}/meta"):
+                Bm25Index.init(
+                    spark, self.bm25_path,
+                    bucket_partitions=self.bm25_bucket_partitions,
+                )
+            elif (self.compact_every and self._adds
+                    and self._adds % self.compact_every == 0):
+                # same pre-batch + exclude-in-flight discipline as the
+                # bloom/LM compactions above: a failed first attempt of
+                # this batch may have written batch=<id> partitions that
+                # must stay hideable through the compaction
+                Bm25Index.load(spark, self.bm25_path).compact(
+                    exclude_batch=batch_id
+                )
         clf_kwargs = {}
         if self.clf_path is not None:
             if self._clf is None:
@@ -333,6 +368,17 @@ class CurationSink:
             lm.append_batch(
                 accepted.select(self.id_col, self.text_col),
                 batch_id, self.text_col, reload=False,
+            )
+        if self.bm25_path is not None:
+            from ..operators.retrieval import Bm25Index
+
+            # O(batch) overwrite of THIS batch's postings/docfreq/stats
+            # partitions - exactly-once under replay, like the output
+            # dir above; write-only (the next batch loads fresh)
+            Bm25Index.load(spark, self.bm25_path).append_batch(
+                accepted.select(self.id_col, self.text_col), batch_id,
+                text_col=self.text_col, id_col=self.id_col,
+                reload=False,
             )
         self._adds += 1
         if self.compact_every and self._adds % self.compact_every == 0:
