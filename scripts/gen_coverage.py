@@ -262,6 +262,81 @@ TIER_D = {
             "xxhash64; DuckDB oracle sf0.01 (pytest) + sf1 (bench "
             "'dedup_lines'); benched as extra_queries['dedup_lines'] "
             "(tests/test_substring_dedup.py)"),
+    "D22": ("BM25 full-text retrieval (Bm25Index build/save/load/merge/"
+            "topk + bm25_topk - Robertson/Lucene idf; inverted index as "
+            "DataFrames with dl denormalized onto postings, broadcast "
+            "query vocabulary, WindowGroupLimit top-k, zero UDFs; round "
+            "8-9: disk-backed incremental maintenance - init/append_batch"
+            "/compact batch-partitioned layout with the D18/D19 "
+            "replay-exclusion discipline, tbucket term-bucket partitions "
+            "for FILE-level search pruning, CurationSink(bm25_path=))",
+            "operators/retrieval.py, streaming/curate.py",
+            "hand-computed scores exact to the ulp (idf, tf "
+            "normalization, qtf multiplicity); doc_id tiebreak on exact "
+            "ties; raw == xxhash64 term keys; save/load score-identical; "
+            "doc-disjoint merge == whole build; zero-token docs count in "
+            "N/avgdl; non-integral doc_id raises at build; accumulate == "
+            "whole-build bit-exact (postings, df, stats longs); replay "
+            "overwrites not double-counts; load(exclude_batch) as-of "
+            "view; compact with/without exclude_batch keeps the "
+            "in-flight partition hideable; save-onto-own-path lossless; "
+            "save-onto-stale-path replaces history; tbucket reaches "
+            "PartitionFilters on BOTH postings and docfreq scans + "
+            "planted-corrupt-file proof that untouched bucket files are "
+            "never opened; sink-maintained index == rebuild over the "
+            "accepted corpus with replay + compaction; no-cartesian/"
+            "no-Python/broadcast-query plan gates; DuckDB oracle sf0.01 "
+            "(pytest) + sf1 (bench 'bm25_topk'); benched as "
+            "extra_queries['bm25_topk'] fit-once/search-many "
+            "(tests/test_retrieval.py, test_streaming_curate.py)"),
+    "D23": ("DSIR importance-resampled selection (dsir_select/"
+            "dsir_logweights/bucket_distribution - Xie et al. 2023 "
+            "hashed unigram+bigram multinomial ratio, deterministic "
+            "hash-derived Gumbel top-k, zero UDFs)",
+            "operators/selection.py",
+            "hand-computed log weights exact vs an independent Python "
+            "reimplementation; empty doc neutral; target-like docs "
+            "outweigh off-target; occurrence (not distinct) counting; "
+            "deterministic per seed, moves with seed; selection pulls "
+            ">=90% from the planted high-weight half; no-cartesian/"
+            "no-Python/broadcast-ratio plan gates; DuckDB oracle sf0.01 "
+            "(pytest) + sf1 (bench 'dsir_select') covering weights AND "
+            "the Gumbel draw; benched as extra_queries['dsir_select'] "
+            "(tests/test_selection.py)"),
+    "D24": ("hashed-ngram quality classifier (QualityClassifier fit/save/"
+            "load/score/keep - fastText-style LR over the D23 features; "
+            "MLlib fit, pure-built-in broadcast-weight scoring, zero "
+            "UDFs in the score path)",
+            "operators/classifier.py",
+            "planted separable corpora separate; scoring exact vs "
+            "hand-computed sigmoid with constructed weights; featureless "
+            "doc == sigmoid(intercept) exactly; save/load "
+            "score-identical; no-Python/no-cartesian/broadcast-weight "
+            "score plan gates; funnel clf_low_quality gate (clf= + "
+            "min_clf_score=, planted spam rejected, partition property, "
+            "threshold-less ValueError); DuckDB oracle sf0.01 (pytest) + "
+            "sf1 (bench 'quality_classifier' factory - fitted "
+            "coefficients exported as literal tables); benched as "
+            "extra_queries['quality_classifier'] fit-once/score-many "
+            "(tests/test_classifier.py)"),
+    "D25": ("language identification (LangIdModel fit/save/load/predict/"
+            "keep - CCNet step 0; multinomial NB over hashed character "
+            "1..n-grams, closed-form count fit, dense B x L model "
+            "table, zero UDFs end to end)",
+            "operators/langid.py",
+            "hand-computed NB posteriors exact (priors, smoothing, "
+            "softmax conf); fit counts match a hand NB; zero-gram docs "
+            "score the prior; empty-corpus language cannot hijack the "
+            "argmax; argmax round-6 + lexicographic tiebreak; save/load "
+            "predict-identical; planted separable languages recovered; "
+            "funnel lang-annotation override (langid= / min_lang_conf "
+            "gate, reserved-column collision raises) + "
+            "CurationSink(langid_path=) wiring; broadcast-model/"
+            "no-Python/no-cartesian plan gates; DuckDB oracle sf0.01 "
+            "(pytest) + sf1 (bench 'langid' factory - model tables "
+            "exported, DuckDB re-derives every prediction from raw "
+            "text); benched as extra_queries['langid'] "
+            "fit-once/predict-many (tests/test_langid.py)"),
 }
 
 
@@ -303,14 +378,15 @@ def main() -> None:
     n_oracle = sum(1 for q in reg.values() if q.sql)
     lines.append(
         f"**Totals**: {n_q} declared queries ({n_oracle} oracle-matched, "
-        f"{n_q - n_oracle} rows-only) + 9 pytest-oracled tier-D queries "
+        f"{n_q - n_oracle} rows-only) + 14 pytest-oracled tier-D queries "
         "(`repetition_signals`, `decontam_ngram13`, `decontam_jaccard`, "
         "`quality_report`, `pii_redaction`, `sample_per_group`, "
-        "`dedup_semantic`, `dedup_substring`, `dedup_lines` — the "
-        "driver's 50-query verdict window is full, so their DuckDB "
-        "oracles run in pytest through the same harness, and the bench "
-        "re-checks them at sf1); inventory rows "
-        f"uncovered: {missing or 'none'}."
+        "`dedup_semantic`, `dedup_substring`, `dedup_lines`, "
+        "`bm25_topk`, `dsir_select`, `quality_classifier`, "
+        "`lm_perplexity`, `langid` — the driver's 50-query verdict "
+        "window is full, so their DuckDB oracles run in pytest through "
+        "the same harness, and the bench re-checks them at sf1); "
+        f"inventory rows uncovered: {missing or 'none'}."
     )
     with open(os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
