@@ -31,8 +31,10 @@ class TestLoadAnchors:
         a = bench.load_anchors(str(tmp_path))
         assert a["q_alpha"] == 1.5
         assert a["x_beta"] == 2.0
-        # explicit BASELINE anchor min-merges with recorded readings
-        assert a["csv_roundtrip"] == 0.6
+        # explicit BASELINE anchors are AUTHORITATIVE (round 9): a
+        # recorded reading below a with-cause re-anchor must not
+        # silently undo it
+        assert a["csv_roundtrip"] == bench.EXPLICIT_ANCHORS["csv_roundtrip"]
 
     def test_truncated_tail_shape(self, tmp_path):
         tail = ('_wall", "value": 60.4, "unit": "sec", "queries": '
@@ -58,3 +60,38 @@ class TestLoadAnchors:
         (tmp_path / "BENCH_r01.json").write_text("{not json")
         write(tmp_path, "BENCH_r02.json", {"parsed": {"queries": {"q": 0.9}}})
         assert bench.load_anchors(str(tmp_path))["q"] == 0.9
+
+    def test_reanchored_rows_ignore_stale_artifact_minima(self, tmp_path):
+        """The r8 verdict item: udf_scalar's 0.72 artifact minimum
+        predates the openCost trade; with the old min-merge it kept
+        winning and drifted the row toward the 2x gate."""
+        write(tmp_path, "BENCH_r01.json", {
+            "parsed": {"queries": {"udf_scalar": 0.72,
+                                   "lm_perplexity": 0.40}},
+        })
+        a = bench.load_anchors(str(tmp_path))
+        assert a["udf_scalar"] == bench.EXPLICIT_ANCHORS["udf_scalar"]
+        assert a["lm_perplexity"] == bench.EXPLICIT_ANCHORS["lm_perplexity"]
+
+
+class TestSf1Priors:
+    """The r8 verdict item #3: sf1 smoke rows were single-run with no
+    retry, producing one contaminated headline reading per round; the
+    retry trigger compares against the best prior-artifact sf1 value."""
+
+    def test_minimum_across_rounds_and_shapes(self, tmp_path):
+        write(tmp_path, "BENCH_r01.json", {
+            "parsed": {"sf1_queries": {"langid": 6.57, "text_stats": 3.0}},
+        })
+        write(tmp_path, "BENCH_r02.json", {
+            "sf1_queries": {"langid": 23.35},  # raw-payload shape
+        })
+        p = bench._load_sf1_priors(str(tmp_path))
+        assert p["langid"] == 6.57
+        assert p["text_stats"] == 3.0
+
+    def test_missing_or_unreadable(self, tmp_path):
+        assert bench._load_sf1_priors(str(tmp_path)) == {}
+        (tmp_path / "BENCH_r01.json").write_text("{not json")
+        write(tmp_path, "BENCH_r02.json", {"parsed": {"queries": {}}})
+        assert bench._load_sf1_priors(str(tmp_path)) == {}
