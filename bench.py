@@ -398,6 +398,9 @@ def _tier_d_oracle_pairs():
         # D24: oracle-pair factory (fitted coefficients register as
         # DuckDB literal tables before the SQL runs, like dedup_semantic)
         "quality_classifier": L.quality_classifier_oracle,
+        # D26 (round 9): winnowed selection under the md5-portable key
+        "fingerprint_winnow": (L.fingerprint_winnow,
+                               L.FINGERPRINT_WINNOW_SQL),
         # D19 (round 6): the fitted trigram count tables export the same
         # way (27k gram rows at sf1 - the rotate corpus bounds vocab)
         "lm_perplexity": L.lm_perplexity_oracle,
@@ -409,11 +412,13 @@ def _tier_d_oracle_pairs():
 
 
 def _sf1_oracle(spark, sf1_dir: str, registry,
-                budget_s: float = 1250.0) -> dict:
+                budget_s: float = 1300.0) -> dict:
     # budget raised 900 -> 1100 with the round-6 D22-D24 entries
     # (bm25 ~45 s, quality_classifier ~41 s, dsir ~6 s measured);
     # -> 1250 with the round-7 langid entry (DuckDB's side is ~30M
-    # char-gram rows x L langs through the model join at sf1)
+    # char-gram rows x L langs through the model join at sf1);
+    # -> 1300 with the round-9 fingerprint_winnow entry (~2.5M md5
+    # gram hashes + one window pass per side)
     from kafka_cassandra_plugin_spark import oracle
 
     budget_s = float(os.environ.get("SPARK_GRAFT_SF1_ORACLE_BUDGET", budget_s))
@@ -952,6 +957,23 @@ def _depth_ops(sf_dir):
             )
         return _state["qclf"].score(d.select("doc_id", "text"))
 
+    # D26 row (round 9): winnowing fingerprints + MOSS pair scores in
+    # one lineage (selection is the dominant term; the overlap join
+    # rides the governed max_fp_docs cap) - xxhash64 at-scale keys; the
+    # md5-portable oracle twins live in tests/test_fingerprint.py and
+    # the bench sf1 oracle.
+    def fingerprint(spark):
+        from kafka_cassandra_plugin_spark.operators.fingerprint import (
+            fingerprint_overlap,
+            winnow_fingerprints,
+        )
+
+        d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+        fps = winnow_fingerprints(d, k=4, w=4)
+        return fingerprint_overlap(fps, max_fp_docs=64).filter(
+            F.col("overlap") >= 0.5
+        )
+
     return {"curation_funnel": curation_funnel, "sim_ivf_pq": ivf_pq,
             "decontaminate": decontaminate,
             "shard_export[staging]": shard_export_staging,
@@ -964,7 +986,8 @@ def _depth_ops(sf_dir):
             "bloom_filter_new": bloom_probe, "lm_perplexity": lm_ppl,
             "dedup_substring": substring_spans, "dedup_lines": line_dedup,
             "bm25_topk": bm25, "dsir_select": dsir,
-            "quality_classifier": quality_clf, "langid": lang_identify}
+            "quality_classifier": quality_clf, "langid": lang_identify,
+            "fingerprint_winnow": fingerprint}
 
 
 if __name__ == "__main__":

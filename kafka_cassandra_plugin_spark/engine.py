@@ -38,6 +38,7 @@ from .operators import packing as _packing
 from .operators import pii as _pii
 from .operators import pipeline as _pipeline
 from .operators import classifier as _classifier
+from .operators import fingerprint as _fingerprint
 from .operators import langid as _langid
 from .operators import quantization as _quantization
 from .operators import retrieval as _retrieval
@@ -214,3 +215,8 @@ class Engine:
 
     def load_langid(self, path: str) -> "_langid.LangIdModel":
         return _langid.LangIdModel.load(self.spark, path)
+
+    # -- D26: winnowing fingerprints (round 9) --------------------------------
+    winnow_fingerprints = staticmethod(_fingerprint.winnow_fingerprints)
+    fingerprint_overlap = staticmethod(_fingerprint.fingerprint_overlap)
+    fingerprint_near_dups = staticmethod(_fingerprint.fingerprint_near_dups)

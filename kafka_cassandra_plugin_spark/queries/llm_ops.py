@@ -1930,3 +1930,155 @@ def langid_oracle(spark, sf_dir, con):
         .orderBy("doc_id")
     )
     return df, LANGID_SQL
+
+
+# -- D26: winnowing fingerprints (round 9) ----------------------------------
+#
+# The MOSS selection is position-exact and hash-exact under the
+# md5-portable gram hash, so BOTH the fingerprint SET (winnow) and the
+# pair scores (overlap) oracle-verify: a window-frame off-by-one, a
+# tie-break divergence (rightmost vs leftmost argmin), or a dedup bug
+# (the consecutive-selection interval property) all hash-mismatch.
+
+FINGERPRINT_WINNOW_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, len(t) - 3 AS m,
+             unnest(generate_series(1, len(t) - 3)) AS gs, t
+      FROM toks WHERE len(t) >= 4
+    ),
+    hashed AS (
+      SELECT doc_id, m, gs - 1 AS start,
+             ('0x' || substr(md5(array_to_string(t[gs:gs+3], ' ')),
+                             1, 13))::BIGINT AS h
+      FROM grams
+    ),
+    win AS (
+      SELECT doc_id, m, start,
+             min({'h': h, 'np': -start}) OVER (
+               PARTITION BY doc_id ORDER BY start
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+      FROM hashed
+    )
+    SELECT DISTINCT doc_id, -sel.np AS pos, sel.h AS fp
+    FROM win WHERE start <= greatest(m - 4, 0)
+    ORDER BY doc_id, pos
+"""
+
+
+def fingerprint_winnow(spark, sf_dir):
+    """The D26 selection-shape query: winnowed (doc_id, pos, fp) over
+    the documents table at k=4, w=4 under the md5-portable gram hash -
+    the xxhash64 twin is the bench row.  The DuckDB mirror re-derives
+    tokenization, gram hashing, the rightmost-argmin window (struct
+    min over (h, -pos)), and the anchor bound - DISTINCT in SQL equals
+    the Spark side's lag-dedup by the winnowing interval property."""
+    from ..operators.fingerprint import winnow_fingerprints
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    return winnow_fingerprints(d, k=4, w=4, hash_fn="md5").orderBy(
+        "doc_id", "pos"
+    )
+
+
+FINGERPRINT_OVERLAP_SQL = r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 4000000,
+             array_to_string(
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> x <> '')[1:30], ' ')
+             || ' tail' || doc_id || ' extra' || doc_id
+      FROM documents
+      WHERE doc_id % 7 = 0
+        AND len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            x -> x <> '')) >= 30
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM corpus
+    ),
+    grams AS (
+      SELECT doc_id, len(t) - 3 AS m,
+             unnest(generate_series(1, len(t) - 3)) AS gs, t
+      FROM toks WHERE len(t) >= 4
+    ),
+    hashed AS (
+      SELECT doc_id, m, gs - 1 AS start,
+             ('0x' || substr(md5(array_to_string(t[gs:gs+3], ' ')),
+                             1, 13))::BIGINT AS h
+      FROM grams
+    ),
+    win AS (
+      SELECT doc_id, m, start,
+             min({'h': h, 'np': -start}) OVER (
+               PARTITION BY doc_id ORDER BY start
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+      FROM hashed
+    ),
+    sets AS (
+      SELECT DISTINCT doc_id, sel.h AS fp
+      FROM win WHERE start <= greatest(m - 4, 0)
+    ),
+    sizes AS (
+      SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sets a JOIN sets b USING (fp)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, shared, sa.n AS n_a, sb.n AS n_b,
+           round(shared / least(sa.n, sb.n), 4) AS overlap
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE shared / least(sa.n, sb.n) >= 0.5
+    ORDER BY id_a, id_b
+"""
+
+
+def fingerprint_overlap_pairs(spark, sf_dir):
+    """The D26 pair-scoring query: every 7th document's 30-token
+    prefix re-appears under a fresh id with a unique tail (the D20
+    planting pattern), and the MOSS containment scores must surface
+    exactly those pairs at overlap >= 0.5.  Exact (max_fp_docs=None) -
+    the governed variant is the bench row."""
+    from ..operators.fingerprint import (
+        fingerprint_overlap,
+        winnow_fingerprints,
+    )
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    with_t = d.select("doc_id", toks.alias("t"))
+    planted = with_t.filter(
+        (F.col("doc_id") % 7 == 0) & (F.size("t") >= 30)
+    ).select(
+        (F.col("doc_id") + 4_000_000).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice("t", 1, 30), " "),
+            F.lit(" tail"), F.col("doc_id").cast("string"),
+            F.lit(" extra"), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    corpus = d.unionByName(planted)
+    fps = winnow_fingerprints(corpus, k=4, w=4, hash_fn="md5")
+    return (
+        fingerprint_overlap(fps)
+        .filter(F.col("overlap") >= 0.5)
+        .select("id_a", "id_b", "shared", "n_a", "n_b",
+                F.round("overlap", 4).alias("overlap"))
+        .orderBy("id_a", "id_b")
+    )

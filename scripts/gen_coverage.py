@@ -337,6 +337,28 @@ TIER_D = {
             "exported, DuckDB re-derives every prediction from raw "
             "text); benched as extra_queries['langid'] "
             "fit-once/predict-many (tests/test_langid.py)"),
+    "D26": ("winnowing fingerprints (winnow_fingerprints/"
+            "fingerprint_overlap/fingerprint_near_dups - Schleimer et "
+            "al. SIGMOD 2003, the MOSS detector; per-window "
+            "rightmost-argmin k-gram sampling + containment pair "
+            "scores; ONE Exchange selection via struct-min sliding "
+            "frame + lag dedup (the winnowing interval property), "
+            "fp-value equi-join pairing with the max_fp_docs "
+            "boilerplate/fanout governor, zero UDFs)",
+            "operators/fingerprint.py",
+            "selection exactly matches an independent pure-Python "
+            "winnowing reimplementation across (k, w) configs, hash "
+            "values included; density guarantee (consecutive selected "
+            "positions <= w apart); rightmost tie-break; short-doc "
+            "global-min edge; sub-k docs contribute nothing; identical "
+            "docs overlap 1.0; planted partial copies found, disjoint "
+            "absent; max_fp_docs drops a 12-doc license header; "
+            "one-Exchange/no-Python/no-cartesian plan gates; DuckDB "
+            "oracle sf0.01 (pytest) + sf1 (bench "
+            "'fingerprint_winnow') for BOTH the selection and the "
+            "pair scores; benched as "
+            "extra_queries['fingerprint_winnow'] "
+            "(tests/test_fingerprint.py)"),
 }
 
 
@@ -378,12 +400,12 @@ def main() -> None:
     n_oracle = sum(1 for q in reg.values() if q.sql)
     lines.append(
         f"**Totals**: {n_q} declared queries ({n_oracle} oracle-matched, "
-        f"{n_q - n_oracle} rows-only) + 14 pytest-oracled tier-D queries "
+        f"{n_q - n_oracle} rows-only) + 15 pytest-oracled tier-D queries "
         "(`repetition_signals`, `decontam_ngram13`, `decontam_jaccard`, "
         "`quality_report`, `pii_redaction`, `sample_per_group`, "
         "`dedup_semantic`, `dedup_substring`, `dedup_lines`, "
         "`bm25_topk`, `dsir_select`, `quality_classifier`, "
-        "`lm_perplexity`, `langid` — the driver's 50-query verdict "
+        "`lm_perplexity`, `langid`, `fingerprint_winnow` — the driver's 50-query verdict "
         "window is full, so their DuckDB oracles run in pytest through "
         "the same harness, and the bench re-checks them at sf1); "
         f"inventory rows uncovered: {missing or 'none'}."
