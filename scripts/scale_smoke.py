@@ -38,6 +38,7 @@ DEPTH = [
     "decontaminate", "curation_funnel", "dedup_semantic",
     "dedup_substring", "dedup_lines",
     "bm25_topk", "dsir_select", "quality_classifier",
+    "fingerprint_winnow",
 ]
 
 
