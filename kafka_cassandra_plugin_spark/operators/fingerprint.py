@@ -139,8 +139,17 @@ def fingerprint_overlap(fps: DataFrame, id_col: str = "doc_id",
     banners).  The paper's "too common to mean anything" rule doubles
     as THE scale governor: pair fanout per fingerprint is bounded by
     max_fp_docs^2 instead of corpus^2.  None = exact (small corpora /
-    the oracle twin)."""
-    sets = fps.select(id_col, "fp").distinct()
+    the oracle twin).
+
+    The distinct (doc, fp) projection is PERSISTED here: four subtrees
+    consume it (the rarity filter, both join sides, the sizes
+    aggregate), and without the persist each one re-runs the entire
+    upstream fingerprint lineage - measured 4x the selection cost at
+    sf0.1 (the :func:`.selection.dsir_select_threshold` precedent:
+    persist the narrow reused projection, pay the full lineage once).
+    Pipelines that probe repeatedly should write the fingerprint table
+    to parquet instead and pass the read back in."""
+    sets = fps.select(id_col, "fp").distinct().persist()
     if max_fp_docs is not None:
         rare = sets.groupBy("fp").agg(
             F.count(F.lit(1)).alias("__docs")

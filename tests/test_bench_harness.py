@@ -95,3 +95,14 @@ class TestSf1Priors:
         (tmp_path / "BENCH_r01.json").write_text("{not json")
         write(tmp_path, "BENCH_r02.json", {"parsed": {"queries": {}}})
         assert bench._load_sf1_priors(str(tmp_path)) == {}
+
+    def test_bench_out_full_artifact_mined(self, tmp_path):
+        """The driver's BENCH_r*.json keeps only the last 2000 stdout
+        chars, which the payload's deliberate field ordering fills with
+        the gating summary - sf1_queries only survives in the committed
+        full artifact bench_out.json (the round-9 root cause of the
+        langid retry never firing)."""
+        write(tmp_path, "bench_out.json", {
+            "queries": {}, "sf1_queries": {"langid": 6.9},
+        })
+        assert bench._load_sf1_priors(str(tmp_path))["langid"] == 6.9
