@@ -343,6 +343,21 @@ def main() -> None:
     if os.path.isdir(sf1_dir):
         sf1_times, sf1_skipped = _sf1_smoke(spark, sf1_dir, registry,
                                             priors=sf1_priors)
+        # fold this run's readings into the durable priors ledger
+        # (min-merge: best-ever is the conservative steady-state proxy)
+        merged = dict(sf1_priors)
+        for name, t in sf1_times.items():
+            if isinstance(t, (int, float)):
+                merged[name] = min(merged.get(name, float("inf")),
+                                   float(t))
+        try:
+            with open(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                ".bench_sf1_priors.json",
+            ), "w") as f:
+                json.dump(dict(sorted(merged.items())), f, indent=1)
+        except OSError:
+            pass
         payload["sf1_queries"] = sf1_times
         if sf1_skipped:
             payload["sf1_skipped"] = sf1_skipped
@@ -477,6 +492,16 @@ def _load_sf1_priors(repo_dir: str) -> dict[str, float]:
     checkpoint overwrites it, which is why main() loads priors at
     process start and passes them down."""
     priors: dict[str, float] = {}
+    # the durable ledger first: best-ever readings min-merged across
+    # rounds (bench_out.json only survives one round, so a single
+    # contaminated run would otherwise poison the next round's priors)
+    try:
+        with open(os.path.join(repo_dir, ".bench_sf1_priors.json")) as f:
+            for name, t in json.load(f).items():
+                if isinstance(t, (int, float)):
+                    priors[name] = float(t)
+    except (OSError, json.JSONDecodeError, AttributeError):
+        pass
     candidates = [os.path.join(repo_dir, "bench_out.json")]
     candidates += sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")))
     for p in candidates:
