@@ -39,6 +39,7 @@ from .operators import pii as _pii
 from .operators import pipeline as _pipeline
 from .operators import classifier as _classifier
 from .operators import fingerprint as _fingerprint
+from .operators import fingerprint_index as _fingerprint_index
 from .operators import langid as _langid
 from .operators import quantization as _quantization
 from .operators import retrieval as _retrieval
@@ -220,3 +221,9 @@ class Engine:
     winnow_fingerprints = staticmethod(_fingerprint.winnow_fingerprints)
     fingerprint_overlap = staticmethod(_fingerprint.fingerprint_overlap)
     fingerprint_near_dups = staticmethod(_fingerprint.fingerprint_near_dups)
+    build_fingerprint_index = staticmethod(
+        _fingerprint_index.FingerprintIndex.build)
+
+    def load_fingerprint_index(
+            self, path: str) -> "_fingerprint_index.FingerprintIndex":
+        return _fingerprint_index.FingerprintIndex.load(self.spark, path)

@@ -147,6 +147,18 @@ class CurationSink:
     compactions, with the same exclude-in-flight discipline.  Search
     any time with ``Bm25Index.load(spark, bm25_path).topk(...)``.
 
+    ``fingerprint_path``: maintain a :class:`..operators.
+    fingerprint_index.FingerprintIndex` (winnowing fingerprints,
+    geometry ``fingerprint_k``/``fingerprint_w`` pinned at init) over
+    every ACCEPTED document - the cross-run MOSS surface ("is this new
+    document substantially copied from the corpus") kept current at
+    ingest, same overwrite-per-batch exactly-once discipline and
+    ``compact_every`` folding as the bm25/bloom/LM paths.  Probe any
+    time with ``FingerprintIndex.load(spark, path).match_batch(...)``;
+    the funnel's own near-dup gates stay MinHash-based (bag
+    similarity) - the fingerprint index answers the position-local
+    verbatim question those gates don't.
+
     ``compact_every``: every N index-growing micro-batches, rewrite the
     index's band/shingle parquet into ``compact_target_mb`` files
     (:meth:`MinHashIndex.compact`) AND coalesce the accepted dataset's
@@ -179,6 +191,9 @@ class CurationSink:
                  langid_path: str | None = None,
                  bm25_path: str | None = None,
                  bm25_bucket_partitions: int = 1024,
+                 fingerprint_path: str | None = None,
+                 fingerprint_k: int = 5, fingerprint_w: int = 4,
+                 fingerprint_bucket_partitions: int = 256,
                  **curate_kwargs):
         if lm_path is not None and "lm" in curate_kwargs:
             raise ValueError(
@@ -215,6 +230,10 @@ class CurationSink:
         self.langid_path = langid_path
         self.bm25_path = bm25_path
         self.bm25_bucket_partitions = bm25_bucket_partitions
+        self.fingerprint_path = fingerprint_path
+        self.fingerprint_k = fingerprint_k
+        self.fingerprint_w = fingerprint_w
+        self.fingerprint_bucket_partitions = fingerprint_bucket_partitions
         self.curate_kwargs = curate_kwargs
         self._clf = None
         self._langid = None
@@ -314,6 +333,21 @@ class CurationSink:
                 Bm25Index.load(spark, self.bm25_path).compact(
                     exclude_batch=batch_id
                 )
+        if self.fingerprint_path is not None:
+            from ..operators.fingerprint_index import FingerprintIndex
+
+            if not self._path_exists(spark,
+                                     f"{self.fingerprint_path}/meta"):
+                FingerprintIndex.init(
+                    spark, self.fingerprint_path,
+                    k=self.fingerprint_k, w=self.fingerprint_w,
+                    bucket_partitions=self.fingerprint_bucket_partitions,
+                )
+            elif (self.compact_every and self._adds
+                    and self._adds % self.compact_every == 0):
+                FingerprintIndex.load(
+                    spark, self.fingerprint_path
+                ).compact(exclude_batch=batch_id)
         clf_kwargs = {}
         if self.clf_path is not None:
             if self._clf is None:
@@ -376,6 +410,16 @@ class CurationSink:
             # partitions - exactly-once under replay, like the output
             # dir above; write-only (the next batch loads fresh)
             Bm25Index.load(spark, self.bm25_path).append_batch(
+                accepted.select(self.id_col, self.text_col), batch_id,
+                text_col=self.text_col, id_col=self.id_col,
+                reload=False,
+            )
+        if self.fingerprint_path is not None:
+            from ..operators.fingerprint_index import FingerprintIndex
+
+            FingerprintIndex.load(
+                spark, self.fingerprint_path
+            ).append_batch(
                 accepted.select(self.id_col, self.text_col), batch_id,
                 text_col=self.text_col, id_col=self.id_col,
                 reload=False,

@@ -338,14 +338,16 @@ TIER_D = {
             "text); benched as extra_queries['langid'] "
             "fit-once/predict-many (tests/test_langid.py)"),
     "D26": ("winnowing fingerprints (winnow_fingerprints/"
-            "fingerprint_overlap/fingerprint_near_dups - Schleimer et "
+            "fingerprint_overlap/fingerprint_near_dups + FingerprintIndex "
+            "init/append_batch/compact/match_batch + "
+            "CurationSink(fingerprint_path=) - Schleimer et "
             "al. SIGMOD 2003, the MOSS detector; per-window "
             "rightmost-argmin k-gram sampling + containment pair "
             "scores; ONE Exchange selection via struct-min sliding "
             "frame + lag dedup (the winnowing interval property), "
             "fp-value equi-join pairing with the max_fp_docs "
             "boilerplate/fanout governor, zero UDFs)",
-            "operators/fingerprint.py",
+            "operators/fingerprint.py, fingerprint_index.py, streaming/curate.py",
             "selection exactly matches an independent pure-Python "
             "winnowing reimplementation across (k, w) configs, hash "
             "values included; density guarantee (consecutive selected "
@@ -355,10 +357,15 @@ TIER_D = {
             "absent; max_fp_docs drops a 12-doc license header; "
             "one-Exchange/no-Python/no-cartesian plan gates; DuckDB "
             "oracle sf0.01 (pytest) + sf1 (bench "
-            "'fingerprint_winnow') for BOTH the selection and the "
-            "pair scores; benched as "
+            "'fingerprint_winnow', 994k rows green) for BOTH the selection "
+            "and the pair scores; FingerprintIndex probe == in-frame "
+            "overlap on the union corpus, accumulate == whole-build, "
+            "replay/exclude_batch/compact/save-onto-own-path gates, "
+            "fpbucket PartitionFilters + corrupt-file pruning proof, "
+            "sink-maintained probe == rebuild under replay; benched as "
             "extra_queries['fingerprint_winnow'] "
-            "(tests/test_fingerprint.py)"),
+            "(tests/test_fingerprint.py, test_fingerprint_index.py, "
+            "test_streaming_curate.py)"),
 }
 
 

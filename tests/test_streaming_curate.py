@@ -677,3 +677,49 @@ class TestBm25Maintenance:
         rebuilt = Bm25Index.build(accepted)
         assert self._search_set(ingested, queries) == \
             self._search_set(rebuilt, queries)
+
+
+class TestFingerprintMaintenance:
+    """fingerprint_path=: the sink folds every accepted document's
+    winnowed fingerprints into a saved FingerprintIndex, so the
+    cross-run MOSS probe ("is this new doc copied from the corpus")
+    stays current at ingest - replay leaves probes identical."""
+
+    def test_probe_matches_rebuild_replay_identical(
+        self, spark, corpus, docs, tmp_path
+    ):
+        from kafka_cassandra_plugin_spark.operators.fingerprint_index import (
+            FingerprintIndex,
+        )
+
+        fp_path = str(tmp_path / "fpi")
+        sink = fresh_sink(spark, corpus, tmp_path,
+                          fingerprint_path=fp_path,
+                          fingerprint_k=3, fingerprint_w=4,
+                          fingerprint_bucket_partitions=8)
+        b1, b2 = make_batches(docs)
+        sink(b1, 0)
+        sink(b1, 0)  # foreachBatch replay after a simulated failure
+        sink(b2, 1)
+
+        accepted = accepted_dataset(spark, sink.out_path).select(
+            "doc_id", "text"
+        )
+        # probe: verbatim prefixes of accepted docs under fresh ids
+        probe = accepted.limit(4).select(
+            (F.col("doc_id") + 9_000_000).alias("doc_id"),
+            F.concat(
+                F.array_join(
+                    F.slice(F.split(F.trim("text"), r"\s+"), 1, 15), " "
+                ),
+                F.lit(" uq"), F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+        ingested = FingerprintIndex.load(spark, fp_path)
+        rebuilt = FingerprintIndex.build(accepted, k=3, w=4).save(
+            str(tmp_path / "rebuilt"), bucket_partitions=8)
+        a = {(r.batch_id, r.corpus_id, r.shared, round(r.overlap, 9))
+             for r in ingested.match_batch(probe).collect()}
+        b = {(r.batch_id, r.corpus_id, r.shared, round(r.overlap, 9))
+             for r in rebuilt.match_batch(probe).collect()}
+        assert a == b and a  # prefixes must collide with their sources
