@@ -249,9 +249,19 @@ class TestFilePruning:
     def test_fpbucket_reaches_partition_filters(self, spark, corpus,
                                                 batch, tmp_path):
         idx = FingerprintIndex.build(corpus, k=3, w=4).save(
-            str(tmp_path / "fpi"), bucket_partitions=16)
+            str(tmp_path / "fpi"), bucket_partitions=64)
         pf = P.partition_filters(idx.match_batch(batch))
         assert any("fpbucket" in f for f in pf), pf
+
+    def test_wide_probe_skips_pruning(self, spark, corpus, tmp_path):
+        """A probe with more distinct fingerprints than buckets would
+        touch essentially every bucket (coupon-collector) - the
+        governor must skip the collect + isin instead of paying pure
+        overhead (measured at sf10, BASELINE.md round 9)."""
+        idx = FingerprintIndex.build(corpus, k=3, w=4).save(
+            str(tmp_path / "fpi"), bucket_partitions=4)
+        pf = P.partition_filters(idx.match_batch(corpus))
+        assert not any("fpbucket" in f for f in pf), pf
 
     def test_untouched_bucket_files_never_opened(self, spark, corpus,
                                                  batch, tmp_path):
@@ -259,12 +269,12 @@ class TestFilePruning:
 
         path = str(tmp_path / "fpi")
         idx = FingerprintIndex.build(corpus, k=3, w=4).save(
-            path, bucket_partitions=16)
+            path, bucket_partitions=64)
         expected = {(r.batch_id, r.corpus_id, r.shared)
                     for r in idx.match_batch(batch).collect()}
         touched = {
             r.b for r in winnow_fingerprints(batch, k=3, w=4).select(
-                F.pmod(F.col("fp"), F.lit(16)).alias("b")
+                F.pmod(F.col("fp"), F.lit(64)).alias("b")
             ).distinct().collect()
         }
         planted = 0
@@ -288,7 +298,7 @@ class TestFilePruning:
     def test_probe_broadcasts_no_python(self, spark, corpus, batch,
                                         tmp_path):
         idx = FingerprintIndex.build(corpus, k=3, w=4).save(
-            str(tmp_path / "fpi"), bucket_partitions=16)
+            str(tmp_path / "fpi"), bucket_partitions=64)
         plan = P.formatted_plan(idx.match_batch(batch))
         assert "BroadcastHashJoin" in plan
         assert "EvalPython" not in plan
