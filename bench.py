@@ -425,6 +425,11 @@ def _tier_d_oracle_pairs():
         # D26 (round 9): winnowed selection under the md5-portable key
         "fingerprint_winnow": (L.fingerprint_winnow,
                                L.FINGERPRINT_WINNOW_SQL),
+        # D27 (round 9): the distributed encode path against the
+        # registered word->n_tok map (the merge loop itself is
+        # reference-gated in test_bpe.py); the synthetic vocabulary is
+        # tiny, so both sides are one tokenize + join + sum
+        "bpe_token_counts": L.bpe_token_counts_oracle,
         # D19 (round 6): the fitted trigram count tables export the same
         # way (27k gram rows at sf1 - the rotate corpus bounds vocab)
         "lm_perplexity": L.lm_perplexity_oracle,
@@ -436,13 +441,15 @@ def _tier_d_oracle_pairs():
 
 
 def _sf1_oracle(spark, sf1_dir: str, registry,
-                budget_s: float = 1300.0) -> dict:
+                budget_s: float = 1330.0) -> dict:
     # budget raised 900 -> 1100 with the round-6 D22-D24 entries
     # (bm25 ~45 s, quality_classifier ~41 s, dsir ~6 s measured);
     # -> 1250 with the round-7 langid entry (DuckDB's side is ~30M
     # char-gram rows x L langs through the model join at sf1);
     # -> 1300 with the round-9 fingerprint_winnow entry (~2.5M md5
-    # gram hashes + one window pass per side)
+    # gram hashes + one window pass per side); -> 1330 with the
+    # round-9 bpe_token_counts entry (one split+join+sum per side over
+    # the tiny synthetic vocabulary)
     from kafka_cassandra_plugin_spark import oracle
 
     budget_s = float(os.environ.get("SPARK_GRAFT_SF1_ORACLE_BUDGET", budget_s))

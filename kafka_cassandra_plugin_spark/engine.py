@@ -39,6 +39,7 @@ from .operators import pii as _pii
 from .operators import pipeline as _pipeline
 from .operators import classifier as _classifier
 from .operators import fingerprint as _fingerprint
+from .operators import bpe as _bpe
 from .operators import fingerprint_index as _fingerprint_index
 from .operators import langid as _langid
 from .operators import quantization as _quantization
@@ -227,3 +228,10 @@ class Engine:
     def load_fingerprint_index(
             self, path: str) -> "_fingerprint_index.FingerprintIndex":
         return _fingerprint_index.FingerprintIndex.load(self.spark, path)
+
+    # -- D27: BPE tokenizer (round 9) -----------------------------------------
+    bpe_word_histogram = staticmethod(_bpe.word_histogram)
+    train_bpe = staticmethod(_bpe.BpeTokenizer.train)
+
+    def load_bpe(self, path: str) -> "_bpe.BpeTokenizer":
+        return _bpe.BpeTokenizer.load(self.spark, path)

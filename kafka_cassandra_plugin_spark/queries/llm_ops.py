@@ -2082,3 +2082,92 @@ def fingerprint_overlap_pairs(spark, sf_dir):
                 F.round("overlap", 4).alias("overlap"))
         .orderBy("id_a", "id_b")
     )
+
+
+# --------------------------------------------------------------------------
+# D27: BPE tokenizer (round 9) — histogram oracle + encode-path oracle
+# --------------------------------------------------------------------------
+#
+# Split of responsibility (the D24/D25 precedent): the merge LOOP is
+# iterative and property-gated in tests/test_bpe.py against an
+# independent reference trainer (exact merge-sequence equality); the
+# corpus-wide stages ARE SQL-expressible and oracle here — (1) the
+# word-type histogram (the one pass that touches every byte), and
+# (2) the distributed encode path, with the trained word->n_tokens
+# map registered as a DuckDB table so the oracle re-derives every
+# per-document token count from raw text through its own tokenize +
+# join + sum.  A split drift between Spark and the UDF, a batch-
+# boundary bug, or a null-handling bug all hash-mismatch.
+
+BPE_HISTOGRAM_SQL = r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    )
+    SELECT word, count(*) AS cnt
+    FROM toks GROUP BY word
+    ORDER BY cnt DESC, word
+"""
+
+
+def bpe_histogram(spark, sf_dir):
+    """The D27 corpus-pass query: the (word, count) type histogram BPE
+    training folds over — one explode + one map-side-combined groupBy
+    (plan-gated to ONE Exchange in tests)."""
+    from ..operators.bpe import word_histogram
+
+    d = Catalog(spark, sf_dir).documents.select("text")
+    return (
+        word_histogram(d)
+        .select("word", F.col("count").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+    )
+
+
+BPE_TOKEN_COUNTS_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ),
+    per AS (
+      SELECT t.doc_id, sum(m.n_tok) AS n
+      FROM toks t JOIN bpe_word_map m USING (word)
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, coalesce(per.n, 0)::BIGINT AS bpe_token_count
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN per ON d.doc_id = per.doc_id
+    ORDER BY d.doc_id
+"""
+
+
+def bpe_token_counts_oracle(spark, sf_dir, con):
+    """The D27 oracle pair: trains the tokenizer on the corpus (the
+    merge loop itself is reference-gated in test_bpe.py), registers
+    the word -> token-length map over the corpus VOCABULARY (bounded:
+    the distinct-word set the histogram already materializes) as
+    ``bpe_word_map``, then compares per-document true token counts —
+    Spark's pandas-UDF encode vs DuckDB's tokenize + map-join + sum
+    from raw text."""
+    import pandas as pd
+
+    from ..operators.bpe import BpeTokenizer, word_histogram
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    hist = word_histogram(d)
+    tok = BpeTokenizer.train(hist, num_merges=64)
+    memo: dict = {}
+    vocab = [r["word"] for r in hist.select("word").collect()]
+    con.register("bpe_word_map", pd.DataFrame({
+        "word": vocab,
+        "n_tok": [len(tok._encode_word(w, memo)) for w in vocab],
+    }))
+    df = (
+        tok.token_count(d)
+        .select("doc_id", "bpe_token_count")
+        .orderBy("doc_id")
+    )
+    return df, BPE_TOKEN_COUNTS_SQL

@@ -366,6 +366,30 @@ TIER_D = {
             "extra_queries['fingerprint_winnow'] "
             "(tests/test_fingerprint.py, test_fingerprint_index.py, "
             "test_streaming_curate.py)"),
+    "D27": ("BPE tokenizer (word_histogram + BpeTokenizer "
+            "train/encode/token_count/save/load - Sennrich, Haddow & "
+            "Birch ACL 2016; the hybrid every production trainer uses: "
+            "ONE map-side-combined corpus shuffle builds the Zipf-"
+            "bounded (word, count) type histogram, the merge loop runs "
+            "driver-side over the collected <=max_types rows with "
+            "incremental pair-count maintenance, and encode is "
+            "map-only - ranks ride the pandas-UDF closure with a "
+            "per-batch word memo so repetition collapses the work to "
+            "O(distinct words per partition))",
+            "operators/bpe.py",
+            "trained merge sequence EXACTLY matches an independent "
+            "naive reference trainer (full recount per iteration - a "
+            "different algorithm, so an incremental-maintenance bug "
+            "diverges the sequence); encode matches the reference "
+            "greedy encoder word-for-word; decode roundtrip lossless; "
+            "OOV falls back to chars; deterministic across trains; "
+            "min_count/max_types governors; save/load identical; "
+            "histogram ONE-Exchange and encode zero-Exchange plan "
+            "gates; DuckDB oracles sf0.01: the histogram "
+            "('bpe_histogram') AND the distributed encode path "
+            "('bpe_token_counts': per-doc true token counts vs "
+            "tokenize + registered word->n_tok map join), re-checked "
+            "at sf1 in the bench artifact (tests/test_bpe.py)"),
 }
 
 
@@ -407,12 +431,12 @@ def main() -> None:
     n_oracle = sum(1 for q in reg.values() if q.sql)
     lines.append(
         f"**Totals**: {n_q} declared queries ({n_oracle} oracle-matched, "
-        f"{n_q - n_oracle} rows-only) + 15 pytest-oracled tier-D queries "
+        f"{n_q - n_oracle} rows-only) + 16 pytest-oracled tier-D queries "
         "(`repetition_signals`, `decontam_ngram13`, `decontam_jaccard`, "
         "`quality_report`, `pii_redaction`, `sample_per_group`, "
         "`dedup_semantic`, `dedup_substring`, `dedup_lines`, "
         "`bm25_topk`, `dsir_select`, `quality_classifier`, "
-        "`lm_perplexity`, `langid`, `fingerprint_winnow` — the driver's 50-query verdict "
+        "`lm_perplexity`, `langid`, `fingerprint_winnow`, `bpe_token_counts` — the driver's 50-query verdict "
         "window is full, so their DuckDB oracles run in pytest through "
         "the same harness, and the bench re-checks them at sf1); "
         f"inventory rows uncovered: {missing or 'none'}."
