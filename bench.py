@@ -425,6 +425,10 @@ def _tier_d_oracle_pairs():
         # D26 (round 9): winnowed selection under the md5-portable key
         "fingerprint_winnow": (L.fingerprint_winnow,
                                L.FINGERPRINT_WINNOW_SQL),
+        # D28 (round 9): the Gopher A1.1 quality rule block — pure
+        # rational arithmetic over the shared token split, so DuckDB
+        # re-derives every signal AND the pass flag from raw text
+        "gopher_quality": (L.gopher_quality, L.GOPHER_QUALITY_SQL),
         # D27 (round 9): the distributed encode path against the
         # registered word->n_tok map (the merge loop itself is
         # reference-gated in test_bpe.py); the synthetic vocabulary is

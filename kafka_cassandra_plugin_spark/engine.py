@@ -121,6 +121,7 @@ class Engine:
     text_profile = staticmethod(_text.text_profile)
     repetition_profile = staticmethod(_text.repetition_profile)
     quality_report = staticmethod(_text.quality_report)
+    gopher_quality_profile = staticmethod(_text.gopher_quality_profile)
     hash_split = staticmethod(_sampling.hash_split)
     deterministic_sample = staticmethod(_sampling.deterministic_sample)
     stratified_sample = staticmethod(_sampling.stratified_sample)

@@ -377,3 +377,90 @@ def quality_report(df: DataFrame, text_col: str = "text",
         )
         .orderBy(*group_cols)
     )
+
+
+# --------------------------------------------------------------------------
+# D28: Gopher quality rules (Rae et al. 2021, appendix A1.1) — the
+# document-shape filter block that complements the repetition block
+# above.  All pure built-in column arithmetic (higher-order array fns
+# over ONE staged token array), zero shuffle, zero Python — at 100 TB
+# this pipelines with the parquet scan like every operator in this
+# module.  Thresholds are the paper's; every one is a keyword arg.
+# --------------------------------------------------------------------------
+
+GOPHER_STOP_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+_BULLET_RE = r"^(•|-|\*)"
+
+
+def gopher_quality_profile(df: DataFrame, text_col: str = "text",
+                           min_words: int = 50,
+                           max_words: int = 100_000,
+                           min_mean_word_len: float = 3.0,
+                           max_mean_word_len: float = 10.0,
+                           max_symbol_ratio: float = 0.1,
+                           max_bullet_frac: float = 0.9,
+                           max_ellipsis_frac: float = 0.3,
+                           min_alpha_frac: float = 0.8,
+                           min_stop_hits: int = 2) -> DataFrame:
+    """Append the seven Gopher quality signals + ``passes_gopher_quality``.
+
+    Signals (Rae et al. 2021 A1.1): word count in [min, max]; mean word
+    length in [3, 10]; symbol-to-word ratio ('#', '...', '…') <=
+    0.1; <= 90% of lines starting with a bullet; <= 30% of lines ending
+    with an ellipsis; >= 80% of words containing an alphabetic char;
+    >= 2 of the 8 required stop words present.  Ratios are exact
+    rationals over the same token split as every text operator here,
+    so the whole profile is DuckDB-oracle-portable."""
+    t = F.col(text_col)
+    toks = F.filter(tokens(text_col), lambda x: x != F.lit(""))
+    lines = F.split(t, "\n")
+    nw = F.size(toks).cast("long")
+    nl = F.size(lines).cast("long")
+    safe_nw = F.when(nw > 0, nw.cast("double"))
+    mean_wl = F.coalesce(
+        F.aggregate(toks, F.lit(0).cast("long"),
+                    lambda a, x: a + F.length(x)) / safe_nw,
+        F.lit(0.0))
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    n_dots = (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / 3
+    n_ell = F.length(t) - F.length(F.regexp_replace(t, "…", ""))
+    symbol_ratio = F.coalesce(
+        (n_hash + n_dots + n_ell) / safe_nw, F.lit(0.0))
+    bullet_frac = F.coalesce(
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(_BULLET_RE)))
+        / F.when(nl > 0, nl.cast("double")), F.lit(0.0))
+    ellipsis_frac = F.coalesce(
+        F.size(F.filter(
+            lines,
+            lambda l: F.trim(l).endswith("...") | F.trim(l).endswith(
+                "…")))
+        / F.when(nl > 0, nl.cast("double")), F.lit(0.0))
+    alpha_frac = F.coalesce(
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))) / safe_nw,
+        F.lit(0.0))
+    ltoks = F.transform(toks, F.lower)
+    stop_hits = F.size(F.filter(
+        F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS]),
+        lambda s: F.array_contains(ltoks, s))).cast("long")
+    out = (
+        df.withColumn("word_count", nw)
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn("symbol_ratio", symbol_ratio)
+        .withColumn("bullet_frac", bullet_frac)
+        .withColumn("ellipsis_frac", ellipsis_frac)
+        .withColumn("alpha_frac", alpha_frac)
+        .withColumn("stop_hits", stop_hits)
+    )
+    passes = (
+        (F.col("word_count") >= min_words)
+        & (F.col("word_count") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_frac") <= max_ellipsis_frac)
+        & (F.col("alpha_frac") >= min_alpha_frac)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return out.withColumn("passes_gopher_quality", passes)

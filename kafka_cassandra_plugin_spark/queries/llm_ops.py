@@ -2171,3 +2171,93 @@ def bpe_token_counts_oracle(spark, sf_dir, con):
         .orderBy("doc_id")
     )
     return df, BPE_TOKEN_COUNTS_SQL
+
+
+# --------------------------------------------------------------------------
+# D28: Gopher quality rules (round 9) — fully SQL-expressible
+# --------------------------------------------------------------------------
+#
+# Unlike the repetition block (D10, whose n-gram Counter math needs the
+# vectorized UDF), the A1.1 quality rules are pure rational arithmetic
+# over the shared token split — DuckDB re-derives every signal AND the
+# pass flag from raw text, so a tokenization drift, a ratio
+# denominator bug, or a threshold boundary error all hash-mismatch.
+
+GOPHER_QUALITY_SQL = r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS w,
+             regexp_split_to_array(text, '\n') AS lines
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+        len(w)::BIGINT AS word_count,
+        CASE WHEN len(w) > 0 THEN
+          list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w)
+        ELSE 0.0 END AS mean_word_len,
+        CASE WHEN len(w) > 0 THEN
+          ((len(text) - len(replace(text, '#', '')))
+           + (len(text) - len(replace(text, '...', ''))) / 3.0
+           + (len(text) - len(replace(text, '…', '')))) / len(w)
+        ELSE 0.0 END AS symbol_ratio,
+        CASE WHEN len(lines) > 0 THEN
+          len(list_filter(lines,
+              l -> regexp_matches(trim(l), '^(•|-|\*)')))::DOUBLE
+          / len(lines)
+        ELSE 0.0 END AS bullet_frac,
+        CASE WHEN len(lines) > 0 THEN
+          len(list_filter(lines,
+              l -> trim(l) LIKE '%...' OR trim(l) LIKE '%…'))::DOUBLE
+          / len(lines)
+        ELSE 0.0 END AS ellipsis_frac,
+        CASE WHEN len(w) > 0 THEN
+          len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+          / len(w)
+        ELSE 0.0 END AS alpha_frac,
+        len(list_filter(['the','be','to','of','and','that','have','with'],
+            s -> list_contains(list_transform(w, x -> lower(x)), s))
+        )::BIGINT AS stop_hits
+      FROM t
+    )
+    SELECT doc_id, word_count,
+           round(mean_word_len, 4) AS mean_word_len,
+           round(symbol_ratio, 4) AS symbol_ratio,
+           round(bullet_frac, 4) AS bullet_frac,
+           round(ellipsis_frac, 4) AS ellipsis_frac,
+           round(alpha_frac, 4) AS alpha_frac,
+           stop_hits,
+           (word_count BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_ratio <= 0.1
+            AND bullet_frac <= 0.9
+            AND ellipsis_frac <= 0.3
+            AND alpha_frac >= 0.8
+            AND stop_hits >= 2) AS passes_gopher_quality
+    FROM m
+    ORDER BY doc_id
+"""
+
+
+def gopher_quality(spark, sf_dir):
+    """The D28 query: all seven A1.1 signals + the pass flag per
+    document (thresholds = the paper's defaults).  The flag is
+    computed on UNROUNDED values in both engines; only the emitted
+    ratio columns round (the §2.4 float protocol)."""
+    from ..operators.text import gopher_quality_profile
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    prof = gopher_quality_profile(d)
+    return (
+        prof.select(
+            "doc_id", "word_count",
+            F.round("mean_word_len", 4).alias("mean_word_len"),
+            F.round("symbol_ratio", 4).alias("symbol_ratio"),
+            F.round("bullet_frac", 4).alias("bullet_frac"),
+            F.round("ellipsis_frac", 4).alias("ellipsis_frac"),
+            F.round("alpha_frac", 4).alias("alpha_frac"),
+            "stop_hits", "passes_gopher_quality",
+        )
+        .orderBy("doc_id")
+    )

@@ -390,6 +390,23 @@ TIER_D = {
             "('bpe_token_counts': per-doc true token counts vs "
             "tokenize + registered word->n_tok map join), re-checked "
             "at sf1 in the bench artifact (tests/test_bpe.py)"),
+    "D28": ("Gopher quality rules (gopher_quality_profile - Rae et "
+            "al. 2021 appendix A1.1: word-count bounds, mean word "
+            "length, symbol-to-word ratio, bullet/ellipsis line "
+            "fractions, alphabetic-word fraction, required stop "
+            "words; all seven signals + pass flag as pure built-in "
+            "column arithmetic over ONE staged token array - zero "
+            "shuffle, zero Python, thresholds as keyword args)",
+            "operators/text.py",
+            "planted docs violating each rule individually flip "
+            "exactly that signal (floor/ceiling word counts, sub-3 "
+            "mean word length, symbol-ratio counting conventions, "
+            "bullet prefixes, ellipsis endings, alpha dilution, "
+            "stop-hits boundary); empty/null docs fail closed; "
+            "zero-Exchange/no-Python plan gates; DuckDB oracle "
+            "sf0.01 (pytest 'gopher_quality') + sf1 (bench "
+            "re-check) over every signal AND the pass flag "
+            "(tests/test_text_quality.py::TestGopherQuality)"),
 }
 
 
@@ -431,12 +448,12 @@ def main() -> None:
     n_oracle = sum(1 for q in reg.values() if q.sql)
     lines.append(
         f"**Totals**: {n_q} declared queries ({n_oracle} oracle-matched, "
-        f"{n_q - n_oracle} rows-only) + 16 pytest-oracled tier-D queries "
+        f"{n_q - n_oracle} rows-only) + 17 pytest-oracled tier-D queries "
         "(`repetition_signals`, `decontam_ngram13`, `decontam_jaccard`, "
         "`quality_report`, `pii_redaction`, `sample_per_group`, "
         "`dedup_semantic`, `dedup_substring`, `dedup_lines`, "
         "`bm25_topk`, `dsir_select`, `quality_classifier`, "
-        "`lm_perplexity`, `langid`, `fingerprint_winnow`, `bpe_token_counts` — the driver's 50-query verdict "
+        "`lm_perplexity`, `langid`, `fingerprint_winnow`, `bpe_token_counts`, `gopher_quality` — the driver's 50-query verdict "
         "window is full, so their DuckDB oracles run in pytest through "
         "the same harness, and the bench re-checks them at sf1); "
         f"inventory rows uncovered: {missing or 'none'}."

@@ -177,3 +177,86 @@ class TestQualityReport:
         n = oracle.compare(df, duck, llm_ops.QUALITY_REPORT_SQL,
                            name="quality_report")
         assert n > 0
+
+
+class TestGopherQuality:
+    """D28 (round 9): the Gopher A1.1 quality rule block."""
+
+    GOOD = ("the data " + " ".join(f"point{i} value{i}" for i in range(30))
+            + " with that and of")
+
+    def _prof(self, spark, rows, **kw):
+        return T.gopher_quality_profile(_docs(spark, rows), **kw)
+
+    def test_good_doc_passes(self, spark):
+        r = self._prof(spark, [(1, self.GOOD)]).collect()[0]
+        assert r.passes_gopher_quality, r
+
+    def test_word_count_bounds(self, spark):
+        short = "the of " + " ".join(f"word{i}" for i in range(10))
+        r = self._prof(spark, [(1, short)]).collect()[0]
+        assert r.word_count == 12 and not r.passes_gopher_quality
+        # lowering the floor flips it
+        r2 = self._prof(spark, [(1, short)], min_words=5).collect()[0]
+        assert r2.passes_gopher_quality
+
+    def test_mean_word_len_bounds(self, spark):
+        # 60 single-char words: mean length 1 < 3
+        doc = "the of " + " ".join(["a"] * 58)
+        r = self._prof(spark, [(1, doc)]).collect()[0]
+        assert r.mean_word_len < 3 and not r.passes_gopher_quality
+
+    def test_symbol_ratio(self, spark):
+        doc = self.GOOD + " " + " ".join(["#"] * 12)
+        r = self._prof(spark, [(1, doc)]).collect()[0]
+        assert r.symbol_ratio > 0.1 and not r.passes_gopher_quality
+        # '...' counts once per triple, '…' once per char
+        d2 = self._prof(spark, [(2, "the of a... b… c")]).collect()[0]
+        assert d2.symbol_ratio == pytest.approx(2 / 5)
+
+    def test_bullet_lines(self, spark):
+        body = self.GOOD.split()
+        lines = "\n".join("• " + w for w in body)
+        r = self._prof(spark, [(1, lines)]).collect()[0]
+        assert r.bullet_frac == 1.0 and not r.passes_gopher_quality
+        # dash and star prefixes count as bullets too
+        d2 = self._prof(spark, [(2, "- x\n* y\nplain")]).collect()[0]
+        assert d2.bullet_frac == pytest.approx(2 / 3)
+
+    def test_ellipsis_lines(self, spark):
+        doc = "\n".join([self.GOOD + "...", self.GOOD + "…", self.GOOD])
+        r = self._prof(spark, [(1, doc)]).collect()[0]
+        assert r.ellipsis_frac == pytest.approx(2 / 3)
+        assert not r.passes_gopher_quality
+
+    def test_alpha_fraction(self, spark):
+        doc = self.GOOD + " " + " ".join(str(i) for i in range(40))
+        r = self._prof(spark, [(1, doc)]).collect()[0]
+        assert r.alpha_frac < 0.8 and not r.passes_gopher_quality
+
+    def test_stop_hits_requires_two(self, spark):
+        doc = " ".join(f"w{i}" for i in range(60)) + " the"
+        r = self._prof(spark, [(1, doc)]).collect()[0]
+        assert r.stop_hits == 1 and not r.passes_gopher_quality
+        r2 = self._prof(spark, [(1, doc + " with")]).collect()[0]
+        assert r2.stop_hits == 2
+
+    def test_empty_and_null(self, spark):
+        rows = self._prof(spark, [(1, ""), (2, None)]).collect()
+        for r in rows:
+            assert r.word_count in (0, None) or r.word_count == 0
+            assert not r.passes_gopher_quality
+
+    def test_map_only_no_python(self, spark):
+        from kafka_cassandra_plugin_spark import plans as P
+
+        df = self._prof(spark, [(1, self.GOOD)])
+        assert P.count_exchanges(df) == 0
+        plan = P.formatted_plan(df)
+        assert "EvalPython" not in plan
+
+    def test_oracle_sf001(self, spark, duck, oracle_sf_dir):
+        df = llm_ops.gopher_quality(spark, oracle_sf_dir)
+        n = oracle.compare(df, duck, llm_ops.GOPHER_QUALITY_SQL,
+                           "gopher_quality")
+        assert n > 0
