@@ -32,6 +32,9 @@ reject reasons are disjoint and the funnel partitions the input):
     identification reject CCNet applies before any quality gate)
 2b. ``repetitive``    - fails a Gopher repetition threshold (opt-in via
     ``drop_repetitive=True``; still map-only column arithmetic)
+2b*. ``gopher_low_quality`` - fails an A1.1 document-shape rule (opt-in
+    via ``drop_gopher=True`` [+ ``gopher_thresholds=`` overrides];
+    :func:`.text.gopher_gate` — still map-only column arithmetic)
 2b'. ``pii_heavy``    - carries more than ``max_pii`` PII pattern hits
     (opt-in via ``max_pii=``; regex built-ins, still map-only — see
     :mod:`.pii`)
@@ -79,6 +82,7 @@ from .sampling import hash_split
 from .text import (
     bpe_ish_token_count,
     fingerprint,
+    gopher_gate,
     lang_id,
     quality_score,
     repetition_gate,
@@ -126,6 +130,8 @@ def curate_annotated(
     langid=None,
     min_lang_conf: float | None = None,
     drop_repetitive: bool = False,
+    drop_gopher: bool = False,
+    gopher_thresholds: dict | None = None,
     max_pii: int | None = None,
     benchmarks: DataFrame | None = None,
     contamination_n: int = 13,
@@ -167,6 +173,17 @@ def curate_annotated(
     by default: the published thresholds assume naturally written prose
     and would over-reject short or list-like corpora; opt in per
     pipeline.
+
+    ``drop_gopher=True`` adds the complementary ``gopher_low_quality``
+    gate (the A1.1 document-SHAPE rules: word-count bounds, mean word
+    length, symbol ratio, bullet/ellipsis lines, alpha fraction,
+    required stop words — :func:`.text.gopher_gate`), with
+    ``gopher_thresholds=`` overriding individual paper defaults (e.g.
+    ``{"min_words": 5}`` for short-document corpora).  Same map-only
+    cost shape and same off-by-default rationale as
+    ``drop_repetitive``; ``gopher_thresholds`` without ``drop_gopher``
+    raises (overrides for a switched-off stage would silently gate
+    nothing).
 
     ``max_pii`` (opt-in) rejects rows with more than that many PII
     pattern hits (:func:`.pii.pii_gate`: email/phone/ssn/cc/ipv4/url
@@ -281,6 +298,17 @@ def curate_annotated(
             F.col("lang_conf") < min_lang_conf, "wrong_language")
     if drop_repetitive:
         gate = gate.when(~repetition_gate(text_col), "repetitive")
+    if drop_gopher:
+        gate = gate.when(
+            ~gopher_gate(text_col, **(gopher_thresholds or {})),
+            "gopher_low_quality")
+    elif gopher_thresholds is not None:
+        raise ValueError(
+            "curate_annotated(gopher_thresholds=...) needs "
+            "drop_gopher=True: threshold overrides were supplied for a "
+            "stage that is switched off, so they would silently gate "
+            "nothing."
+        )
     if max_pii is not None:
         from .pii import pii_gate
 

@@ -393,25 +393,9 @@ GOPHER_STOP_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 _BULLET_RE = r"^(•|-|\*)"
 
 
-def gopher_quality_profile(df: DataFrame, text_col: str = "text",
-                           min_words: int = 50,
-                           max_words: int = 100_000,
-                           min_mean_word_len: float = 3.0,
-                           max_mean_word_len: float = 10.0,
-                           max_symbol_ratio: float = 0.1,
-                           max_bullet_frac: float = 0.9,
-                           max_ellipsis_frac: float = 0.3,
-                           min_alpha_frac: float = 0.8,
-                           min_stop_hits: int = 2) -> DataFrame:
-    """Append the seven Gopher quality signals + ``passes_gopher_quality``.
-
-    Signals (Rae et al. 2021 A1.1): word count in [min, max]; mean word
-    length in [3, 10]; symbol-to-word ratio ('#', '...', '…') <=
-    0.1; <= 90% of lines starting with a bullet; <= 30% of lines ending
-    with an ellipsis; >= 80% of words containing an alphabetic char;
-    >= 2 of the 8 required stop words present.  Ratios are exact
-    rationals over the same token split as every text operator here,
-    so the whole profile is DuckDB-oracle-portable."""
+def gopher_signals(text_col: str = "text") -> dict[str, Column]:
+    """The seven A1.1 signal columns (shared by the profile, the
+    boolean gate, and the funnel stage — one definition, one oracle)."""
     t = F.col(text_col)
     toks = F.filter(tokens(text_col), lambda x: x != F.lit(""))
     lines = F.split(t, "\n")
@@ -443,24 +427,57 @@ def gopher_quality_profile(df: DataFrame, text_col: str = "text",
     stop_hits = F.size(F.filter(
         F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS]),
         lambda s: F.array_contains(ltoks, s))).cast("long")
-    out = (
-        df.withColumn("word_count", nw)
-        .withColumn("mean_word_len", mean_wl)
-        .withColumn("symbol_ratio", symbol_ratio)
-        .withColumn("bullet_frac", bullet_frac)
-        .withColumn("ellipsis_frac", ellipsis_frac)
-        .withColumn("alpha_frac", alpha_frac)
-        .withColumn("stop_hits", stop_hits)
+    return {
+        "word_count": nw,
+        "mean_word_len": mean_wl,
+        "symbol_ratio": symbol_ratio,
+        "bullet_frac": bullet_frac,
+        "ellipsis_frac": ellipsis_frac,
+        "alpha_frac": alpha_frac,
+        "stop_hits": stop_hits,
+    }
+
+
+def gopher_gate(text_col: str = "text",
+                min_words: int = 50,
+                max_words: int = 100_000,
+                min_mean_word_len: float = 3.0,
+                max_mean_word_len: float = 10.0,
+                max_symbol_ratio: float = 0.1,
+                max_bullet_frac: float = 0.9,
+                max_ellipsis_frac: float = 0.3,
+                min_alpha_frac: float = 0.8,
+                min_stop_hits: int = 2) -> Column:
+    """Boolean "document passes every A1.1 quality rule" column — the
+    funnel-stage form (thresholds default to the paper's)."""
+    s = gopher_signals(text_col)
+    return (
+        (s["word_count"] >= min_words)
+        & (s["word_count"] <= max_words)
+        & (s["mean_word_len"] >= min_mean_word_len)
+        & (s["mean_word_len"] <= max_mean_word_len)
+        & (s["symbol_ratio"] <= max_symbol_ratio)
+        & (s["bullet_frac"] <= max_bullet_frac)
+        & (s["ellipsis_frac"] <= max_ellipsis_frac)
+        & (s["alpha_frac"] >= min_alpha_frac)
+        & (s["stop_hits"] >= min_stop_hits)
     )
-    passes = (
-        (F.col("word_count") >= min_words)
-        & (F.col("word_count") <= max_words)
-        & (F.col("mean_word_len") >= min_mean_word_len)
-        & (F.col("mean_word_len") <= max_mean_word_len)
-        & (F.col("symbol_ratio") <= max_symbol_ratio)
-        & (F.col("bullet_frac") <= max_bullet_frac)
-        & (F.col("ellipsis_frac") <= max_ellipsis_frac)
-        & (F.col("alpha_frac") >= min_alpha_frac)
-        & (F.col("stop_hits") >= min_stop_hits)
-    )
-    return out.withColumn("passes_gopher_quality", passes)
+
+
+def gopher_quality_profile(df: DataFrame, text_col: str = "text",
+                           **thresholds) -> DataFrame:
+    """Append the seven Gopher quality signals + ``passes_gopher_quality``.
+
+    Signals (Rae et al. 2021 A1.1): word count in [min, max]; mean word
+    length in [3, 10]; symbol-to-word ratio ('#', '...', '…') <=
+    0.1; <= 90% of lines starting with a bullet; <= 30% of lines ending
+    with an ellipsis; >= 80% of words containing an alphabetic char;
+    >= 2 of the 8 required stop words present.  Ratios are exact
+    rationals over the same token split as every text operator here,
+    so the whole profile is DuckDB-oracle-portable.  ``thresholds``
+    forwards to :func:`gopher_gate` (the paper's defaults)."""
+    out = df
+    for name, col in gopher_signals(text_col).items():
+        out = out.withColumn(name, col)
+    return out.withColumn("passes_gopher_quality",
+                          gopher_gate(text_col, **thresholds))

@@ -396,13 +396,17 @@ TIER_D = {
             "fractions, alphabetic-word fraction, required stop "
             "words; all seven signals + pass flag as pure built-in "
             "column arithmetic over ONE staged token array - zero "
-            "shuffle, zero Python, thresholds as keyword args)",
-            "operators/text.py",
+            "shuffle, zero Python, thresholds as keyword args; funnel "
+            "stage 2b* gopher_low_quality via drop_gopher=True + "
+            "gopher_thresholds= overrides)",
+            "operators/text.py, pipeline.py",
             "planted docs violating each rule individually flip "
             "exactly that signal (floor/ceiling word counts, sub-3 "
             "mean word length, symbol-ratio counting conventions, "
             "bullet prefixes, ellipsis endings, alpha dilution, "
-            "stop-hits boundary); empty/null docs fail closed; "
+            "stop-hits boundary); empty/null docs fail closed; funnel "
+            "opt-in gates (off-by-default, disjoint reason, override "
+            "flips, overrides-without-flag raises); "
             "zero-Exchange/no-Python plan gates; DuckDB oracle "
             "sf0.01 (pytest 'gopher_quality') + sf1 (bench "
             "re-check) over every signal AND the pass flag "

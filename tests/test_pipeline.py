@@ -444,3 +444,68 @@ class TestClassifierStage:
         plain = PL.curate_annotated(batch)
         reasons = {r.stage for r in PL.curation_funnel(plain).collect()}
         assert "clf_low_quality" not in reasons
+
+
+class TestGopherGate:
+    """Opt-in Gopher A1.1 document-shape gate (stage 2b*, drop_gopher=True)."""
+
+    @pytest.fixture(scope="class")
+    def shape_batch(self, spark, docs):
+        base = docs.filter(F.col("doc_id") % 2 == 1)
+        # high heuristic quality (mid-length, natural words, no punct)
+        # but all-bullet lines: fails ONLY the A1.1 bullet-fraction rule
+        bullets = "\n".join(
+            f"• item{i} detail{i} value{i}" for i in range(40))
+        shaped = spark.createDataFrame(
+            [(7_000_000, bullets)], "doc_id long, text string")
+        return base.unionByName(shaped)
+
+    def test_off_by_default(self, shape_batch):
+        ann = PL.curate_annotated(shape_batch)
+        row = ann.filter(F.col("doc_id") == 7_000_000).collect()[0]
+        assert row.reject_reason is None
+
+    def test_opt_in_rejects_with_disjoint_reason(self, shape_batch):
+        # the synthetic corpus trips A1.1's prose thresholds (short
+        # docs, one stop word), so relax everything except the bullet
+        # rule the planted doc violates
+        relax = {"min_words": 5, "min_stop_hits": 0}
+        ann = PL.curate_annotated(shape_batch, drop_gopher=True,
+                                  gopher_thresholds=relax)
+        row = ann.filter(F.col("doc_id") == 7_000_000).collect()[0]
+        assert row.quality >= 0.5  # it got PAST the heuristic gate
+        assert row.reject_reason == "gopher_low_quality"
+        assert row.split is None
+        stages = {r.stage for r in PL.curation_funnel(ann).collect()}
+        assert "accepted" in stages and "gopher_low_quality" in stages
+
+    def test_threshold_override_flips(self, shape_batch):
+        # raising the bullet ceiling to 1.0 lets the planted doc pass
+        # (alpha also relaxes: the '•' tokens themselves dilute the
+        # alphabetic-word fraction to 0.75)
+        relax = {"min_words": 5, "min_stop_hits": 0,
+                 "max_bullet_frac": 1.0, "min_alpha_frac": 0.7}
+        ann = PL.curate_annotated(shape_batch, drop_gopher=True,
+                                  gopher_thresholds=relax)
+        row = ann.filter(F.col("doc_id") == 7_000_000).collect()[0]
+        assert row.reject_reason is None
+
+    def test_thresholds_without_flag_raise(self, shape_batch):
+        with pytest.raises(ValueError, match="drop_gopher"):
+            PL.curate_annotated(shape_batch,
+                                gopher_thresholds={"min_words": 5})
+
+    def test_prior_stage_reasons_stable(self, shape_batch):
+        base_ids = {r.doc_id for r in shape_batch.filter(
+            F.col("doc_id") < 7_000_000).select("doc_id").collect()}
+        off = PL.curate_annotated(shape_batch)
+        on = PL.curate_annotated(
+            shape_batch, drop_gopher=True,
+            gopher_thresholds={"min_words": 5, "min_stop_hits": 0})
+        off_rej = {r.doc_id: r.reject_reason for r in off.collect()
+                   if r.doc_id in base_ids}
+        on_rej = {r.doc_id: r.reject_reason for r in on.collect()
+                  if r.doc_id in base_ids}
+        for did, reason in off_rej.items():
+            if reason is not None:
+                assert on_rej[did] == reason
