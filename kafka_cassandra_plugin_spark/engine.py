@@ -236,3 +236,6 @@ class Engine:
 
     def load_bpe(self, path: str) -> "_bpe.BpeTokenizer":
         return _bpe.BpeTokenizer.load(self.spark, path)
+
+    def load_word_histogram(self, path: str) -> "_bpe.WordHistogram":
+        return _bpe.WordHistogram.load(self.spark, path)

@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
-__all__ = ["word_histogram", "BpeTokenizer"]
+__all__ = ["word_histogram", "BpeTokenizer", "WordHistogram"]
 
 END = "</w>"
 
@@ -262,3 +262,130 @@ class BpeTokenizer:
         budget planner should bill instead of the regex proxy."""
         enc = self.encode(docs, text_col=text_col, out_col="__bpe")
         return enc.withColumn(out_col, F.size("__bpe")).drop("__bpe")
+
+
+class WordHistogram:
+    """Disk-backed ACCUMULATED word-type histogram — the sufficient
+    statistic for BPE training, maintained incrementally (the same
+    batch-partition / replay-exclusion discipline as
+    :class:`.bloom.BloomIndex` / :class:`.lm.NgramLM`).
+
+    Word counts are distributive over document-disjoint batches, so
+    the stored table is ``counts/batch=<id>/`` (word, count) with ONE
+    partition per contributing batch, each written with overwrite —
+    exactly-once under foreachBatch replay; ``load(exclude_batch=N)``
+    hides an uncommitted first attempt.  Consolidation is lazy (one
+    groupBy-sum folds into whatever plan reads the histogram);
+    :meth:`compact` rewrites history into ``batch=-1`` when file
+    counts decay.  No term-bucket sub-partitioning: unlike BM25
+    postings, TRAINING reads every type anyway (then caps at
+    ``max_types``), so file-level pruning buys nothing here.
+
+    :meth:`train` re-derives a :class:`BpeTokenizer` from the
+    accumulated counts at any point — the streaming answer to "the
+    tokenizer should reflect the curated distribution" without ever
+    re-scanning accepted history."""
+
+    COMPACT_BATCH = -1
+
+    def __init__(self, counts: DataFrame, lowercase: bool,
+                 path: str | None = None):
+        self.counts = counts  # (word, count) — possibly multi-batch rows
+        self.lowercase = bool(lowercase)
+        self.path = path
+
+    @classmethod
+    def init(cls, spark: SparkSession, path: str,
+             lowercase: bool = False) -> "WordHistogram":
+        """Create an EMPTY disk-backed histogram (token-folding
+        convention pinned in meta)."""
+        empty = spark.createDataFrame([], "word string, count long")
+        empty.write.mode("overwrite").parquet(
+            f"{path}/counts/batch={cls.COMPACT_BATCH}")
+        spark.createDataFrame(
+            [(bool(lowercase),)], "lowercase boolean"
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+        return cls.load(spark, path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str,
+             exclude_batch: int | None = None) -> "WordHistogram":
+        """One 1-row meta read; the counts table reads with a DECLARED
+        schema (an empty batch dir has no readable footer) and the
+        ``exclude_batch`` partitions pruned at the scan."""
+        from ..fsutil import path_exists
+
+        if not path_exists(spark, f"{path}/meta"):
+            raise ValueError(
+                f"no WordHistogram meta table under {path!r} — "
+                "init() it first."
+            )
+        meta = spark.read.parquet(f"{path}/meta").first()
+        t = spark.read.schema("word string, count long, batch int").parquet(
+            f"{path}/counts")
+        if exclude_batch is not None:
+            t = t.filter(F.col("batch") != int(exclude_batch))
+        return cls(t.drop("batch"), bool(meta.lowercase), path=path)
+
+    def histogram(self) -> DataFrame:
+        """The consolidated (word, count) view — lazy groupBy-sum over
+        the stored batch partitions."""
+        return self.counts.groupBy("word").agg(
+            F.sum("count").alias("count"))
+
+    def append_batch(self, docs: DataFrame, batch_id: int,
+                     text_col: str = "text",
+                     reload: bool = True) -> "WordHistogram | None":
+        """Fold corpus batch ``batch_id`` in by OVERWRITING its own
+        counts partition — O(batch) work, exactly-once under replay.
+        ``batch_id`` must be non-negative (negative ids are reserved
+        for compacted history).  ``reload=False`` makes the append
+        write-only for sinks that discard the return value."""
+        if self.path is None:
+            raise ValueError(
+                "append_batch requires a saved histogram (use init())")
+        if int(batch_id) < 0:
+            raise ValueError(f"batch_id must be >= 0, got {batch_id}")
+        word_histogram(docs, text_col=text_col,
+                       lowercase=self.lowercase).write.mode(
+            "overwrite").parquet(f"{self.path}/counts/batch={int(batch_id)}")
+        if not reload:
+            return None
+        return WordHistogram.load(self.counts.sparkSession, self.path)
+
+    def compact(self, exclude_batch: int | None = None) -> "WordHistogram":
+        """Rewrite the stored batch partitions into one consolidated
+        ``batch=-1`` (sibling-then-rename swap; run between batches).
+        ``exclude_batch``: carry that batch's partition through the
+        swap VERBATIM so ``load(exclude_batch=N)`` can still hide an
+        uncommitted first attempt on replay — the
+        :meth:`.bloom.BloomIndex.compact` discipline."""
+        if self.path is None:
+            raise ValueError("compact requires a saved histogram")
+        from ..fsutil import delete_dir, path_exists, rename_or_raise
+
+        spark = self.counts.sparkSession
+        consolidated = WordHistogram.load(spark, self.path,
+                                          exclude_batch=exclude_batch)
+        src = f"{self.path}/counts"
+        tmp = f"{self.path}/counts__compacting"
+        delete_dir(spark, tmp)
+        consolidated.histogram().write.mode("overwrite").parquet(
+            f"{tmp}/batch={self.COMPACT_BATCH}")
+        if exclude_batch is not None and path_exists(
+            spark, f"{src}/batch={int(exclude_batch)}"
+        ):
+            rename_or_raise(spark, f"{src}/batch={int(exclude_batch)}",
+                            f"{tmp}/batch={int(exclude_batch)}")
+        delete_dir(spark, src)
+        rename_or_raise(spark, tmp, src)
+        return WordHistogram.load(spark, self.path)
+
+    def train(self, num_merges: int = 512,
+              max_types: int = 200_000) -> BpeTokenizer:
+        """A fresh :class:`BpeTokenizer` from the accumulated counts —
+        histogram consolidation folds into the bounded top-``max_types``
+        collect that training does anyway."""
+        return BpeTokenizer.train(self.histogram(), num_merges=num_merges,
+                                  lowercase=self.lowercase,
+                                  max_types=max_types)

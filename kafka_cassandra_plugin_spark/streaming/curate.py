@@ -159,6 +159,17 @@ class CurationSink:
     similarity) - the fingerprint index answers the position-local
     verbatim question those gates don't.
 
+    ``bpe_hist_path``: maintain a :class:`..operators.bpe.WordHistogram`
+    (the word-type histogram - the sufficient statistic for BPE
+    training, folding convention ``bpe_hist_lowercase`` pinned at
+    init) over every ACCEPTED document: each micro-batch overwrites
+    its own ``counts/batch=<id>`` partition (word counts are
+    distributive over the sink's document-disjoint batches), same
+    exactly-once replay discipline and ``compact_every`` folding as
+    the bloom/LM/bm25 paths.  Re-derive a tokenizer that reflects the
+    curated distribution at any time with ``WordHistogram.load(spark,
+    path).train(...)`` - no accepted-history re-scan, ever.
+
     ``compact_every``: every N index-growing micro-batches, rewrite the
     index's band/shingle parquet into ``compact_target_mb`` files
     (:meth:`MinHashIndex.compact`) AND coalesce the accepted dataset's
@@ -194,6 +205,8 @@ class CurationSink:
                  fingerprint_path: str | None = None,
                  fingerprint_k: int = 5, fingerprint_w: int = 4,
                  fingerprint_bucket_partitions: int = 256,
+                 bpe_hist_path: str | None = None,
+                 bpe_hist_lowercase: bool = False,
                  **curate_kwargs):
         if lm_path is not None and "lm" in curate_kwargs:
             raise ValueError(
@@ -234,6 +247,8 @@ class CurationSink:
         self.fingerprint_k = fingerprint_k
         self.fingerprint_w = fingerprint_w
         self.fingerprint_bucket_partitions = fingerprint_bucket_partitions
+        self.bpe_hist_path = bpe_hist_path
+        self.bpe_hist_lowercase = bpe_hist_lowercase
         self.curate_kwargs = curate_kwargs
         self._clf = None
         self._langid = None
@@ -348,6 +363,18 @@ class CurationSink:
                 FingerprintIndex.load(
                     spark, self.fingerprint_path
                 ).compact(exclude_batch=batch_id)
+        if self.bpe_hist_path is not None:
+            from ..operators.bpe import WordHistogram
+
+            if not self._path_exists(spark, f"{self.bpe_hist_path}/meta"):
+                WordHistogram.init(spark, self.bpe_hist_path,
+                                   lowercase=self.bpe_hist_lowercase)
+            elif (self.compact_every and self._adds
+                    and self._adds % self.compact_every == 0):
+                # same pre-batch + exclude-in-flight discipline as the
+                # bloom/LM/bm25/fingerprint compactions above
+                WordHistogram.load(spark, self.bpe_hist_path).compact(
+                    exclude_batch=batch_id)
         clf_kwargs = {}
         if self.clf_path is not None:
             if self._clf is None:
@@ -423,6 +450,16 @@ class CurationSink:
                 accepted.select(self.id_col, self.text_col), batch_id,
                 text_col=self.text_col, id_col=self.id_col,
                 reload=False,
+            )
+        if self.bpe_hist_path is not None:
+            from ..operators.bpe import WordHistogram
+
+            # O(batch) overwrite of THIS batch's counts partition -
+            # exactly-once under replay; write-only (nothing reads the
+            # histogram inside the sink)
+            WordHistogram.load(spark, self.bpe_hist_path).append_batch(
+                accepted.select(self.text_col), batch_id,
+                text_col=self.text_col, reload=False,
             )
         self._adds += 1
         if self.compact_every and self._adds % self.compact_every == 0:

@@ -375,8 +375,12 @@ TIER_D = {
             "incremental pair-count maintenance, and encode is "
             "map-only - ranks ride the pandas-UDF closure with a "
             "per-batch word memo so repetition collapses the work to "
-            "O(distinct words per partition))",
-            "operators/bpe.py",
+            "O(distinct words per partition); WordHistogram persists "
+            "the type histogram batch-partitioned with the D18/D19 "
+            "replay-exclusion discipline and "
+            "CurationSink(bpe_hist_path=) keeps it current over "
+            "accepted docs)",
+            "operators/bpe.py, streaming/curate.py",
             "trained merge sequence EXACTLY matches an independent "
             "naive reference trainer (full recount per iteration - a "
             "different algorithm, so an incremental-maintenance bug "
@@ -389,7 +393,12 @@ TIER_D = {
             "('bpe_histogram') AND the distributed encode path "
             "('bpe_token_counts': per-doc true token counts vs "
             "tokenize + registered word->n_tok map join), re-checked "
-            "at sf1 in the bench artifact (tests/test_bpe.py)"),
+            "at sf1 in the bench artifact; WordHistogram accumulate "
+            "== whole-build, replay overwrites, load(exclude_batch) "
+            "as-of, compact keeps in-flight hideable, trained-from-"
+            "accumulated == whole-corpus merges; sink-maintained "
+            "histogram == rebuild over accepted under replay "
+            "(tests/test_bpe.py, test_streaming_curate.py)"),
     "D28": ("Gopher quality rules (gopher_quality_profile - Rae et "
             "al. 2021 appendix A1.1: word-count bounds, mean word "
             "length, symbol-to-word ratio, bullet/ellipsis line "

@@ -250,3 +250,110 @@ class TestOracle:
         df, sql = bpe_token_counts_oracle(spark, oracle_sf_dir, duck)
         n = oracle.compare(df, duck, sql, "bpe_token_counts")
         assert n > 0
+
+
+class TestWordHistogramIncremental:
+    """The D18/D19 replay-discipline standard, applied from day one:
+    accumulate == whole-build, replay overwrites, exclude_batch
+    as-of, compact keeps the in-flight batch hideable, compact onto
+    own path lossless, trained tokenizer identical."""
+
+    BATCHES = [
+        [(0, "low low lower"), (1, "new newer lowest")],
+        [(2, "low wider widest the"), (3, "newer newest of the")],
+        [(4, "low lower lower wide the of")],
+    ]
+
+    def _whole(self):
+        return _hist_of([r for b in self.BATCHES for r in b])
+
+    def _got(self, wh):
+        return {r["word"]: r["count"] for r in wh.histogram().collect()}
+
+    @pytest.fixture()
+    def accum(self, spark, tmp_path):
+        from kafka_cassandra_plugin_spark.operators.bpe import WordHistogram
+
+        wh = WordHistogram.init(spark, str(tmp_path / "wh"))
+        for i, rows in enumerate(self.BATCHES):
+            wh = wh.append_batch(
+                spark.createDataFrame(rows, "doc_id long, text string"), i)
+        return wh
+
+    def test_accumulate_equals_whole_build(self, accum):
+        assert self._got(accum) == self._whole()
+
+    def test_replay_overwrites_not_double_counts(self, spark, accum):
+        replay = spark.createDataFrame(self.BATCHES[1],
+                                       "doc_id long, text string")
+        wh = accum.append_batch(replay, 1)
+        assert self._got(wh) == self._whole()
+
+    def test_exclude_batch_is_as_of_predecessors(self, spark, accum):
+        from kafka_cassandra_plugin_spark.operators.bpe import WordHistogram
+
+        wh = WordHistogram.load(spark, accum.path, exclude_batch=2)
+        assert self._got(wh) == _hist_of(self.BATCHES[0] + self.BATCHES[1])
+
+    def test_compact_preserves_counts(self, spark, accum):
+        wh = accum.compact()
+        assert self._got(wh) == self._whole()
+        # history really is consolidated: only batch=-1 remains
+        import os
+
+        batches = sorted(os.listdir(f"{accum.path}/counts"))
+        assert [b for b in batches if b.startswith("batch=")] == ["batch=-1"]
+
+    def test_compact_keeps_in_flight_batch_hideable(self, spark, accum):
+        from kafka_cassandra_plugin_spark.operators.bpe import WordHistogram
+
+        wh = accum.compact(exclude_batch=2)
+        assert self._got(wh) == self._whole()
+        asof = WordHistogram.load(spark, accum.path, exclude_batch=2)
+        assert self._got(asof) == _hist_of(self.BATCHES[0] + self.BATCHES[1])
+
+    def test_double_compact_lossless(self, spark, accum):
+        wh = accum.compact().compact()
+        assert self._got(wh) == self._whole()
+
+    def test_trained_tokenizer_matches_whole_corpus(self, spark, accum):
+        from kafka_cassandra_plugin_spark.operators.bpe import BpeTokenizer
+
+        whole_rows = [(i, t) for i, (_, t) in
+                      enumerate(r for b in self.BATCHES for r in b)]
+        whole = BpeTokenizer.train(
+            spark.createDataFrame(whole_rows, "doc_id long, text string"),
+            num_merges=20)
+        assert accum.train(num_merges=20).merges == whole.merges
+
+    def test_negative_batch_id_raises(self, spark, accum):
+        with pytest.raises(ValueError, match="batch_id"):
+            accum.append_batch(
+                spark.createDataFrame([(9, "x y")],
+                                      "doc_id long, text string"), -1)
+
+    def test_unsaved_append_raises(self, spark):
+        from kafka_cassandra_plugin_spark.operators.bpe import WordHistogram
+
+        wh = WordHistogram(
+            spark.createDataFrame([], "word string, count long"), False)
+        with pytest.raises(ValueError, match="init"):
+            wh.append_batch(
+                spark.createDataFrame([(9, "x y")],
+                                      "doc_id long, text string"), 0)
+
+    def test_load_missing_meta_raises(self, spark, tmp_path):
+        from kafka_cassandra_plugin_spark.operators.bpe import WordHistogram
+
+        with pytest.raises(ValueError, match="meta"):
+            WordHistogram.load(spark, str(tmp_path / "nope"))
+
+    def test_lowercase_convention_pinned_in_meta(self, spark, tmp_path):
+        from kafka_cassandra_plugin_spark.operators.bpe import WordHistogram
+
+        wh = WordHistogram.init(spark, str(tmp_path / "lc"), lowercase=True)
+        wh = wh.append_batch(
+            spark.createDataFrame([(0, "Low low LOW")],
+                                  "doc_id long, text string"), 0)
+        assert self._got(wh) == {"low": 3}
+        assert wh.train(num_merges=3).lowercase is True

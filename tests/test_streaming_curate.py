@@ -723,3 +723,66 @@ class TestFingerprintMaintenance:
         b = {(r.batch_id, r.corpus_id, r.shared, round(r.overlap, 9))
              for r in rebuilt.match_batch(probe).collect()}
         assert a == b and a  # prefixes must collide with their sources
+
+
+class TestBpeHistMaintenance:
+    """bpe_hist_path=: the sink folds every accepted document's word
+    counts into a saved WordHistogram - the sufficient statistic for
+    BPE training kept current at ingest; replay leaves the histogram
+    (and any tokenizer trained from it) identical to a rebuild over
+    the accepted dataset."""
+
+    @staticmethod
+    def _hist_map(wh):
+        return {r["word"]: r["count"] for r in wh.histogram().collect()}
+
+    def test_histogram_matches_rebuild_replay_identical(
+        self, spark, corpus, docs, tmp_path
+    ):
+        from kafka_cassandra_plugin_spark.operators.bpe import (
+            BpeTokenizer,
+            WordHistogram,
+            word_histogram,
+        )
+
+        hist_path = str(tmp_path / "wh")
+        sink = fresh_sink(spark, corpus, tmp_path,
+                          bpe_hist_path=hist_path)
+        b1, b2 = make_batches(docs)
+        sink(b1, 0)
+        sink(b1, 0)  # foreachBatch replay after a simulated failure
+        sink(b2, 1)
+
+        accepted = accepted_dataset(spark, sink.out_path).select("text")
+        ingested = WordHistogram.load(spark, hist_path)
+        rebuilt = {r["word"]: r["count"]
+                   for r in word_histogram(accepted).collect()}
+        assert self._hist_map(ingested) == rebuilt
+        # and the artifact the histogram exists for: identical merges
+        assert ingested.train(num_merges=30).merges == \
+            BpeTokenizer.train(accepted, num_merges=30).merges
+
+    def test_compact_every_preserves_counts(self, spark, corpus, docs,
+                                            tmp_path):
+        from kafka_cassandra_plugin_spark.fsutil import list_batch_ids
+        from kafka_cassandra_plugin_spark.operators.bpe import (
+            WordHistogram,
+            word_histogram,
+        )
+
+        hist_path = str(tmp_path / "wh")
+        sink = fresh_sink(spark, corpus, tmp_path,
+                          bpe_hist_path=hist_path, compact_every=2)
+        b1, b2 = make_batches(docs)
+        sink(b1, 0)
+        sink(b2, 1)
+        b3 = docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+        )
+        sink(b3, 2)  # third batch triggers the pre-batch compaction
+        ids = list_batch_ids(spark, f"{hist_path}/counts")
+        assert -1 in ids and 2 in ids and 0 not in ids and 1 not in ids
+        accepted = accepted_dataset(spark, sink.out_path).select("text")
+        rebuilt = {r["word"]: r["count"]
+                   for r in word_histogram(accepted).collect()}
+        assert self._hist_map(WordHistogram.load(spark, hist_path)) == rebuilt
