@@ -425,6 +425,10 @@ def _tier_d_oracle_pairs():
         # D26 (round 9): winnowed selection under the md5-portable key
         "fingerprint_winnow": (L.fingerprint_winnow,
                                L.FINGERPRINT_WINNOW_SQL),
+        # D29 (round 9): the composition datasheet — exact quantiles
+        # so every cell re-derives (quantile_cont == Spark percentile)
+        "corpus_datasheet": (L.corpus_datasheet_report,
+                             L.CORPUS_DATASHEET_SQL),
         # D28 (round 9): the Gopher A1.1 quality rule block — pure
         # rational arithmetic over the shared token split, so DuckDB
         # re-derives every signal AND the pass flag from raw text
@@ -1028,6 +1032,31 @@ def _depth_ops(sf_dir):
             F.col("overlap") >= 0.5
         )
 
+    # D27 row (round 9): BPE encode over the corpus - the train is
+    # one-off (cached; driver merge loop over the tiny type table),
+    # the row is the recurring term: the memoized pandas-UDF encode of
+    # every document (the declared Python slow path, measured honest).
+    def bpe_encode(spark):
+        from kafka_cassandra_plugin_spark.operators.bpe import (
+            BpeTokenizer,
+        )
+
+        d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+        if "bpe" not in _state:
+            _state["bpe"] = BpeTokenizer.train(d, num_merges=64)
+        return _state["bpe"].token_count(d)
+
+    # D28 row (round 9): the Gopher A1.1 quality rule block - pure
+    # built-in map arithmetic, the zero-shuffle baseline among the
+    # extra rows.
+    def gopher(spark):
+        from kafka_cassandra_plugin_spark.operators.text import (
+            gopher_quality_profile,
+        )
+
+        d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+        return gopher_quality_profile(d)
+
     return {"curation_funnel": curation_funnel, "sim_ivf_pq": ivf_pq,
             "decontaminate": decontaminate,
             "shard_export[staging]": shard_export_staging,
@@ -1041,7 +1070,8 @@ def _depth_ops(sf_dir):
             "dedup_substring": substring_spans, "dedup_lines": line_dedup,
             "bm25_topk": bm25, "dsir_select": dsir,
             "quality_classifier": quality_clf, "langid": lang_identify,
-            "fingerprint_winnow": fingerprint}
+            "fingerprint_winnow": fingerprint,
+            "bpe_encode": bpe_encode, "gopher_quality": gopher}
 
 
 if __name__ == "__main__":

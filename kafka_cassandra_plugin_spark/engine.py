@@ -40,6 +40,7 @@ from .operators import pipeline as _pipeline
 from .operators import classifier as _classifier
 from .operators import fingerprint as _fingerprint
 from .operators import bpe as _bpe
+from .operators import datasheet as _datasheet
 from .operators import fingerprint_index as _fingerprint_index
 from .operators import langid as _langid
 from .operators import quantization as _quantization
@@ -239,3 +240,6 @@ class Engine:
 
     def load_word_histogram(self, path: str) -> "_bpe.WordHistogram":
         return _bpe.WordHistogram.load(self.spark, path)
+
+    # -- D29: corpus datasheet (round 9) --------------------------------------
+    corpus_datasheet = staticmethod(_datasheet.corpus_datasheet)

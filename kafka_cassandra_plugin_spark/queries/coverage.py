@@ -311,3 +311,37 @@ def parquet_roundtrip(spark, sf_dir):
         .select("o_orderkey", "o_orderstatus", F.col("y").cast("bigint").alias("y"))
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# ORC round-trip (round 9): the third text/columnar format the G2/G5
+# rows cover.  Spark writes/reads ORC natively; DuckDB has no ORC
+# reader, so — exactly like csv_roundtrip — the oracle runs the SAME
+# relational core on the parquet source views: round-trip
+# LOSSLESSNESS (schema + values through the ORC writer/reader) is the
+# assertion.  Declared-query window is full (50), so this runs
+# pytest-oracled like the tier-D queries.
+# --------------------------------------------------------------------------
+
+ORC_ROUNDTRIP_SQL = """
+    SELECT n_nationkey, n_name, n_regionkey, r_name
+    FROM nation JOIN region ON r_regionkey = n_regionkey
+    ORDER BY n_nationkey
+"""
+
+
+def orc_roundtrip(spark, sf_dir):
+    """nation AND region -> ORC -> read back (explicit schemas — the
+    same no-inference discipline as csv_roundtrip), joined."""
+    c = Catalog(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(), "kcp_orc_rt")
+    c.nation.write.mode("overwrite").orc(path)
+    n = spark.read.schema(_RT_COLS).orc(path)
+    rpath = os.path.join(tempfile.gettempdir(), "kcp_orc_rt_region")
+    c.region.select("r_regionkey", "r_name").write.mode("overwrite").orc(rpath)
+    r = spark.read.schema("r_regionkey int, r_name string").orc(rpath)
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .select("n_nationkey", "n_name", "n_regionkey", "r_name")
+        .orderBy("n_nationkey")
+    )

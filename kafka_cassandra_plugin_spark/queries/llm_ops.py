@@ -2261,3 +2261,66 @@ def gopher_quality(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# D29: corpus datasheet (round 9) — composition table, fully oracled
+# --------------------------------------------------------------------------
+#
+# Exact aggregates only (percentile, not percentile_approx) precisely
+# so DuckDB can re-derive every cell: quantile_cont uses the same
+# linear interpolation as Spark's percentile, md5 is the portable
+# fingerprint, and token_share re-derives from the group sums.
+
+CORPUS_DATASHEET_SQL = r"""
+    WITH m AS (
+      SELECT source, lang,
+             len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '')) AS nt,
+             len(text) AS nc,
+             md5(text) AS fp
+      FROM documents
+    ),
+    g AS (
+      SELECT source, lang,
+             count(*) AS n_docs,
+             sum(nt)::BIGINT AS total_tokens,
+             avg(nt) AS mean_tokens,
+             quantile_cont(nt, 0.5) AS median_tokens,
+             quantile_cont(nt, 0.9) AS p90_tokens,
+             avg(nc) AS mean_chars,
+             count(DISTINCT fp) AS n_distinct
+      FROM m GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, total_tokens,
+           round(mean_tokens, 4) AS mean_tokens,
+           round(median_tokens, 4) AS median_tokens,
+           round(p90_tokens, 4) AS p90_tokens,
+           round(mean_chars, 4) AS mean_chars,
+           round(1.0 - n_distinct / n_docs, 4) AS dup_frac,
+           round(total_tokens / (SELECT sum(total_tokens) FROM g), 4)
+             AS token_share
+    FROM g
+    ORDER BY source, lang
+"""
+
+
+def corpus_datasheet_report(spark, sf_dir):
+    """The D29 query: the per-(source, lang) composition table over
+    documents — every cell re-derived by DuckDB from raw text."""
+    from ..operators.datasheet import corpus_datasheet
+
+    d = Catalog(spark, sf_dir).documents.select("source", "lang", "text")
+    sheet = corpus_datasheet(d)
+    return (
+        sheet.select(
+            "source", "lang", "n_docs", "total_tokens",
+            F.round("mean_tokens", 4).alias("mean_tokens"),
+            F.round("median_tokens", 4).alias("median_tokens"),
+            F.round("p90_tokens", 4).alias("p90_tokens"),
+            F.round("mean_chars", 4).alias("mean_chars"),
+            F.round("dup_frac", 4).alias("dup_frac"),
+            F.round("token_share", 4).alias("token_share"),
+        )
+        .orderBy("source", "lang")
+    )

@@ -420,6 +420,22 @@ TIER_D = {
             "sf0.01 (pytest 'gopher_quality') + sf1 (bench "
             "re-check) over every signal AND the pass flag "
             "(tests/test_text_quality.py::TestGopherQuality)"),
+    "D29": ("corpus datasheet (corpus_datasheet - Gebru et al. 2021 "
+            "'Datasheets for Datasets'; the per-(source, lang) "
+            "composition table: counts, token mass, EXACT length "
+            "quantiles via percentile (not the engine-specific approx "
+            "sketch - a datasheet runs once per release and the group "
+            "count is sources x languages), exact-dup rate via "
+            "count-distinct md5, token_share via a group-count-sized "
+            "window - ONE grouped pass, no driver loop)",
+            "operators/datasheet.py",
+            "hand-computed cells on a constructed corpus (counts, "
+            "token mass, 0.9-quantile linear interpolation pinned, "
+            "dup_frac edge, token_share conserves to 1.0); no-Python "
+            "plan gate with bounded Exchange budget; DuckDB oracle "
+            "sf0.01 (pytest 'corpus_datasheet' - quantile_cont "
+            "interpolates identically to Spark percentile) + sf1 "
+            "(bench re-check) (tests/test_datasheet.py)"),
 }
 
 
@@ -461,12 +477,12 @@ def main() -> None:
     n_oracle = sum(1 for q in reg.values() if q.sql)
     lines.append(
         f"**Totals**: {n_q} declared queries ({n_oracle} oracle-matched, "
-        f"{n_q - n_oracle} rows-only) + 17 pytest-oracled tier-D queries "
+        f"{n_q - n_oracle} rows-only) + 18 pytest-oracled tier-D queries "
         "(`repetition_signals`, `decontam_ngram13`, `decontam_jaccard`, "
         "`quality_report`, `pii_redaction`, `sample_per_group`, "
         "`dedup_semantic`, `dedup_substring`, `dedup_lines`, "
         "`bm25_topk`, `dsir_select`, `quality_classifier`, "
-        "`lm_perplexity`, `langid`, `fingerprint_winnow`, `bpe_token_counts`, `gopher_quality` — the driver's 50-query verdict "
+        "`lm_perplexity`, `langid`, `fingerprint_winnow`, `bpe_token_counts`, `gopher_quality`, `corpus_datasheet` — the driver's 50-query verdict "
         "window is full, so their DuckDB oracles run in pytest through "
         "the same harness, and the bench re-checks them at sf1); "
         f"inventory rows uncovered: {missing or 'none'}."

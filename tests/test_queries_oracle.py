@@ -57,3 +57,16 @@ def test_registry_fits_driver_window():
     # the external driver checks at most the first 50 query names
     # (alphabetical); every declared query must get a verdict
     assert len(QUERIES) <= 50
+
+
+def test_orc_roundtrip_oracle(spark, duck, oracle_sf_dir):
+    """G2/G5 third format (ORC, Spark-native): pytest-oracled because
+    the declared window is full — same rigor, recorded here."""
+    from kafka_cassandra_plugin_spark.queries.coverage import (
+        ORC_ROUNDTRIP_SQL,
+        orc_roundtrip,
+    )
+
+    df = orc_roundtrip(spark, oracle_sf_dir)
+    n = oracle.compare(df, duck, ORC_ROUNDTRIP_SQL, "orc_roundtrip")
+    assert n > 0
