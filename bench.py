@@ -445,11 +445,15 @@ def _tier_d_oracle_pairs():
         # register as literals; DuckDB re-derives char-gram features,
         # the smoothed join, argmax, and the softmax from raw text
         "langid": L.langid_oracle,
+        # D30 (round 9): CCNet head/middle/tail - DuckDB re-derives the
+        # trigram scoring AND the per-language NTILE window (same LM
+        # export as lm_perplexity, plus one window pass per side)
+        "ccnet_ppl_buckets": L.ccnet_ppl_buckets_oracle,
     }
 
 
 def _sf1_oracle(spark, sf1_dir: str, registry,
-                budget_s: float = 1330.0) -> dict:
+                budget_s: float = 1400.0) -> dict:
     # budget raised 900 -> 1100 with the round-6 D22-D24 entries
     # (bm25 ~45 s, quality_classifier ~41 s, dsir ~6 s measured);
     # -> 1250 with the round-7 langid entry (DuckDB's side is ~30M
@@ -457,7 +461,9 @@ def _sf1_oracle(spark, sf1_dir: str, registry,
     # -> 1300 with the round-9 fingerprint_winnow entry (~2.5M md5
     # gram hashes + one window pass per side); -> 1330 with the
     # round-9 bpe_token_counts entry (one split+join+sum per side over
-    # the tiny synthetic vocabulary)
+    # the tiny synthetic vocabulary); -> 1400 with the round-9
+    # ccnet_ppl_buckets entry (the lm_perplexity scoring pass again
+    # plus one per-language NTILE window per side)
     from kafka_cassandra_plugin_spark import oracle
 
     budget_s = float(os.environ.get("SPARK_GRAFT_SF1_ORACLE_BUDGET", budget_s))
@@ -1057,6 +1063,42 @@ def _depth_ops(sf_dir):
         d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
         return gopher_quality_profile(d)
 
+    # D30 row (round 9): the CCNet bucketing SCALE path - perplexity
+    # scoring + the broadcast cutoff application (cutoffs precomputed
+    # once into _state, like every fit-once/score-many row; the LM is
+    # shared with lm_perplexity's cached fit).
+    def ccnet_buckets(spark):
+        from kafka_cassandra_plugin_spark.operators.lm import (
+            apply_ppl_cutoffs,
+            ppl_cutoffs,
+        )
+
+        d = Catalog(spark, sf_dir).documents.select(
+            "doc_id", "text", "lang")
+        lm_ppl(spark)  # ensures _state["lm"] (fit billed to lm row)
+        ppl = _state["lm"].perplexity(
+            d.select("doc_id", "text")
+        ).join(d.select("doc_id", "lang"), "doc_id")
+        if "ppl_cuts" not in _state:
+            _state["ppl_cuts"] = ppl_cutoffs(ppl).localCheckpoint()
+        return apply_ppl_cutoffs(ppl, _state["ppl_cuts"])
+
+    # D31 row (round 9): tokenize -> FFD-pack -> concatenated token
+    # streams (the training-example last mile; shares the cached D27
+    # tokenizer so the row isolates encode+pack+assemble).
+    def pack_ex(spark):
+        from kafka_cassandra_plugin_spark.operators.packing import (
+            pack_examples,
+        )
+
+        d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+        if "bpe" not in _state:
+            from kafka_cassandra_plugin_spark.operators.bpe import (
+                BpeTokenizer,
+            )
+            _state["bpe"] = BpeTokenizer.train(d, num_merges=64)
+        return pack_examples(d, _state["bpe"], 2048)
+
     return {"curation_funnel": curation_funnel, "sim_ivf_pq": ivf_pq,
             "decontaminate": decontaminate,
             "shard_export[staging]": shard_export_staging,
@@ -1071,7 +1113,8 @@ def _depth_ops(sf_dir):
             "bm25_topk": bm25, "dsir_select": dsir,
             "quality_classifier": quality_clf, "langid": lang_identify,
             "fingerprint_winnow": fingerprint,
-            "bpe_encode": bpe_encode, "gopher_quality": gopher}
+            "bpe_encode": bpe_encode, "gopher_quality": gopher,
+            "ccnet_buckets": ccnet_buckets, "pack_examples": pack_ex}
 
 
 if __name__ == "__main__":

@@ -243,3 +243,11 @@ class Engine:
 
     # -- D29: corpus datasheet (round 9) --------------------------------------
     corpus_datasheet = staticmethod(_datasheet.corpus_datasheet)
+
+    # -- D30: CCNet perplexity bucketing (round 9) -----------------------------
+    ppl_buckets_by_rank = staticmethod(_lm.ppl_buckets_by_rank)
+    ppl_cutoffs = staticmethod(_lm.ppl_cutoffs)
+    apply_ppl_cutoffs = staticmethod(_lm.apply_ppl_cutoffs)
+
+    # -- D31: training-example packing (round 9) -------------------------------
+    pack_examples = staticmethod(_packing.pack_examples)

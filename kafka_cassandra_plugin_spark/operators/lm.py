@@ -432,3 +432,132 @@ class NgramLM:
             & (F.col("ppl") >= min_ppl) & (F.col("ppl") <= max_ppl)
         ).select(id_col)
         return docs.join(keep, id_col, "left_semi")
+
+
+# --------------------------------------------------------------------------
+# D30: CCNet perplexity bucketing (head / middle / tail)
+# --------------------------------------------------------------------------
+
+PPL_BUCKETS = ("head", "middle", "tail")
+
+
+def ppl_buckets_by_rank(
+    ppl_df: DataFrame,
+    lang_col: str = "lang",
+    ppl_col: str = "ppl",
+    id_col: str = "doc_id",
+    bucket_col: str = "ppl_bucket",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-language perplexity tertile label for every scored row —
+    the CCNet split (Wenzek et al. 2020 §4.4: each language's corpus
+    is cut into equal thirds by reference-LM perplexity; *head* = the
+    lowest-perplexity third, closest to the reference distribution,
+    *tail* = the highest).  Published pipelines train on head+middle
+    and drop or down-weight tail.
+
+    Assignment is by RANK (``ntile(3)`` per language, ordered by
+    ``(round(ppl, round_digits), id)``), not by comparing floats to an
+    interpolated percentile cutoff: the rounded sort key is the same
+    engine-portable value the D19 oracle hash-matches, and standard
+    SQL NTILE semantics make the label a pure integer computation —
+    deterministic, tie-stable, and reproducible bit-for-bit by any
+    engine with the same window function.  NULL-ppl rows (sub-n-token
+    documents) keep a NULL bucket: they are out-of-band, never
+    silently "head".
+
+    Scale shape: one hash shuffle on ``lang_col`` plus a per-language
+    sort — fine for bucketing a scored SAMPLE or one ingest slice.  To
+    bucket a whole 100 TB corpus, derive cutoffs from a sample with
+    :func:`ppl_cutoffs` and apply them map-only with
+    :func:`apply_ppl_cutoffs` (what CCNet itself does: cutoffs come
+    from per-language histograms computed once, not a global sort).
+    """
+    from pyspark.sql.window import Window
+
+    scored = ppl_df.filter(F.col(ppl_col).isNotNull()).select(
+        id_col,
+        F.round(F.col(ppl_col), round_digits).alias("__rppl"),
+        lang_col,
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("__rppl").asc(), F.col(id_col).asc()
+    )
+    labels = scored.select(
+        id_col,
+        F.element_at(
+            F.array(*[F.lit(b) for b in PPL_BUCKETS]), F.ntile(3).over(w)
+        ).alias(bucket_col),
+    )
+    return ppl_df.join(labels, id_col, "left")
+
+
+def ppl_cutoffs(
+    ppl_df: DataFrame,
+    lang_col: str = "lang",
+    ppl_col: str = "ppl",
+    probs: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    exact: bool = True,
+    accuracy: int = 10_000,
+    round_digits: int = 4,
+) -> DataFrame:
+    """(lang, head_max, middle_max, n_scored) — per-language
+    perplexity cutoffs at ``probs``.  The 100-TB path: compute these
+    once (on the full corpus with ``exact=False`` — Spark's
+    ``approx_percentile`` sketch, one pass, no sort — or exactly on a
+    deterministic sample), then :func:`apply_ppl_cutoffs` is a
+    broadcast join + two comparisons, map-only over any amount of
+    data.  Mirrors CCNet's deployment: cutoffs are a tiny per-language
+    table shipped with the LM, not recomputed per shard."""
+    src = ppl_df.filter(F.col(ppl_col).isNotNull()).select(
+        lang_col, F.round(F.col(ppl_col), round_digits).alias("__rppl")
+    )
+    lo, hi = float(probs[0]), float(probs[1])
+    if exact:
+        q = F.percentile("__rppl", F.array(F.lit(lo), F.lit(hi)))
+    else:
+        q = F.percentile_approx(
+            "__rppl", F.array(F.lit(lo), F.lit(hi)), F.lit(int(accuracy))
+        )
+    return (
+        src.groupBy(lang_col)
+        .agg(q.alias("__q"), F.count(F.lit(1)).alias("n_scored"))
+        .select(
+            lang_col,
+            F.col("__q")[0].alias("head_max"),
+            F.col("__q")[1].alias("middle_max"),
+            "n_scored",
+        )
+    )
+
+
+def apply_ppl_cutoffs(
+    ppl_df: DataFrame,
+    cutoffs: DataFrame,
+    lang_col: str = "lang",
+    ppl_col: str = "ppl",
+    bucket_col: str = "ppl_bucket",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Label rows head/middle/tail by comparing perplexity to the
+    broadcast per-language ``cutoffs`` table (from
+    :func:`ppl_cutoffs`) — zero shuffles on the corpus side, so this
+    is the form that scales to the full dataset.  Rows at exactly a
+    cutoff value go to the lower bucket (<=), matching the rank form
+    up to (a) ties AT the cutoff (a rank split breaks them by id; a
+    threshold cannot see ids) and (b) at most ONE document per
+    (language, boundary) of interpolation parity — when a language's
+    scored count is ≡ 2 (mod 3), the interpolated 2/3 percentile and
+    NTILE's ceil/floor tile sizes cut one rank apart.  CCNet
+    semantics do not care which third an exact-boundary document
+    lands in; both slips are between adjacent buckets (gated in
+    tests/test_lm.py).  NULL ppl, or a language absent from
+    ``cutoffs``, keeps a NULL bucket."""
+    rppl = F.round(F.col(ppl_col), round_digits)
+    return ppl_df.join(F.broadcast(cutoffs), on=lang_col, how="left").withColumn(
+        bucket_col,
+        F.when(F.col(ppl_col).isNull() | F.col("head_max").isNull(), F.lit(None))
+        .when(rppl <= F.col("head_max"), F.lit("head"))
+        .when(rppl <= F.col("middle_max"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    ).drop("head_max", "middle_max", "n_scored")

@@ -236,3 +236,84 @@ def chunk_documents(df: DataFrame, max_tokens: int, overlap: int = 0,
             F.col("w.n_tokens").alias("n_tokens"),
         )
     )
+
+
+def pack_examples(docs: DataFrame, tokenizer, max_tokens: int,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  eos: str | None = "</s>",
+                  **pack_kwargs) -> DataFrame:
+    """The last mile of the training-data pipeline (SURVEY §2.5 D31):
+    BPE-encode every document, binpack the encoded lengths, and emit
+    one row per PACK with the concatenated token stream — the actual
+    training example a data loader reads.
+
+    (pack, n_docs, n_tokens, oversize, tokens) where ``tokens`` is the
+    slot-ordered concatenation of each member document's BPE stream,
+    each document terminated by ``eos`` (pass ``eos=None`` to skip the
+    terminator; the packing budget bills the terminator when present,
+    so ``n_tokens == len(tokens) <= max_tokens`` holds for every
+    non-oversize pack either way).
+
+    Composition, not new machinery: :meth:`.bpe.BpeTokenizer.encode`
+    (map-only, ranks in the UDF closure) -> :func:`pack_sequences`
+    (deterministic partition-local FFD over the TRUE subword lengths,
+    not the whitespace proxy) -> one equi-join back to the encoded
+    stream and one groupBy pack whose ``array_sort(collect_list(
+    struct(slot, ...)))`` restores FFD insertion order.  Scale shape:
+    two shuffles total (the pack assignment's group routing, then the
+    pack groupBy; the join key is the doc id both sides already
+    carry), and every pack's payload is bounded by ``max_tokens`` —
+    collect_list here can never exceed the budget the packer enforced
+    upstream.  Feed the result straight to
+    :func:`.export.export_shards` keyed by ``pack`` for deterministic
+    training shards.
+
+    Oversize documents (longer than the budget even before the
+    terminator) stay singleton packs flagged ``oversize`` with their
+    full stream — truncation policy belongs to the caller, exactly as
+    in :func:`pack_sequences`; chunk first with
+    :func:`chunk_documents` when every token must train.
+    """
+    if "num_groups" not in pack_kwargs:
+        # derive the group count from the RAW doc count, not inside
+        # pack_sequences: its own derivation would count() the encoded
+        # frame and run the (expensive) encode UDF a second time
+        target = pack_kwargs.pop("target_group_docs", 4096)
+        pack_kwargs["num_groups"] = max(
+            1, -(-docs.count() // int(target))
+        )
+    enc = tokenizer.encode(docs.select(id_col, text_col),
+                           text_col=text_col, out_col="__toks")
+    if eos is not None:
+        enc = enc.withColumn(
+            "__toks", F.concat("__toks", F.array(F.lit(eos)))
+        )
+    # the encoded frame feeds BOTH the length-only pack assignment and
+    # the stream-assembly join; checkpoint so the pandas-UDF encode
+    # (the dominant cost) runs exactly once (a 100 TB caller would
+    # materialize the encoded corpus to storage here instead)
+    enc = enc.select(id_col, "__toks",
+                     F.size("__toks").cast("long").alias("__bpe_nt")
+                     ).localCheckpoint()
+    assign = pack_sequences(
+        enc, max_tokens, id_col=id_col, tokens_col="__bpe_nt",
+        **pack_kwargs,
+    )
+    member = assign.join(enc.select(id_col, "__toks"), id_col)
+    return (
+        member.groupBy("pack")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.max(F.col("oversize").cast("int")).cast("boolean")
+            .alias("oversize"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("slot", "__toks"))
+                    ),
+                    lambda s: s["__toks"],
+                )
+            ).alias("tokens"),
+        )
+    )

@@ -2324,3 +2324,98 @@ def corpus_datasheet_report(spark, sf_dir):
         )
         .orderBy("source", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# D30: CCNet perplexity bucketing (head / middle / tail)
+# --------------------------------------------------------------------------
+
+CCNET_BUCKETS_SQL = r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> x <> ''),
+               t -> lower(t)) AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(t) - 1),
+               i -> struct_pack(ctx := t[i] || ' ' || t[i+1],
+                                tok := t[i+2]))) AS gr
+      FROM tok WHERE len(t) >= 3
+    ),
+    scored AS (
+      SELECT x.doc_id,
+             ln((coalesce(lg.cnt, 0) + m.k)
+                / (coalesce(lc.total, 0) + m.k * m.vocab_size)) AS logp
+      FROM (SELECT doc_id, gr.ctx AS ctx, gr.tok AS tok FROM g) x
+      LEFT JOIN lm_grams lg ON x.ctx = lg.ctx AND x.tok = lg.tok
+      LEFT JOIN lm_contexts lc ON x.ctx = lc.ctx
+      CROSS JOIN lm_meta m
+    ),
+    per_doc AS (
+      SELECT doc_id, round(exp(-avg(logp)), 4) AS rppl
+      FROM scored GROUP BY doc_id
+    ),
+    base AS (
+      SELECT d.doc_id, d.lang, p.rppl
+      FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id,
+             ['head', 'middle', 'tail'][
+               ntile(3) OVER (PARTITION BY lang ORDER BY rppl, doc_id)
+             ] AS ppl_bucket
+      FROM base WHERE rppl IS NOT NULL
+    )
+    SELECT b.doc_id, b.lang, b.rppl, r.ppl_bucket
+    FROM base b LEFT JOIN ranked r ON b.doc_id = r.doc_id
+    ORDER BY b.doc_id
+"""
+
+
+def ccnet_ppl_buckets_oracle(spark, sf_dir, con):
+    """The D30 oracle pair: returns ``(spark_df, sql)`` after
+    registering the fitted trigram LM (same fit as the D19
+    ``lm_perplexity`` oracle: doc_id % 3 != 0 reference slice, n=3,
+    k=0.1).  CCNet step 2 (Wenzek et al. 2020 §4.4): every language's
+    scored documents split into perplexity tertiles — head (closest to
+    the reference LM), middle, tail.  The Spark side is
+    ``NgramLM.perplexity`` + :func:`...operators.lm.ppl_buckets_by_rank`
+    (ntile(3) per language over the engine-portable rounded
+    perplexity); DuckDB re-derives tokenization, the smoothed trigram
+    score, the rounding, AND the identical NTILE window from raw text
+    plus the exported count tables — so a drift in scoring, sort-key
+    rounding, tie ordering, or tile arithmetic all hash-mismatch.
+    NULL-perplexity (sub-3-token) documents keep a NULL bucket on both
+    sides."""
+    import pandas as pd
+
+    from ..operators.lm import NgramLM, ppl_buckets_by_rank
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "text", "lang")
+    lm = NgramLM.fit(
+        d.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text"),
+        n=3, k=0.1,
+    )
+    con.register("lm_grams", lm.grams.toPandas())
+    con.register("lm_contexts", lm.contexts.toPandas())
+    con.register("lm_meta", pd.DataFrame(
+        {"k": [float(lm.k)], "vocab_size": [float(lm.vocab_size)]}))
+    ppl = lm.perplexity(d.select("doc_id", "text")).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    df = (
+        ppl_buckets_by_rank(ppl, lang_col="lang", ppl_col="ppl",
+                            id_col="doc_id")
+        .select(
+            "doc_id", "lang",
+            F.round("ppl", 4).alias("rppl"),
+            "ppl_bucket",
+        )
+        .orderBy("doc_id")
+    )
+    return df, CCNET_BUCKETS_SQL

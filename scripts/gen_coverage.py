@@ -436,6 +436,33 @@ TIER_D = {
             "sf0.01 (pytest 'corpus_datasheet' - quantile_cont "
             "interpolates identically to Spark percentile) + sf1 "
             "(bench re-check) (tests/test_datasheet.py)"),
+    "D30": ("CCNet perplexity bucketing (ppl_buckets_by_rank/"
+            "ppl_cutoffs/apply_ppl_cutoffs - Wenzek et al. 2020 "
+            "SS4.4: per-language head/middle/tail perplexity "
+            "tertiles over the D19 reference LM; the rank form is "
+            "NTILE(3) over the engine-portable rounded ppl, the "
+            "cutoff form is a broadcast per-language threshold "
+            "table applied map-only - the 100 TB path)",
+            "operators/lm.py",
+            "hand 3/3/3 tertiles + NULL out-of-band; cutoff-vs-rank "
+            "agreement away from boundary ties; broadcast/no-"
+            "Exchange plan gate on the apply path; DuckDB oracle "
+            "sf0.01 (pytest 'ccnet_ppl_buckets': DuckDB re-derives "
+            "scoring, rounding AND the identical NTILE window from "
+            "raw text + exported count tables) + sf1 (bench "
+            "re-check) (tests/test_lm.py::TestCcnetBuckets)"),
+    "D31": ("training-example packing (pack_examples - tokenize -> "
+            "FFD-pack on TRUE subword lengths -> slot-ordered "
+            "concatenated token streams with per-doc EOS; the last "
+            "mile feeding export_shards)",
+            "operators/packing.py",
+            "token conservation (every encoded token exactly once "
+            "across streams, EOS count == doc count); budget "
+            "(len(tokens) == n_tokens <= budget unless oversize "
+            "singleton); slot-order stream == hand-rebuilt member "
+            "concat; deterministic across input partitionings; "
+            "eos=None mode (tests/test_training_export.py::"
+            "TestPackExamples)"),
 }
 
 
@@ -477,12 +504,12 @@ def main() -> None:
     n_oracle = sum(1 for q in reg.values() if q.sql)
     lines.append(
         f"**Totals**: {n_q} declared queries ({n_oracle} oracle-matched, "
-        f"{n_q - n_oracle} rows-only) + 18 pytest-oracled tier-D queries "
+        f"{n_q - n_oracle} rows-only) + 19 pytest-oracled tier-D queries "
         "(`repetition_signals`, `decontam_ngram13`, `decontam_jaccard`, "
         "`quality_report`, `pii_redaction`, `sample_per_group`, "
         "`dedup_semantic`, `dedup_substring`, `dedup_lines`, "
         "`bm25_topk`, `dsir_select`, `quality_classifier`, "
-        "`lm_perplexity`, `langid`, `fingerprint_winnow`, `bpe_token_counts`, `gopher_quality`, `corpus_datasheet` — the driver's 50-query verdict "
+        "`lm_perplexity`, `langid`, `fingerprint_winnow`, `bpe_token_counts`, `gopher_quality`, `corpus_datasheet`, `ccnet_ppl_buckets` — the driver's 50-query verdict "
         "window is full, so their DuckDB oracles run in pytest through "
         "the same harness, and the bench re-checks them at sf1); "
         f"inventory rows uncovered: {missing or 'none'}."

@@ -397,3 +397,122 @@ class TestOracle:
         n = oracle.compare(df, duck, sql, "lm_perplexity")
         n_docs = duck.execute("SELECT count(*) FROM documents").fetchone()[0]
         assert n == n_docs  # every document scored (NULL ppl for short)
+
+
+class TestCcnetBuckets:
+    """D30: CCNet perplexity tertiles (Wenzek et al. 2020 §4.4) —
+    head/middle/tail per language.  The rank form is oracled against
+    DuckDB's identical NTILE window; the cutoff form (the map-only
+    100-TB path) is gated by agreement with the rank form away from
+    boundary ties and by a broadcast-join plan shape."""
+
+    def _scored(self, spark, sf_dir):
+        from kafka_cassandra_plugin_spark.catalog import Catalog
+
+        d = Catalog(spark, sf_dir).documents.select("doc_id", "text", "lang")
+        lm_ = NgramLM.fit(
+            d.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text"),
+            n=3, k=0.1,
+        )
+        return lm_.perplexity(d.select("doc_id", "text")).join(
+            d.select("doc_id", "lang"), "doc_id"
+        )
+
+    def test_hand_tertiles_and_null_band(self, spark):
+        """9 scored docs in one lang -> exactly 3/3/3 in ppl order; a
+        sub-3-token doc keeps a NULL bucket."""
+        from kafka_cassandra_plugin_spark.operators.lm import (
+            ppl_buckets_by_rank,
+        )
+
+        rows = [(i, float(10 + i), "en") for i in range(9)]
+        rows.append((99, None, "en"))  # unscorable
+        ppl = spark.createDataFrame(
+            rows, "doc_id int, ppl double, lang string"
+        )
+        got = {r.doc_id: r.ppl_bucket
+               for r in ppl_buckets_by_rank(ppl).collect()}
+        assert [got[i] for i in range(9)] == (
+            ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+        )
+        assert got[99] is None
+
+    def test_oracle_sf001(self, spark, duck, oracle_sf_dir):
+        from kafka_cassandra_plugin_spark import oracle
+        from kafka_cassandra_plugin_spark.queries.llm_ops import (
+            ccnet_ppl_buckets_oracle,
+        )
+
+        df, sql = ccnet_ppl_buckets_oracle(spark, oracle_sf_dir, duck)
+        n = oracle.compare(df, duck, sql, "ccnet_ppl_buckets")
+        n_docs = duck.execute("SELECT count(*) FROM documents").fetchone()[0]
+        assert n == n_docs
+
+    def test_cutoffs_agree_with_rank_up_to_boundary_parity(
+            self, spark, sf_dir):
+        """The broadcast-cutoff form labels documents identically to
+        the rank form except (a) rows whose rounded ppl EQUALS a
+        cutoff (a threshold cannot split id-ordered ties) and (b) at
+        most ONE document per (language, boundary) from interpolation
+        parity: when a language's count is not ≡ 0/1 (mod 3), the
+        interpolated percentile and NTILE's ceil/floor tile sizes cut
+        one rank apart.  Every disagreement must be between ADJACENT
+        buckets, and the bulk must agree exactly."""
+        from kafka_cassandra_plugin_spark.operators.lm import (
+            apply_ppl_cutoffs,
+            ppl_buckets_by_rank,
+            ppl_cutoffs,
+        )
+
+        ppl = self._scored(spark, sf_dir)
+        cuts = ppl_cutoffs(ppl)
+        boundary = {
+            round(v, 4)
+            for r in cuts.collect()
+            for v in (r.head_max, r.middle_max)
+            if v is not None
+        }
+        n_langs = cuts.count()
+        by_rank = {r.doc_id: r.ppl_bucket
+                   for r in ppl_buckets_by_rank(ppl).collect()}
+        by_cut = {
+            r.doc_id: (r.ppl_bucket, r.ppl)
+            for r in apply_ppl_cutoffs(ppl, cuts).collect()
+        }
+        assert set(by_rank) == set(by_cut)
+        order = {"head": 0, "middle": 1, "tail": 2}
+        n_agree = 0
+        parity_disagreements = 0
+        for doc_id, (bucket, p) in by_cut.items():
+            if by_rank[doc_id] is None:
+                assert bucket is None
+                continue
+            if p is not None and round(p, 4) in boundary:
+                # boundary tie: cutoff form takes the lower bucket
+                assert order[bucket] <= order[by_rank[doc_id]]
+                continue
+            if bucket != by_rank[doc_id]:
+                assert abs(order[bucket] - order[by_rank[doc_id]]) == 1, (
+                    doc_id)
+                parity_disagreements += 1
+                continue
+            n_agree += 1
+        # at most one parity slip per (language, boundary)
+        assert parity_disagreements <= 2 * n_langs
+        assert n_agree > 10 * parity_disagreements
+
+    def test_apply_cutoffs_is_broadcast_map_only(self, spark, sf_dir):
+        """The scale path: the corpus side of apply_ppl_cutoffs must
+        not shuffle - cutoffs broadcast, bucketing is a projection."""
+        from kafka_cassandra_plugin_spark.operators.lm import (
+            apply_ppl_cutoffs,
+            ppl_cutoffs,
+        )
+
+        ppl = self._scored(spark, sf_dir)
+        cuts = ppl_cutoffs(ppl).localCheckpoint()  # cutoffs precomputed
+        plan = apply_ppl_cutoffs(
+            ppl.localCheckpoint(), cuts
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan

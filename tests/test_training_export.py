@@ -801,3 +801,114 @@ class TestChunkDocuments:
         n = oracle.compare(df, duck, llm_ops.CHUNK_DOCUMENTS_SQL,
                            name="chunk_docs")
         assert n > 0
+
+
+class TestPackExamples:
+    """D31: tokenize -> pack -> concatenate (the training example
+    stream).  Gates: token conservation (every encoded token appears
+    exactly once across pack streams), budget (len(tokens) == n_tokens
+    <= budget for non-oversize packs), slot order (each pack's stream
+    is the slot-ordered concatenation of member encodes + eos), and
+    determinism across input partitionings."""
+
+    BUDGET = 192
+
+    @pytest.fixture(scope="class")
+    def tok(self, docs):
+        from kafka_cassandra_plugin_spark.operators.bpe import BpeTokenizer
+
+        return BpeTokenizer.train(docs.limit(200), num_merges=64)
+
+    @pytest.fixture(scope="class")
+    def corpus(self, docs):
+        return docs.limit(400).cache()
+
+    @pytest.fixture(scope="class")
+    def packs(self, corpus, tok):
+        from kafka_cassandra_plugin_spark.operators.packing import (
+            pack_examples,
+        )
+
+        return pack_examples(
+            corpus, tok, self.BUDGET, num_groups=4
+        ).cache()
+
+    def test_budget_and_stream_length(self, packs):
+        rows = packs.collect()
+        assert rows
+        for r in rows:
+            assert len(r.tokens) == r.n_tokens
+            if not r.oversize:
+                assert r.n_tokens <= self.BUDGET
+            else:
+                assert r.n_docs == 1 and r.n_tokens > self.BUDGET
+
+    def test_token_conservation_and_eos(self, corpus, tok, packs):
+        enc = tok.encode(corpus, out_col="t")
+        total_doc = enc.select(
+            F.sum(F.size("t") + 1).alias("s")  # +1 eos per doc
+        ).collect()[0].s
+        total_pack = packs.select(F.sum("n_tokens").alias("s")).collect()[0].s
+        assert total_pack == total_doc
+        n_docs = corpus.count()
+        eos_count = packs.select(
+            F.sum(F.size(F.filter("tokens", lambda x: x == F.lit("</s>"))))
+            .alias("s")
+        ).collect()[0].s
+        assert eos_count == n_docs
+        assert packs.select(F.sum("n_docs").alias("s")).collect()[0].s == n_docs
+
+    def test_stream_is_slot_ordered_member_concat(self, corpus, tok, packs):
+        """Rebuild one multi-doc pack's stream by hand from the
+        assignment + per-doc encodes."""
+        from kafka_cassandra_plugin_spark.operators.packing import (
+            pack_sequences,
+        )
+
+        enc = tok.encode(corpus, out_col="t").withColumn(
+            "t", F.concat("t", F.array(F.lit("</s>")))
+        ).withColumn("nt", F.size("t").cast("long"))
+        assign = pack_sequences(
+            enc, self.BUDGET, tokens_col="nt", num_groups=4
+        )
+        target = (
+            packs.filter(F.col("n_docs") >= 2)
+            .orderBy(F.col("n_docs").desc())
+            .limit(1).collect()[0]
+        )
+        members = (
+            assign.filter(F.col("pack") == target.pack)
+            .join(enc.select("doc_id", "t"), "doc_id")
+            .orderBy("slot")
+            .collect()
+        )
+        manual = [x for m in members for x in m.t]
+        assert manual == list(target.tokens)
+
+    def test_deterministic_across_partitionings(self, corpus, tok, packs):
+        from kafka_cassandra_plugin_spark.operators.packing import (
+            pack_examples,
+        )
+
+        again = pack_examples(
+            corpus.repartition(13), tok, self.BUDGET, num_groups=4
+        )
+        a = {(r.pack, tuple(r.tokens)) for r in packs.collect()}
+        b = {(r.pack, tuple(r.tokens)) for r in again.collect()}
+        assert a == b
+
+    def test_no_eos_mode_conserves_exactly(self, corpus, tok):
+        from kafka_cassandra_plugin_spark.operators.packing import (
+            pack_examples,
+        )
+
+        packs = pack_examples(
+            corpus, tok, self.BUDGET, eos=None, num_groups=4
+        )
+        enc = tok.encode(corpus, out_col="t")
+        total_doc = enc.select(F.sum(F.size("t")).alias("s")).collect()[0].s
+        got = packs.select(
+            F.sum("n_tokens").alias("nt"),
+            F.sum(F.size("tokens")).alias("st"),
+        ).collect()[0]
+        assert got.nt == total_doc and got.st == total_doc
