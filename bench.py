@@ -260,6 +260,23 @@ def main() -> None:
     # parquet footer cache)
     registry["agg_pricing_summary"].build(spark, sf_dir).count()
 
+    # host calibration: a FIXED data-independent workload (hash+agg over
+    # spark.range - no I/O, no parquet, same plan every round), recorded
+    # so cross-round/cross-host comparisons are normalizable.  Rounds run
+    # on freshly provisioned VMs whose CPU/IO class varies; a round where
+    # every small row reads ~1.5-2x its anchor but calib_s moved the same
+    # way is a slower host, not a regression (round-9 finding: anchors
+    # recorded on a faster host than the round-9 VM).
+    def _calib() -> float:
+        # bit_xor, not sum: overflow-free under ANSI mode
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, int(cpus)).selectExpr(
+            "bit_xor(xxhash64(id)) AS s", "count(1) AS n"
+        ).collect()
+        return time.perf_counter() - t0
+
+    calib_s = round(min(_calib(), _calib()), 3)
+
     times: dict[str, float] = {}
     for name in sorted(registry):
         times[name] = _steady_state(lambda: materialize(registry[name].build(spark, sf_dir)))
@@ -319,6 +336,7 @@ def main() -> None:
         "metric": "declared_query_set_total_wall",
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calib_s": calib_s,
         "queries": times,
         "extra_queries": extra,
         "isolated_retries": retries,
@@ -449,6 +467,10 @@ def _tier_d_oracle_pairs():
         # trigram scoring AND the per-language NTILE window (same LM
         # export as lm_perplexity, plus one window pass per side)
         "ccnet_ppl_buckets": L.ccnet_ppl_buckets_oracle,
+        # D32 (round 9): SoftDedup - DuckDB re-derives normalization,
+        # the md5 fingerprint window, the power-law weight, the salted
+        # draw, and the epoch explosion (one window pass per side)
+        "soft_dedup": (L.soft_dedup, L.SOFT_DEDUP_SQL),
     }
 
 
@@ -1099,6 +1121,25 @@ def _depth_ops(sf_dir):
             _state["bpe"] = BpeTokenizer.train(d, num_merges=64)
         return pack_examples(d, _state["bpe"], 2048)
 
+    # D32 row (round 9): SoftDedup reweighting + realized mixture -
+    # one fingerprint-window shuffle (xxhash64 at scale) + the
+    # zero-Exchange weighted fanout.
+    def soft_dd(spark):
+        from kafka_cassandra_plugin_spark.operators.dedup import (
+            soft_dedup_weights,
+        )
+        from kafka_cassandra_plugin_spark.operators.sampling import (
+            mix_by_weight,
+        )
+
+        d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+        corpus = d.unionByName(
+            d.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        )
+        w = soft_dedup_weights(corpus, alpha=1.0)
+        return mix_by_weight(w, "doc_id", "weight")
+
     return {"curation_funnel": curation_funnel, "sim_ivf_pq": ivf_pq,
             "decontaminate": decontaminate,
             "shard_export[staging]": shard_export_staging,
@@ -1114,7 +1155,8 @@ def _depth_ops(sf_dir):
             "quality_classifier": quality_clf, "langid": lang_identify,
             "fingerprint_winnow": fingerprint,
             "bpe_encode": bpe_encode, "gopher_quality": gopher,
-            "ccnet_buckets": ccnet_buckets, "pack_examples": pack_ex}
+            "ccnet_buckets": ccnet_buckets, "pack_examples": pack_ex,
+            "soft_dedup": soft_dd}
 
 
 if __name__ == "__main__":

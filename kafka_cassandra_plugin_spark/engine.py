@@ -251,3 +251,7 @@ class Engine:
 
     # -- D31: training-example packing (round 9) -------------------------------
     pack_examples = staticmethod(_packing.pack_examples)
+
+    # -- D32: SoftDedup reweighting (round 9) ----------------------------------
+    soft_dedup_weights = staticmethod(_dedup.soft_dedup_weights)
+    mix_by_weight = staticmethod(_sampling.mix_by_weight)

@@ -880,3 +880,52 @@ def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
         max_cluster_size,
     )
     return survivors_from_pairs(vectors, pairs, id_col=id_col)
+
+
+# --------------------------------------------------------------------------
+# D32: SoftDedup - duplicate DOWN-WEIGHTING instead of removal
+# --------------------------------------------------------------------------
+
+def soft_dedup_weights(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", alpha: float = 1.0,
+                       hash_fn: str = "xxhash64",
+                       normalize: bool = True) -> DataFrame:
+    """(id, commonness, weight) - the SoftDedup reweighting (He et al.
+    2024, arXiv:2407.06654): instead of DELETING duplicates (which
+    throws away the evidence that duplicated text is common and
+    over-trims at the cluster boundary), keep every document and
+    down-weight its sampling probability by how common its content is.
+    ``commonness`` = the exact multiplicity of the document's
+    (optionally normalized) text in the corpus; ``weight`` =
+    ``commonness ** -alpha`` - alpha=1 makes every duplicate CLUSTER
+    contribute one expected epoch spread across its members, alpha=0.5
+    down-weights more gently, alpha=0 disables.  Feed the weight to
+    :func:`.sampling.mix_by_weight` for a deterministic realized
+    mixture, or export it for loss-weighting at train time.
+
+    Scale shape: ONE hash shuffle on the content fingerprint (a window
+    count partitioned by the fingerprint - the shuffle term is the
+    distinct-content count, identical to exact_dedup's), then pure
+    column arithmetic; no join, no driver state.  ``normalize=True``
+    lowercases, trims, and collapses whitespace runs before hashing
+    (the near-free canonicalization that catches reflowed copies;
+    engine-portable, so the oracle reproduces it).  ``hash_fn``:
+    xxhash64 at scale, md5 for cross-engine oracle checks.
+    """
+    src = F.col(text_col)
+    if normalize:
+        src = F.regexp_replace(F.lower(F.trim(src)), r"\s+", " ")
+    if hash_fn == "xxhash64":
+        fp = F.xxhash64(src)
+    elif hash_fn == "md5":
+        fp = F.md5(src)
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    w = Window.partitionBy(fp)
+    return df.select(
+        id_col,
+        F.count(F.lit(1)).over(w).alias("commonness"),
+    ).withColumn(
+        "weight",
+        F.pow(F.col("commonness").cast("double"), F.lit(-float(alpha))),
+    )

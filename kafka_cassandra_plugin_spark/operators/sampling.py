@@ -251,3 +251,39 @@ def mix_to_budget(df: DataFrame, key_col: str, source_col: str,
     epochs, _ = plan_mixture(df, source_col, token_col, target_weights,
                              budget_tokens, max_epochs)
     return mix_sources(df, key_col, source_col, epochs, salt=salt)
+
+
+def mix_by_weight(df: DataFrame, key_col: str, weight_col: str,
+                  salt: str = "") -> DataFrame:
+    """Per-DOCUMENT epoch weighting: :func:`mix_sources` mechanics with
+    the expected epoch count read from ``weight_col`` instead of a
+    per-source map - the application step for
+    :func:`.dedup.soft_dedup_weights` (SoftDedup: duplicates survive
+    with probability ∝ their down-weight) and for any other per-row
+    curriculum weight (quality scores, DSIR importance, decay by age).
+
+    Each row emits ``floor(w)`` copies plus one more iff its salted
+    hash slice falls inside the fractional part - deterministic for
+    any partitioning/cluster, independent draws per salt, zero
+    Exchange (the same structural-fanout bound as mix_sources: at most
+    ``ceil(max weight)`` copies per row, no shuffle a heavy weight
+    could skew).  Rows with weight <= 0 (or NULL) drop.  Output adds
+    ``epoch`` (0-based repeat index); compose the id with the epoch
+    downstream exactly as for mix_sources."""
+    w = F.col(weight_col).cast("double")
+    whole = F.floor(w).cast("int")
+    frac = w - F.floor(w)
+    salted_key = F.concat_ws(
+        "|", F.lit(f"{salt}|wmix"), F.col(key_col).cast("string")
+    )
+    extra = (split_bucket(salted_key) < frac * BUCKETS).cast("int")
+    n = F.when(w > 0, whole + extra).otherwise(F.lit(0))
+    return (
+        df.withColumn("__n_epochs", n)
+        .filter(F.col("__n_epochs") > 0)
+        .withColumn(
+            "epoch",
+            F.explode(F.sequence(F.lit(0), F.col("__n_epochs") - 1)),
+        )
+        .drop("__n_epochs")
+    )

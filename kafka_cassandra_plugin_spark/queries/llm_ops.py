@@ -2419,3 +2419,74 @@ def ccnet_ppl_buckets_oracle(spark, sf_dir, con):
         .orderBy("doc_id")
     )
     return df, CCNET_BUCKETS_SQL
+
+
+# --------------------------------------------------------------------------
+# D32: SoftDedup - duplicate down-weighting + realized mixture
+# --------------------------------------------------------------------------
+
+SOFT_DEDUP_SQL = r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+      FROM corpus
+    ),
+    c AS (
+      SELECT doc_id, count(*) OVER (PARTITION BY f) AS commonness FROM fp
+    ),
+    wgt AS (
+      SELECT doc_id, commonness,
+             power(commonness, -1.0) AS w
+      FROM c
+    ),
+    e AS (
+      SELECT doc_id, commonness, w,
+             CAST(floor(w) AS INT)
+             + CASE WHEN ('0x' || substr(md5('|wmix|'
+                         || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                         % 10000
+                         < (w - floor(w)) * 10000
+                    THEN 1 ELSE 0 END AS n
+      FROM wgt
+    )
+    SELECT doc_id, commonness, round(w, 6) AS weight,
+           CAST(unnest(range(0, n)) AS BIGINT) AS epoch
+    FROM e WHERE n > 0
+    ORDER BY doc_id, epoch
+"""
+
+
+def soft_dedup(spark, sf_dir):
+    """The D32 query: SoftDedup reweighting (He et al. 2024) end to
+    end on documents + planted exact copies (every 5th doc once more,
+    every 10th twice more -> commonness 1/2/3).  Spark computes the
+    content-multiplicity weight (ONE fingerprint-window shuffle, md5
+    for portability) and realizes the deterministic weighted mixture
+    (zero-Exchange map fanout); DuckDB re-derives the normalization,
+    the fingerprint window, the power-law weight, the salted hash
+    draw, AND the epoch explosion from raw text."""
+    from ..operators.dedup import soft_dedup_weights
+    from ..operators.sampling import mix_by_weight
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    ).unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    )
+    w = soft_dedup_weights(corpus, alpha=1.0, hash_fn="md5")
+    mixed = mix_by_weight(w, "doc_id", "weight")
+    return mixed.select(
+        "doc_id", "commonness",
+        F.round("weight", 6).alias("weight"),
+        F.col("epoch").cast("long").alias("epoch"),
+    ).orderBy("doc_id", "epoch")

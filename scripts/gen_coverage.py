@@ -463,6 +463,25 @@ TIER_D = {
             "concat; deterministic across input partitionings; "
             "eos=None mode (tests/test_training_export.py::"
             "TestPackExamples)"),
+    "D32": ("SoftDedup reweighting (soft_dedup_weights + "
+            "mix_by_weight - He et al. 2024, arXiv:2407.06654: "
+            "duplicates are down-weighted by content multiplicity "
+            "(weight = commonness^-alpha), not deleted; "
+            "mix_by_weight realizes the deterministic weighted "
+            "mixture as a zero-Exchange map fanout, also usable "
+            "for any per-row curriculum weight)",
+            "operators/dedup.py, operators/sampling.py",
+            "hand commonness/weight across the alpha family; "
+            "whitespace/case canonicalization (normalize=False "
+            "splits); per-cluster expected epoch mass ~1 under "
+            "alpha=1; mix mechanics (floor+fractional draw, "
+            "epoch indices, NULL/0 drop, determinism across "
+            "partitionings); zero-Exchange plan gate; DuckDB "
+            "oracle sf0.01 (pytest 'soft_dedup': normalization, "
+            "fingerprint window, power-law weight, salted draw "
+            "AND epoch explosion re-derived) + sf1 (bench "
+            "re-check) (tests/test_training_export.py::"
+            "TestSoftDedup)"),
 }
 
 
@@ -504,12 +523,12 @@ def main() -> None:
     n_oracle = sum(1 for q in reg.values() if q.sql)
     lines.append(
         f"**Totals**: {n_q} declared queries ({n_oracle} oracle-matched, "
-        f"{n_q - n_oracle} rows-only) + 19 pytest-oracled tier-D queries "
+        f"{n_q - n_oracle} rows-only) + 20 pytest-oracled tier-D queries "
         "(`repetition_signals`, `decontam_ngram13`, `decontam_jaccard`, "
         "`quality_report`, `pii_redaction`, `sample_per_group`, "
         "`dedup_semantic`, `dedup_substring`, `dedup_lines`, "
         "`bm25_topk`, `dsir_select`, `quality_classifier`, "
-        "`lm_perplexity`, `langid`, `fingerprint_winnow`, `bpe_token_counts`, `gopher_quality`, `corpus_datasheet`, `ccnet_ppl_buckets` — the driver's 50-query verdict "
+        "`lm_perplexity`, `langid`, `fingerprint_winnow`, `bpe_token_counts`, `gopher_quality`, `corpus_datasheet`, `ccnet_ppl_buckets`, `soft_dedup` — the driver's 50-query verdict "
         "window is full, so their DuckDB oracles run in pytest through "
         "the same harness, and the bench re-checks them at sf1); "
         f"inventory rows uncovered: {missing or 'none'}."

@@ -912,3 +912,113 @@ class TestPackExamples:
             F.sum(F.size("tokens")).alias("st"),
         ).collect()[0]
         assert got.nt == total_doc and got.st == total_doc
+
+
+class TestSoftDedup:
+    """D32: SoftDedup (He et al. 2024) - duplicates are down-weighted,
+    not deleted.  Gates: exact commonness/weight arithmetic (alpha
+    family), whitespace/case canonicalization, per-cluster expected
+    epoch mass under alpha=1, mix_by_weight determinism + structural
+    fanout + zero-Exchange plan, and the full DuckDB oracle."""
+
+    def test_commonness_weight_and_normalization(self, spark):
+        from kafka_cassandra_plugin_spark.operators.dedup import (
+            soft_dedup_weights,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "The cat sat"), (2, "the  cat   sat"), (3, "THE CAT SAT "),
+             (4, "a unique doc"), (5, "another one"), (6, "another one")],
+            "doc_id int, text string",
+        )
+        got = {r.doc_id: (r.commonness, r.weight)
+               for r in soft_dedup_weights(df, alpha=1.0).collect()}
+        assert got[1] == (3, pytest.approx(1 / 3))
+        assert got[2] == (3, pytest.approx(1 / 3))
+        assert got[3] == (3, pytest.approx(1 / 3))  # reflow + case caught
+        assert got[4] == (1, 1.0)
+        assert got[5] == (2, 0.5) and got[6] == (2, 0.5)
+        # alpha family
+        half = {r.doc_id: r.weight
+                for r in soft_dedup_weights(df, alpha=0.5).collect()}
+        assert half[1] == pytest.approx(3 ** -0.5)
+        off = {r.doc_id: r.weight
+               for r in soft_dedup_weights(df, alpha=0.0).collect()}
+        assert set(off.values()) == {1.0}
+        # normalize=False splits the reflowed variants
+        raw = {r.doc_id: r.commonness
+               for r in soft_dedup_weights(df, normalize=False).collect()}
+        assert raw[1] == 1 and raw[2] == 1 and raw[3] == 1
+
+    def test_cluster_epoch_mass_alpha1(self, spark, docs):
+        """alpha=1 makes every duplicate CLUSTER contribute ~1 expected
+        epoch: total realized epochs over (docs + planted copies) must
+        sit near the DISTINCT-content count."""
+        from kafka_cassandra_plugin_spark.operators.dedup import (
+            soft_dedup_weights,
+        )
+        from kafka_cassandra_plugin_spark.operators.sampling import (
+            mix_by_weight,
+        )
+
+        d = docs.limit(400)
+        corpus = d.unionByName(
+            d.filter(F.col("doc_id") % 2 == 0)
+            .select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+        )
+        w = soft_dedup_weights(corpus, alpha=1.0)
+        realized = mix_by_weight(w, "doc_id", "weight").count()
+        n_distinct = d.select("text").distinct().count()
+        assert abs(realized - n_distinct) <= 0.1 * n_distinct
+
+    def test_mix_by_weight_mechanics(self, spark):
+        from kafka_cassandra_plugin_spark.operators.sampling import (
+            mix_by_weight,
+        )
+
+        df = spark.createDataFrame(
+            [(i, 2.5) for i in range(200)]
+            + [(1000, 0.0), (1001, None), (1002, 1.0)],
+            "doc_id int, weight double",
+        )
+        out = mix_by_weight(df, "doc_id", "weight")
+        rows = out.collect()
+        ids = {r.doc_id for r in rows}
+        assert 1000 not in ids and 1001 not in ids
+        per = {}
+        for r in rows:
+            per.setdefault(r.doc_id, []).append(r.epoch)
+        assert sorted(per[1002]) == [0]
+        counts = [len(v) for k, v in per.items() if k < 1000]
+        assert set(counts) <= {2, 3}  # floor(2.5) + {0,1}
+        frac3 = sum(1 for c in counts if c == 3) / len(counts)
+        assert 0.35 < frac3 < 0.65  # ~0.5 expected
+        for k, v in per.items():
+            assert sorted(v) == list(range(len(v)))
+        # deterministic across partitionings
+        again = mix_by_weight(df.repartition(7), "doc_id", "weight")
+        assert {(r.doc_id, r.epoch) for r in again.collect()} == {
+            (r.doc_id, r.epoch) for r in rows}
+
+    def test_mix_by_weight_zero_exchange(self, spark, docs):
+        from kafka_cassandra_plugin_spark.operators.sampling import (
+            mix_by_weight,
+        )
+
+        src = docs.limit(100).withColumn(
+            "weight", F.lit(0.7)).localCheckpoint()
+        plan = mix_by_weight(
+            src, "doc_id", "weight"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_oracle_sf001(self, spark, duck, oracle_sf_dir):
+        from kafka_cassandra_plugin_spark import oracle
+        from kafka_cassandra_plugin_spark.queries.llm_ops import (
+            SOFT_DEDUP_SQL,
+            soft_dedup,
+        )
+
+        df = soft_dedup(spark, oracle_sf_dir)
+        n = oracle.compare(df, duck, SOFT_DEDUP_SQL, "soft_dedup")
+        assert n > 0
