@@ -471,11 +471,15 @@ def _tier_d_oracle_pairs():
         # the md5 fingerprint window, the power-law weight, the salted
         # draw, and the epoch explosion (one window pass per side)
         "soft_dedup": (L.soft_dedup, L.SOFT_DEDUP_SQL),
+        # D33 (round 9): the per-benchmark-doc leakage table - same
+        # 13-gram machinery as decontam_ngram13, aggregated per bench
+        "contamination_report": (L.contamination_report_q,
+                                 L.CONTAMINATION_REPORT_SQL),
     }
 
 
 def _sf1_oracle(spark, sf1_dir: str, registry,
-                budget_s: float = 1400.0) -> dict:
+                budget_s: float = 1450.0) -> dict:
     # budget raised 900 -> 1100 with the round-6 D22-D24 entries
     # (bm25 ~45 s, quality_classifier ~41 s, dsir ~6 s measured);
     # -> 1250 with the round-7 langid entry (DuckDB's side is ~30M
@@ -485,7 +489,9 @@ def _sf1_oracle(spark, sf1_dir: str, registry,
     # round-9 bpe_token_counts entry (one split+join+sum per side over
     # the tiny synthetic vocabulary); -> 1400 with the round-9
     # ccnet_ppl_buckets entry (the lm_perplexity scoring pass again
-    # plus one per-language NTILE window per side)
+    # plus one per-language NTILE window per side); -> 1450 with the
+    # round-9 soft_dedup + contamination_report entries (one window /
+    # one gram-join pass per side)
     from kafka_cassandra_plugin_spark import oracle
 
     budget_s = float(os.environ.get("SPARK_GRAFT_SF1_ORACLE_BUDGET", budget_s))
@@ -1140,6 +1146,29 @@ def _depth_ops(sf_dir):
         w = soft_dedup_weights(corpus, alpha=1.0)
         return mix_by_weight(w, "doc_id", "weight")
 
+    # D33 row (round 9): the per-benchmark-doc leakage table - same
+    # construction as the decontaminate row's benchmark set, xxhash64
+    # gram keys at scale.
+    def contam_report(spark):
+        from kafka_cassandra_plugin_spark.operators.contamination import (
+            contamination_report,
+        )
+
+        docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+        corpus = docs.filter(F.col("doc_id") % 3 != 0)
+        planted = (
+            corpus.filter((F.col("doc_id") % 7 == 1)
+                          & (F.instr("text", " ") > 0))
+            .select(
+                (F.col("doc_id") + 5_000_000).alias("doc_id"),
+                F.expr("substring(text, instr(text, ' ') + 1)")
+                .alias("text"),
+            )
+        )
+        clean = docs.filter(F.col("doc_id") % 3 == 0)
+        return contamination_report(
+            corpus, planted.unionByName(clean), n=13)
+
     return {"curation_funnel": curation_funnel, "sim_ivf_pq": ivf_pq,
             "decontaminate": decontaminate,
             "shard_export[staging]": shard_export_staging,
@@ -1156,7 +1185,7 @@ def _depth_ops(sf_dir):
             "fingerprint_winnow": fingerprint,
             "bpe_encode": bpe_encode, "gopher_quality": gopher,
             "ccnet_buckets": ccnet_buckets, "pack_examples": pack_ex,
-            "soft_dedup": soft_dd}
+            "soft_dedup": soft_dd, "contamination_report": contam_report}
 
 
 if __name__ == "__main__":

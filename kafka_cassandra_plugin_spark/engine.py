@@ -255,3 +255,6 @@ class Engine:
     # -- D32: SoftDedup reweighting (round 9) ----------------------------------
     soft_dedup_weights = staticmethod(_dedup.soft_dedup_weights)
     mix_by_weight = staticmethod(_sampling.mix_by_weight)
+
+    # -- D33: contamination report (round 9) -----------------------------------
+    contamination_report = staticmethod(_contamination.contamination_report)

@@ -276,3 +276,83 @@ def decontaminate(corpus: DataFrame, benchmarks: DataFrame,
         .distinct()
     )
     return corpus.join(F.broadcast(dirty), id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# D33: contamination REPORT - the model-card overlap table
+# --------------------------------------------------------------------------
+
+def contamination_report(corpus: DataFrame, benchmarks: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n: int = 13, min_hits: int = 1,
+                         hash_fn: str = "xxhash64") -> DataFrame:
+    """One row per BENCHMARK document: (bench_id, n_grams, n_hit,
+    overlap_frac, contaminated) - the per-eval-set leakage table model
+    cards publish (the GPT-3 appendix C / Llama "benchmark
+    contamination" analyses): for each benchmark document, how many of
+    its distinct token ``n``-grams occur anywhere in the training
+    corpus, and whether it counts as contaminated (``n_hit >=
+    min_hits``; 1 = the strict GPT-3 criterion).  The reporting twin
+    of :func:`ngram_collision_links` - links answer "WHICH corpus docs
+    leak", this answers "HOW MUCH of each benchmark is leaked", which
+    is the number that decides whether an eval score is trustworthy.
+
+    Scale shape (the corpus is the big side, so the reduction is
+    bench-bounded end to end): benchmark grams - distinct per doc,
+    bounded by the benchmark - broadcast; the corpus side is a
+    map-only gram explode semi-reduced through that broadcast join, so
+    the only shuffled rows are (bench gram) HITS, bounded by the
+    benchmark gram count, never the corpus; one distinct + one
+    per-bench-doc count finish it.  A benchmark doc with fewer than
+    ``n`` tokens has zero grams and reports NULL overlap (out of band,
+    never "clean by vacuity").  ``hash_fn="xxhash64"`` joins 8-byte
+    gram hashes at scale; ``"raw"`` joins gram text (engine-portable -
+    what the DuckDB oracle uses).
+    """
+    from .text import token_ngrams, tokens
+
+    grams = F.array_distinct(token_ngrams(tokens(text_col), n))
+    bench_g = benchmarks.select(
+        F.col(id_col).alias("bench_id"), F.explode(grams).alias("__g")
+    )
+    corpus_g = corpus.select(F.explode(grams).alias("__g"))
+    if hash_fn == "xxhash64":
+        bench_g = bench_g.select("bench_id", F.xxhash64("__g").alias("__g"))
+        corpus_g = corpus_g.select(F.xxhash64("__g").alias("__g"))
+    elif hash_fn != "raw":
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'raw': {hash_fn}")
+    totals = bench_g.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("n_grams"))
+    # distinct BENCH grams seen anywhere in the corpus: the corpus side
+    # never aggregates by itself - it filters through the broadcast
+    # bench-gram set, so post-join cardinality is bench-bounded
+    hit_grams = (
+        corpus_g.join(
+            F.broadcast(bench_g.select("__g").distinct()), "__g", "left_semi"
+        ).distinct()
+    )
+    hits = (
+        bench_g.join(F.broadcast(hit_grams), "__g", "left_semi")
+        .groupBy("bench_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    # every join below is benchmark-bounded (eval sets are thousands of
+    # docs, the corpus is the only big side and it never re-enters)
+    return (
+        benchmarks.select(F.col(id_col).alias("bench_id")).distinct()
+        .join(F.broadcast(totals), "bench_id", "left")
+        .join(F.broadcast(hits), "bench_id", "left")
+        .withColumn("n_grams", F.coalesce("n_grams", F.lit(0)))
+        .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)))
+        .select(
+            "bench_id", "n_grams", "n_hit",
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("n_hit").cast("double") / F.col("n_grams"),
+            ).alias("overlap_frac"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("n_hit") >= F.lit(int(min_hits)),
+            ).alias("contaminated"),
+        )
+    )

@@ -2490,3 +2490,90 @@ def soft_dedup(spark, sf_dir):
         F.round("weight", 6).alias("weight"),
         F.col("epoch").cast("long").alias("epoch"),
     ).orderBy("doc_id", "epoch")
+
+
+# --------------------------------------------------------------------------
+# D33: contamination report - per-benchmark-doc leakage table
+# --------------------------------------------------------------------------
+
+CONTAMINATION_REPORT_SQL = r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0
+    ),
+    bench AS (
+      SELECT doc_id + 5000000 AS doc_id,
+             substring(text, strpos(text, ' ') + 1) AS text
+      FROM documents
+      WHERE doc_id % 3 != 0 AND doc_id % 7 = 1 AND strpos(text, ' ') > 0
+      UNION ALL
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+    ),
+    cg AS (
+      SELECT DISTINCT
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 12),
+               i -> array_to_string(toks[i:i+12], ' ')))) AS g
+      FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM corpus)
+    ),
+    bg AS (
+      SELECT doc_id AS bench_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 12),
+               i -> array_to_string(toks[i:i+12], ' ')))) AS g
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM bench)
+    ),
+    stats AS (
+      SELECT b.bench_id,
+             count(*) AS n_grams,
+             count(c.g) AS n_hit
+      FROM bg b LEFT JOIN cg c ON b.g = c.g
+      GROUP BY b.bench_id
+    )
+    SELECT d.bench_id,
+           coalesce(s.n_grams, 0) AS n_grams,
+           coalesce(s.n_hit, 0) AS n_hit,
+           CASE WHEN coalesce(s.n_grams, 0) > 0
+                THEN round(coalesce(s.n_hit, 0) * 1.0 / s.n_grams, 6)
+           END AS overlap_frac,
+           CASE WHEN coalesce(s.n_grams, 0) > 0
+                THEN CASE WHEN coalesce(s.n_hit, 0) >= 1
+                     THEN 1 ELSE 0 END
+           END AS contaminated
+    FROM (SELECT DISTINCT doc_id AS bench_id FROM bench) d
+    LEFT JOIN stats s ON d.bench_id = s.bench_id
+    ORDER BY d.bench_id
+"""
+
+
+def contamination_report_q(spark, sf_dir):
+    """The D33 query: per-benchmark-document leakage (the model-card
+    table) against the same planted-contamination construction as
+    decontam_ngram13 - every planted copy must report near-total
+    13-gram overlap, every clean held-out doc near-zero.  Corpus grams
+    reduce THROUGH the broadcast benchmark gram set (bench-bounded
+    shuffle); DuckDB re-derives totals, hits, fractions, and the flag
+    from raw text."""
+    from ..operators.contamination import contamination_report
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    planted = (
+        corpus.filter((F.col("doc_id") % 7 == 1) & (F.instr("text", " ") > 0))
+        .select(
+            (F.col("doc_id") + 5_000_000).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+    )
+    clean = d.filter(F.col("doc_id") % 3 == 0)
+    bench = planted.unionByName(clean)
+    rep = contamination_report(corpus, bench, n=13, hash_fn="raw")
+    return rep.select(
+        "bench_id", "n_grams", "n_hit",
+        F.round("overlap_frac", 6).alias("overlap_frac"),
+        # int, not boolean: a NULLABLE boolean canonicalizes
+        # differently across engines ('\N' vs NaN); NULL ints agree
+        F.col("contaminated").cast("int").alias("contaminated"),
+    ).orderBy("bench_id")

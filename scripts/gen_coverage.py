@@ -482,6 +482,21 @@ TIER_D = {
             "AND epoch explosion re-derived) + sf1 (bench "
             "re-check) (tests/test_training_export.py::"
             "TestSoftDedup)"),
+    "D33": ("contamination report (contamination_report - the "
+            "per-benchmark-document leakage table model cards "
+            "publish: n_grams, n_hit, overlap_frac, contaminated "
+            "per eval doc; the reporting twin of D11's links)",
+            "operators/contamination.py",
+            "planted full/partial/clean/sub-n benchmark docs report "
+            "exact overlap fractions (partial = span-interior gram "
+            "count), NULL out-of-band for sub-n docs; min_hits "
+            "boundary exact (18 grams: fires at 18, not 19); "
+            "raw == xxhash64; corpus side reduces through the "
+            "broadcast bench-gram set (BroadcastHashJoin, zero "
+            "SortMergeJoin plan gate); DuckDB oracle sf0.01 "
+            "(pytest 'contamination_report') + sf1 (bench "
+            "re-check) (tests/test_text_quality.py::"
+            "TestContaminationReport)"),
 }
 
 
@@ -523,12 +538,12 @@ def main() -> None:
     n_oracle = sum(1 for q in reg.values() if q.sql)
     lines.append(
         f"**Totals**: {n_q} declared queries ({n_oracle} oracle-matched, "
-        f"{n_q - n_oracle} rows-only) + 20 pytest-oracled tier-D queries "
+        f"{n_q - n_oracle} rows-only) + 21 pytest-oracled tier-D queries "
         "(`repetition_signals`, `decontam_ngram13`, `decontam_jaccard`, "
         "`quality_report`, `pii_redaction`, `sample_per_group`, "
         "`dedup_semantic`, `dedup_substring`, `dedup_lines`, "
         "`bm25_topk`, `dsir_select`, `quality_classifier`, "
-        "`lm_perplexity`, `langid`, `fingerprint_winnow`, `bpe_token_counts`, `gopher_quality`, `corpus_datasheet`, `ccnet_ppl_buckets`, `soft_dedup` — the driver's 50-query verdict "
+        "`lm_perplexity`, `langid`, `fingerprint_winnow`, `bpe_token_counts`, `gopher_quality`, `corpus_datasheet`, `ccnet_ppl_buckets`, `soft_dedup`, `contamination_report` — the driver's 50-query verdict "
         "window is full, so their DuckDB oracles run in pytest through "
         "the same harness, and the bench re-checks them at sf1); "
         f"inventory rows uncovered: {missing or 'none'}."

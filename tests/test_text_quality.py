@@ -260,3 +260,79 @@ class TestGopherQuality:
         n = oracle.compare(df, duck, llm_ops.GOPHER_QUALITY_SQL,
                            "gopher_quality")
         assert n > 0
+
+
+class TestContaminationReport:
+    """D33: per-benchmark-document leakage table.  Planted verbatim
+    spans report near-total overlap, held-out docs near-zero, sub-n
+    docs NULL (out of band); the corpus side reduces THROUGH the
+    broadcast bench-gram set (plan-gated); full DuckDB oracle."""
+
+    def _mk(self, spark):
+        long_a = " ".join(f"alpha{i}" for i in range(30))
+        long_b = " ".join(f"beta{i}" for i in range(30))
+        corpus = spark.createDataFrame(
+            [(1, long_a), (2, long_b), (3, "unrelated " * 20)],
+            "doc_id int, text string",
+        )
+        bench = spark.createDataFrame(
+            [
+                (10, long_a),                          # fully leaked
+                (11, long_a + " fresh tail " + " ".join(
+                    f"new{i}" for i in range(20))),    # partially leaked
+                (12, " ".join(f"clean{i}" for i in range(30))),  # clean
+                (13, "too short"),                     # sub-n
+            ],
+            "doc_id int, text string",
+        )
+        return corpus, bench
+
+    def test_overlap_fractions_and_null_band(self, spark):
+        corpus, bench = self._mk(spark)
+        rep = {r.bench_id: r for r in C.contamination_report(
+            corpus, bench, n=13).collect()}
+        assert rep[10].overlap_frac == 1.0 and rep[10].contaminated
+        assert 0.0 < rep[11].overlap_frac < 1.0 and rep[11].contaminated
+        # partial doc: exactly the grams fully inside the copied prefix
+        assert rep[11].n_hit == 30 - 13 + 1
+        assert rep[12].n_hit == 0 and rep[12].overlap_frac == 0.0
+        assert rep[12].contaminated is False
+        assert rep[13].n_grams == 0
+        assert rep[13].overlap_frac is None
+        assert rep[13].contaminated is None
+
+    def test_min_hits_threshold(self, spark):
+        """30-token fully-leaked doc: 30-13+1 = 18 distinct grams, all
+        hit.  min_hits at/below 18 fires, 19 cannot."""
+        corpus, bench = self._mk(spark)
+        at18 = {r.bench_id: r for r in C.contamination_report(
+            corpus, bench, n=13, min_hits=18).collect()}
+        assert at18[10].n_grams == 18 and at18[10].n_hit == 18
+        assert at18[10].contaminated is True
+        at19 = {r.bench_id: r.contaminated for r in C.contamination_report(
+            corpus, bench, n=13, min_hits=19).collect()}
+        assert at19[10] is False
+
+    def test_raw_equals_xxhash64(self, spark):
+        corpus, bench = self._mk(spark)
+        a = {(r.bench_id, r.n_grams, r.n_hit) for r in
+             C.contamination_report(corpus, bench, n=13,
+                                    hash_fn="raw").collect()}
+        b = {(r.bench_id, r.n_grams, r.n_hit) for r in
+             C.contamination_report(corpus, bench, n=13,
+                                    hash_fn="xxhash64").collect()}
+        assert a == b
+
+    def test_corpus_side_reduces_through_broadcast(self, spark):
+        corpus, bench = self._mk(spark)
+        plan = C.contamination_report(
+            corpus.localCheckpoint(), bench.localCheckpoint(), n=13
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_oracle_sf001(self, spark, duck, oracle_sf_dir):
+        df = llm_ops.contamination_report_q(spark, oracle_sf_dir)
+        n = oracle.compare(df, duck, llm_ops.CONTAMINATION_REPORT_SQL,
+                           "contamination_report")
+        assert n > 0
