@@ -475,11 +475,14 @@ def _tier_d_oracle_pairs():
         # 13-gram machinery as decontam_ngram13, aggregated per bench
         "contamination_report": (L.contamination_report_q,
                                  L.CONTAMINATION_REPORT_SQL),
+        # D34 (round 9): per-(source, lang) tokenizer fertility - the
+        # D27 word-map export again, grouped instead of per-doc
+        "tokenizer_fertility": L.tokenizer_fertility_oracle,
     }
 
 
 def _sf1_oracle(spark, sf1_dir: str, registry,
-                budget_s: float = 1450.0) -> dict:
+                budget_s: float = 1480.0) -> dict:
     # budget raised 900 -> 1100 with the round-6 D22-D24 entries
     # (bm25 ~45 s, quality_classifier ~41 s, dsir ~6 s measured);
     # -> 1250 with the round-7 langid entry (DuckDB's side is ~30M
@@ -491,7 +494,8 @@ def _sf1_oracle(spark, sf1_dir: str, registry,
     # ccnet_ppl_buckets entry (the lm_perplexity scoring pass again
     # plus one per-language NTILE window per side); -> 1450 with the
     # round-9 soft_dedup + contamination_report entries (one window /
-    # one gram-join pass per side)
+    # one gram-join pass per side); -> 1480 with the round-9
+    # tokenizer_fertility entry (the D27 word-map join, grouped)
     from kafka_cassandra_plugin_spark import oracle
 
     budget_s = float(os.environ.get("SPARK_GRAFT_SF1_ORACLE_BUDGET", budget_s))
@@ -1146,9 +1150,13 @@ def _depth_ops(sf_dir):
         w = soft_dedup_weights(corpus, alpha=1.0)
         return mix_by_weight(w, "doc_id", "weight")
 
-    # D33 row (round 9): the per-benchmark-doc leakage table - same
-    # construction as the decontaminate row's benchmark set, xxhash64
-    # gram keys at scale.
+    # D33 row (round 9): the per-benchmark-doc leakage table.  The
+    # BENCHMARK side is FIXED-SIZE (500 clean + 250 planted,
+    # deterministic orderBy+limit like the decontaminate row): real
+    # eval sets do not grow with the corpus, so the row measures
+    # corpus-scan growth against a constant broadcast gram set - the
+    # uncapped construction made the sf10 row broadcast a 167k-doc
+    # "benchmark" (96 s, measuring an unrealistic shape).
     def contam_report(spark):
         from kafka_cassandra_plugin_spark.operators.contamination import (
             contamination_report,
@@ -1159,15 +1167,35 @@ def _depth_ops(sf_dir):
         planted = (
             corpus.filter((F.col("doc_id") % 7 == 1)
                           & (F.instr("text", " ") > 0))
+            .orderBy("doc_id").limit(250)
             .select(
                 (F.col("doc_id") + 5_000_000).alias("doc_id"),
                 F.expr("substring(text, instr(text, ' ') + 1)")
                 .alias("text"),
             )
         )
-        clean = docs.filter(F.col("doc_id") % 3 == 0)
+        clean = docs.filter(F.col("doc_id") % 3 == 0).orderBy(
+            "doc_id").limit(500)
         return contamination_report(
             corpus, planted.unionByName(clean), n=13)
+
+    # D34 row (round 9): per-(source, lang) tokenizer fertility -
+    # shares the cached D27 tokenizer; one encode pass + one tiny
+    # group aggregate.
+    def fertility(spark):
+        from kafka_cassandra_plugin_spark.operators.bpe import (
+            tokenizer_fertility,
+        )
+
+        d = Catalog(spark, sf_dir).documents.select(
+            "doc_id", "text", "source", "lang")
+        if "bpe" not in _state:
+            from kafka_cassandra_plugin_spark.operators.bpe import (
+                BpeTokenizer,
+            )
+            _state["bpe"] = BpeTokenizer.train(
+                d.select("doc_id", "text"), num_merges=64)
+        return tokenizer_fertility(d, _state["bpe"])
 
     return {"curation_funnel": curation_funnel, "sim_ivf_pq": ivf_pq,
             "decontaminate": decontaminate,
@@ -1185,7 +1213,8 @@ def _depth_ops(sf_dir):
             "fingerprint_winnow": fingerprint,
             "bpe_encode": bpe_encode, "gopher_quality": gopher,
             "ccnet_buckets": ccnet_buckets, "pack_examples": pack_ex,
-            "soft_dedup": soft_dd, "contamination_report": contam_report}
+            "soft_dedup": soft_dd, "contamination_report": contam_report,
+            "tokenizer_fertility": fertility}
 
 
 if __name__ == "__main__":

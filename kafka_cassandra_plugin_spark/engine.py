@@ -258,3 +258,6 @@ class Engine:
 
     # -- D33: contamination report (round 9) -----------------------------------
     contamination_report = staticmethod(_contamination.contamination_report)
+
+    # -- D34: tokenizer fertility report (round 9) -----------------------------
+    tokenizer_fertility = staticmethod(_bpe.tokenizer_fertility)

@@ -389,3 +389,42 @@ class WordHistogram:
         return BpeTokenizer.train(self.histogram(), num_merges=num_merges,
                                   lowercase=self.lowercase,
                                   max_types=max_types)
+
+
+def tokenizer_fertility(docs: DataFrame, tokenizer: "BpeTokenizer",
+                        by: tuple[str, ...] = ("source", "lang"),
+                        text_col: str = "text") -> DataFrame:
+    """Per-group tokenizer efficiency (SURVEY §2.5 D34): one row per
+    ``by`` group with (n_docs, words, bpe_tokens, fertility,
+    chars_per_token).  *Fertility* — mean subword tokens per
+    whitespace word — is the standard tokenizer-fit metric (reported
+    per language in the BLOOM / XLM-R tokenizer analyses): a tokenizer
+    trained on the wrong distribution shows fertility blowups on the
+    under-represented groups, which directly multiplies training cost
+    (every extra subword is a position in the context window).  This
+    is the datasheet's (D29) tokenizer-aware column: run it per
+    (source, lang) before committing a tokenizer to a mixture.
+
+    Scale shape: the pandas-UDF encode (the declared Python slow path,
+    one map pass) plus ONE hash shuffle on the tiny ``by`` key set;
+    groups with zero words report NULL fertility (out of band).
+    """
+    enc = tokenizer.encode(docs, text_col=text_col, out_col="__t")
+    words = F.size(F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    ))
+    agg = enc.groupBy(*[F.col(c) for c in by]).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(words.cast("long")).alias("words"),
+        F.sum(F.size("__t").cast("long")).alias("bpe_tokens"),
+        F.sum(F.length(text_col).cast("long")).alias("chars"),
+    )
+    return agg.select(
+        *by, "n_docs", "words", "bpe_tokens",
+        F.when(F.col("words") > 0,
+               F.col("bpe_tokens").cast("double") / F.col("words"))
+        .alias("fertility"),
+        F.when(F.col("bpe_tokens") > 0,
+               F.col("chars").cast("double") / F.col("bpe_tokens"))
+        .alias("chars_per_token"),
+    )

@@ -2577,3 +2577,75 @@ def contamination_report_q(spark, sf_dir):
         # differently across engines ('\N' vs NaN); NULL ints agree
         F.col("contaminated").cast("int").alias("contaminated"),
     ).orderBy("bench_id")
+
+
+# --------------------------------------------------------------------------
+# D34: tokenizer fertility report
+# --------------------------------------------------------------------------
+
+TOKENIZER_FERTILITY_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, source, lang, length(text) AS chars,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    tok_per_doc AS (
+      SELECT doc_id, sum(m.n_tok) AS bpe
+      FROM (SELECT doc_id, unnest(w) AS word FROM toks) u
+      JOIN bpe_word_map m USING (word)
+      GROUP BY doc_id
+    ),
+    g AS (
+      SELECT t.source, t.lang,
+             count(*) AS n_docs,
+             sum(len(t.w))::BIGINT AS words,
+             sum(coalesce(tp.bpe, 0))::BIGINT AS bpe_tokens,
+             sum(t.chars)::BIGINT AS chars
+      FROM toks t LEFT JOIN tok_per_doc tp USING (doc_id)
+      GROUP BY t.source, t.lang
+    )
+    SELECT source, lang, n_docs, words, bpe_tokens,
+           CASE WHEN words > 0
+                THEN round(bpe_tokens * 1.0 / words, 6) END AS fertility,
+           CASE WHEN bpe_tokens > 0
+                THEN round(chars * 1.0 / bpe_tokens, 6)
+           END AS chars_per_token
+    FROM g
+    ORDER BY source, lang
+"""
+
+
+def tokenizer_fertility_oracle(spark, sf_dir, con):
+    """The D34 oracle pair: trains the 64-merge tokenizer on the
+    corpus, registers the word -> token-length map over the corpus
+    vocabulary (the D27 split of responsibility: the merge loop is
+    reference-gated, everything downstream is SQL), and compares the
+    per-(source, lang) fertility table — Spark's pandas-UDF encode +
+    one group aggregate vs DuckDB's tokenize + map-join + group sums
+    from raw text."""
+    import pandas as pd
+
+    from ..operators.bpe import (
+        BpeTokenizer,
+        tokenizer_fertility,
+        word_histogram,
+    )
+
+    d = Catalog(spark, sf_dir).documents.select(
+        "doc_id", "text", "source", "lang")
+    hist = word_histogram(d)
+    tok = BpeTokenizer.train(hist, num_merges=64)
+    memo: dict = {}
+    vocab = [r["word"] for r in hist.select("word").collect()]
+    con.register("bpe_word_map", pd.DataFrame({
+        "word": vocab,
+        "n_tok": [len(tok._encode_word(w, memo)) for w in vocab],
+    }))
+    rep = tokenizer_fertility(d, tok)
+    df = rep.select(
+        "source", "lang", "n_docs", "words", "bpe_tokens",
+        F.round("fertility", 6).alias("fertility"),
+        F.round("chars_per_token", 6).alias("chars_per_token"),
+    ).orderBy("source", "lang")
+    return df, TOKENIZER_FERTILITY_SQL

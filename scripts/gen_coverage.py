@@ -497,6 +497,19 @@ TIER_D = {
             "(pytest 'contamination_report') + sf1 (bench "
             "re-check) (tests/test_text_quality.py::"
             "TestContaminationReport)"),
+    "D34": ("tokenizer fertility report (tokenizer_fertility - "
+            "per-(source, lang) subword tokens per word + chars "
+            "per token, the BLOOM/XLM-R tokenizer-fit metric that "
+            "prices a tokenizer against a mixture before training)",
+            "operators/bpe.py",
+            "hand arithmetic on a constructed corpus (fertility "
+            "1.0 with a full merge, chars_per_token, zero-word "
+            "group NULL); a tokenizer trained on group A shows "
+            "strictly higher fertility on unseen group B (chars "
+            "fallback); DuckDB oracle sf0.01 (pytest "
+            "'tokenizer_fertility': tokenize + word-map join + "
+            "group sums re-derived from raw text) + sf1 (bench "
+            "re-check) (tests/test_bpe.py::TestTokenizerFertility)"),
 }
 
 
@@ -538,12 +551,12 @@ def main() -> None:
     n_oracle = sum(1 for q in reg.values() if q.sql)
     lines.append(
         f"**Totals**: {n_q} declared queries ({n_oracle} oracle-matched, "
-        f"{n_q - n_oracle} rows-only) + 21 pytest-oracled tier-D queries "
+        f"{n_q - n_oracle} rows-only) + 22 pytest-oracled tier-D queries "
         "(`repetition_signals`, `decontam_ngram13`, `decontam_jaccard`, "
         "`quality_report`, `pii_redaction`, `sample_per_group`, "
         "`dedup_semantic`, `dedup_substring`, `dedup_lines`, "
         "`bm25_topk`, `dsir_select`, `quality_classifier`, "
-        "`lm_perplexity`, `langid`, `fingerprint_winnow`, `bpe_token_counts`, `gopher_quality`, `corpus_datasheet`, `ccnet_ppl_buckets`, `soft_dedup`, `contamination_report` — the driver's 50-query verdict "
+        "`lm_perplexity`, `langid`, `fingerprint_winnow`, `bpe_token_counts`, `gopher_quality`, `corpus_datasheet`, `ccnet_ppl_buckets`, `soft_dedup`, `contamination_report`, `tokenizer_fertility` — the driver's 50-query verdict "
         "window is full, so their DuckDB oracles run in pytest through "
         "the same harness, and the bench re-checks them at sf1); "
         f"inventory rows uncovered: {missing or 'none'}."

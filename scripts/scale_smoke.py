@@ -39,6 +39,10 @@ DEPTH = [
     "dedup_substring", "dedup_lines",
     "bm25_topk", "dsir_select", "quality_classifier",
     "fingerprint_winnow",
+    # round-9 ops (D27-D33): encode is the declared Python slow path,
+    # the rest are built-in-only compositions
+    "bpe_encode", "gopher_quality", "ccnet_buckets", "pack_examples",
+    "soft_dedup", "contamination_report",
 ]
 
 

@@ -357,3 +357,72 @@ class TestWordHistogramIncremental:
                                   "doc_id long, text string"), 0)
         assert self._got(wh) == {"low": 3}
         assert wh.train(num_merges=3).lowercase is True
+
+
+class TestTokenizerFertility:
+    """D34: per-(source, lang) tokenizer efficiency.  Gates: hand
+    arithmetic on a constructed corpus (fertility = tokens/words,
+    chars_per_token; zero-word group NULL), a poorly-fitting group
+    showing strictly higher fertility, and the full DuckDB oracle."""
+
+    def test_hand_arithmetic_and_null_band(self, spark):
+        from kafka_cassandra_plugin_spark.operators.bpe import (
+            BpeTokenizer,
+            tokenizer_fertility,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "aa aa aa aa", "s1", "en")] * 1,
+            "doc_id int, text string, source string, lang string",
+        )
+        train = spark.createDataFrame(
+            [(1, "aa aa")], "doc_id int, text string")
+        # two merges: (a, </w>) by lexicographic tie-break, then
+        # (a, a</w>) -> the whole word becomes ONE token
+        tok = BpeTokenizer.train(train, num_merges=2)
+        assert tok._encode_word("aa", {}) == ["aa</w>"]
+        rep = {(r.source, r.lang): r for r in
+               tokenizer_fertility(corpus, tok).collect()}
+        r = rep[("s1", "en")]
+        assert r.n_docs == 1 and r.words == 4
+        assert r.bpe_tokens == 4          # each 'aa' encodes to 1 token
+        assert r.fertility == 1.0
+        assert r.chars_per_token == len("aa aa aa aa") / 4
+        # empty-text group: zero words -> NULL fertility, not a crash
+        empty = spark.createDataFrame(
+            [(2, "   ", "s2", "xx")],
+            "doc_id int, text string, source string, lang string",
+        )
+        r2 = {(q.source, q.lang): q for q in
+              tokenizer_fertility(empty, tok).collect()}[("s2", "xx")]
+        assert r2.words == 0 and r2.fertility is None
+
+    def test_oov_group_shows_higher_fertility(self, spark):
+        """A tokenizer trained on group A splits group B's unseen
+        words into characters: fertility(B) > fertility(A)."""
+        from kafka_cassandra_plugin_spark.operators.bpe import (
+            BpeTokenizer,
+            tokenizer_fertility,
+        )
+
+        a_text = "alpha beta gamma delta " * 5
+        b_text = "zq xv wk pj " * 5
+        corpus = spark.createDataFrame(
+            [(1, a_text, "a", "en"), (2, b_text, "b", "xx")],
+            "doc_id int, text string, source string, lang string",
+        )
+        tok = BpeTokenizer.train(
+            corpus.filter("source = 'a'"), num_merges=64)
+        rep = {r.source: r.fertility for r in
+               tokenizer_fertility(corpus, tok).collect()}
+        assert rep["b"] > rep["a"]
+
+    def test_oracle_sf001(self, spark, duck, oracle_sf_dir):
+        from kafka_cassandra_plugin_spark import oracle
+        from kafka_cassandra_plugin_spark.queries.llm_ops import (
+            tokenizer_fertility_oracle,
+        )
+
+        df, sql = tokenizer_fertility_oracle(spark, oracle_sf_dir, duck)
+        n = oracle.compare(df, duck, sql, "tokenizer_fertility")
+        assert n > 0
