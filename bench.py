@@ -658,6 +658,8 @@ def _sf1_smoke(spark, sf1_dir: str, registry,
     # (round-6 verdict: quality_classifier's 26.2 s sf1 row was ~24 s
     # fit + ~2.3 s score).
     for op, row in (("sim_ivf_pq", "sim_ivf_pq[index_build]"),
+                    ("commonness_weights",
+                     "commonness_weights[index_build]"),
                     ("bm25_topk", "bm25_topk[index_build]"),
                     ("quality_classifier", "quality_classifier[fit]"),
                     ("lm_perplexity", "lm_perplexity[fit]"),
@@ -1197,6 +1199,27 @@ def _depth_ops(sf_dir):
                 d.select("doc_id", "text"), num_merges=64)
         return tokenizer_fertility(d, _state["bpe"])
 
+    # D35 row (round 9): batch weights priced against the ACCUMULATED
+    # commonness index - build-once (two appends over a corpus split,
+    # cached like every fit-once row), probe-many (the recurring term:
+    # two broadcast joins, batch-bounded).
+    def commonness_weights(spark):
+        from kafka_cassandra_plugin_spark.operators.commonness import (
+            CommonnessIndex,
+        )
+
+        d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+        if "ci" not in _state:
+            import tempfile
+
+            path = tempfile.mkdtemp(prefix="kcp-bench-ci-")
+            idx = CommonnessIndex.init(spark, path)
+            idx = idx.append_batch(d.filter(F.col("doc_id") % 2 == 0), 0)
+            idx = idx.append_batch(d.filter(F.col("doc_id") % 2 == 1), 1)
+            _state["ci"] = idx
+        batch = d.filter(F.col("doc_id") % 5 == 0)
+        return _state["ci"].weights(batch)
+
     return {"curation_funnel": curation_funnel, "sim_ivf_pq": ivf_pq,
             "decontaminate": decontaminate,
             "shard_export[staging]": shard_export_staging,
@@ -1214,7 +1237,8 @@ def _depth_ops(sf_dir):
             "bpe_encode": bpe_encode, "gopher_quality": gopher,
             "ccnet_buckets": ccnet_buckets, "pack_examples": pack_ex,
             "soft_dedup": soft_dd, "contamination_report": contam_report,
-            "tokenizer_fertility": fertility}
+            "tokenizer_fertility": fertility,
+            "commonness_weights": commonness_weights}
 
 
 if __name__ == "__main__":

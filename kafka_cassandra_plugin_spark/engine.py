@@ -261,3 +261,15 @@ class Engine:
 
     # -- D34: tokenizer fertility report (round 9) -----------------------------
     tokenizer_fertility = staticmethod(_bpe.tokenizer_fertility)
+
+    # -- D35: incremental commonness index (round 9) ---------------------------
+    def init_commonness(self, path: str, **kwargs):
+        from .operators.commonness import CommonnessIndex
+
+        return CommonnessIndex.init(self.spark, path, **kwargs)
+
+    def load_commonness(self, path: str, exclude_batch: int | None = None):
+        from .operators.commonness import CommonnessIndex
+
+        return CommonnessIndex.load(self.spark, path,
+                                    exclude_batch=exclude_batch)

@@ -886,6 +886,24 @@ def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
 # D32: SoftDedup - duplicate DOWN-WEIGHTING instead of removal
 # --------------------------------------------------------------------------
 
+def content_fingerprint(text_col: str = "text", hash_fn: str = "xxhash64",
+                        normalize: bool = True):
+    """The content-identity column shared by :func:`soft_dedup_weights`
+    and :class:`.commonness.CommonnessIndex`: optionally lowercase,
+    trim, and collapse whitespace runs (catches reflowed copies), then
+    hash — xxhash64 (long) at scale, md5 (string) for cross-engine
+    oracle checks.  Both consumers MUST use the identical expression
+    or accumulated counts stop matching one-shot weights."""
+    src = F.col(text_col)
+    if normalize:
+        src = F.regexp_replace(F.lower(F.trim(src)), r"\s+", " ")
+    if hash_fn == "xxhash64":
+        return F.xxhash64(src)
+    if hash_fn == "md5":
+        return F.md5(src)
+    raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+
+
 def soft_dedup_weights(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", alpha: float = 1.0,
                        hash_fn: str = "xxhash64",
@@ -912,15 +930,7 @@ def soft_dedup_weights(df: DataFrame, text_col: str = "text",
     engine-portable, so the oracle reproduces it).  ``hash_fn``:
     xxhash64 at scale, md5 for cross-engine oracle checks.
     """
-    src = F.col(text_col)
-    if normalize:
-        src = F.regexp_replace(F.lower(F.trim(src)), r"\s+", " ")
-    if hash_fn == "xxhash64":
-        fp = F.xxhash64(src)
-    elif hash_fn == "md5":
-        fp = F.md5(src)
-    else:
-        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    fp = content_fingerprint(text_col, hash_fn, normalize)
     w = Window.partitionBy(fp)
     return df.select(
         id_col,

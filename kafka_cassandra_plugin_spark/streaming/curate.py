@@ -170,6 +170,17 @@ class CurationSink:
     curated distribution at any time with ``WordHistogram.load(spark,
     path).train(...)`` - no accepted-history re-scan, ever.
 
+    ``commonness_path``: maintain a
+    :class:`..operators.commonness.CommonnessIndex` (content-
+    fingerprint counts - the streaming SoftDedup state) over every
+    ACCEPTED document, same overwrite-per-batch / replay-exclusion /
+    ``compact_every`` discipline; fingerprint convention
+    (``commonness_hash_fn``, ``commonness_normalize``) pinned at
+    init.  Price any batch against accumulated history at export
+    time with ``CommonnessIndex.load(spark, path).weights(...)`` -
+    duplicates accepted N times decay exactly as the one-shot
+    soft_dedup_weights would on the union corpus.
+
     ``compact_every``: every N index-growing micro-batches, rewrite the
     index's band/shingle parquet into ``compact_target_mb`` files
     (:meth:`MinHashIndex.compact`) AND coalesce the accepted dataset's
@@ -207,6 +218,9 @@ class CurationSink:
                  fingerprint_bucket_partitions: int = 256,
                  bpe_hist_path: str | None = None,
                  bpe_hist_lowercase: bool = False,
+                 commonness_path: str | None = None,
+                 commonness_hash_fn: str = "xxhash64",
+                 commonness_normalize: bool = True,
                  **curate_kwargs):
         if lm_path is not None and "lm" in curate_kwargs:
             raise ValueError(
@@ -249,6 +263,9 @@ class CurationSink:
         self.fingerprint_bucket_partitions = fingerprint_bucket_partitions
         self.bpe_hist_path = bpe_hist_path
         self.bpe_hist_lowercase = bpe_hist_lowercase
+        self.commonness_path = commonness_path
+        self.commonness_hash_fn = commonness_hash_fn
+        self.commonness_normalize = commonness_normalize
         self.curate_kwargs = curate_kwargs
         self._clf = None
         self._langid = None
@@ -375,6 +392,18 @@ class CurationSink:
                 # bloom/LM/bm25/fingerprint compactions above
                 WordHistogram.load(spark, self.bpe_hist_path).compact(
                     exclude_batch=batch_id)
+        if self.commonness_path is not None:
+            from ..operators.commonness import CommonnessIndex
+
+            if not self._path_exists(spark, f"{self.commonness_path}/meta"):
+                CommonnessIndex.init(
+                    spark, self.commonness_path,
+                    hash_fn=self.commonness_hash_fn,
+                    normalize=self.commonness_normalize)
+            elif (self.compact_every and self._adds
+                    and self._adds % self.compact_every == 0):
+                CommonnessIndex.load(spark, self.commonness_path).compact(
+                    exclude_batch=batch_id)
         clf_kwargs = {}
         if self.clf_path is not None:
             if self._clf is None:
@@ -458,6 +487,16 @@ class CurationSink:
             # exactly-once under replay; write-only (nothing reads the
             # histogram inside the sink)
             WordHistogram.load(spark, self.bpe_hist_path).append_batch(
+                accepted.select(self.text_col), batch_id,
+                text_col=self.text_col, reload=False,
+            )
+        if self.commonness_path is not None:
+            from ..operators.commonness import CommonnessIndex
+
+            # O(batch) overwrite of THIS batch's counts partition -
+            # exactly-once under replay; write-only inside the sink
+            # (weighting happens at export/train time via weights())
+            CommonnessIndex.load(spark, self.commonness_path).append_batch(
                 accepted.select(self.text_col), batch_id,
                 text_col=self.text_col, reload=False,
             )

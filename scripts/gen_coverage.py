@@ -510,6 +510,25 @@ TIER_D = {
             "'tokenizer_fertility': tokenize + word-map join + "
             "group sums re-derived from raw text) + sf1 (bench "
             "re-check) (tests/test_bpe.py::TestTokenizerFertility)"),
+    "D35": ("incremental commonness index (CommonnessIndex "
+            "init/load/append_batch/compact/weights + "
+            "CurationSink(commonness_path=) - streaming SoftDedup "
+            "state: content-fingerprint counts batch-partitioned "
+            "with the bloom/LM replay-exclusion discipline; "
+            "weights() prices a batch against accumulated history "
+            "with two broadcast joins, batch-bounded)",
+            "operators/commonness.py, streaming/curate.py",
+            "accumulate == one-shot soft_dedup_weights on the "
+            "union; replay overwrites (never double counts); "
+            "load(exclude_batch) as-of; compact lossless with the "
+            "in-flight batch hideable, double-compact lossless; "
+            "never-seen content keeps full weight; md5 == "
+            "xxhash64; normalize convention pinned in meta and "
+            "survives persistence; broadcast-only weights plan; "
+            "sink-maintained weights == one-shot under replay; "
+            "compact_every folds committed partitions "
+            "(tests/test_commonness.py, "
+            "test_streaming_curate.py::TestCommonnessMaintenance)"),
 }
 
 

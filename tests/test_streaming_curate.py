@@ -786,3 +786,63 @@ class TestBpeHistMaintenance:
         rebuilt = {r["word"]: r["count"]
                    for r in word_histogram(accepted).collect()}
         assert self._hist_map(WordHistogram.load(spark, hist_path)) == rebuilt
+
+
+class TestCommonnessMaintenance:
+    """commonness_path=: the sink folds every accepted document's
+    content-fingerprint counts into a saved CommonnessIndex - the
+    streaming SoftDedup state; replay leaves the accumulated counts
+    (and the weights priced from them) identical to a one-shot
+    soft_dedup_weights over the accepted dataset."""
+
+    def test_weights_match_one_shot_replay_identical(
+        self, spark, corpus, docs, tmp_path
+    ):
+        from kafka_cassandra_plugin_spark.operators.commonness import (
+            CommonnessIndex,
+        )
+        from kafka_cassandra_plugin_spark.operators.dedup import (
+            soft_dedup_weights,
+        )
+
+        ci_path = str(tmp_path / "ci")
+        sink = fresh_sink(spark, corpus, tmp_path,
+                          commonness_path=ci_path)
+        b1, b2 = make_batches(docs)
+        sink(b1, 0)
+        sink(b1, 0)  # foreachBatch replay after a simulated failure
+        sink(b2, 1)
+
+        accepted = accepted_dataset(spark, sink.out_path).select(
+            "doc_id", "text")
+        idx = CommonnessIndex.load(spark, ci_path)
+        got = {r.doc_id: (r.commonness, round(r.weight, 9))
+               for r in idx.weights(accepted).collect()}
+        want = {r.doc_id: (r.commonness, round(r.weight, 9))
+                for r in soft_dedup_weights(accepted).collect()}
+        assert got == want
+
+    def test_compact_every_preserves_counts(self, spark, corpus, docs,
+                                            tmp_path):
+        from kafka_cassandra_plugin_spark.fsutil import list_batch_ids
+        from kafka_cassandra_plugin_spark.operators.commonness import (
+            CommonnessIndex,
+        )
+
+        ci_path = str(tmp_path / "ci")
+        sink = fresh_sink(spark, corpus, tmp_path,
+                          commonness_path=ci_path, compact_every=2)
+        b1, b2 = make_batches(docs)
+        sink(b1, 0)
+        sink(b2, 1)
+        b3 = docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+        )
+        sink(b3, 2)  # third batch triggers the pre-batch compaction
+        ids = list_batch_ids(spark, f"{ci_path}/counts")
+        assert -1 in ids and 2 in ids and 0 not in ids and 1 not in ids
+        accepted = accepted_dataset(spark, sink.out_path).select("text")
+        total = sum(
+            r["count"] for r in
+            CommonnessIndex.load(spark, ci_path).table().collect())
+        assert total == accepted.count()
