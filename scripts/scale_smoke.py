@@ -42,7 +42,8 @@ DEPTH = [
     # round-9 ops (D27-D33): encode is the declared Python slow path,
     # the rest are built-in-only compositions
     "bpe_encode", "gopher_quality", "ccnet_buckets", "pack_examples",
-    "soft_dedup", "contamination_report",
+    "soft_dedup", "contamination_report", "tokenizer_fertility",
+    "commonness_weights",
 ]
 
 

@@ -516,3 +516,22 @@ class TestCcnetBuckets:
         )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "Exchange hashpartitioning" not in plan
+
+    def test_approx_cutoffs_branch(self, spark, sf_dir):
+        """The exact=False (approx_percentile one-pass sketch) branch
+        - the 100-TB path - returns the same schema, ordered cutoffs,
+        and values close to the exact form on this small corpus."""
+        from kafka_cassandra_plugin_spark.operators.lm import ppl_cutoffs
+
+        ppl = self._scored(spark, sf_dir)
+        exact = {r.lang: r for r in ppl_cutoffs(ppl, exact=True).collect()}
+        approx = {r.lang: r for r in ppl_cutoffs(ppl, exact=False).collect()}
+        assert set(exact) == set(approx)
+        for lang, a in approx.items():
+            e = exact[lang]
+            assert a.n_scored == e.n_scored
+            assert a.head_max <= a.middle_max
+            # sketch accuracy 10k on a few-hundred-row group: near-exact
+            assert abs(a.head_max - e.head_max) <= 0.05 * max(e.head_max, 1)
+            assert abs(a.middle_max - e.middle_max) <= (
+                0.05 * max(e.middle_max, 1))
