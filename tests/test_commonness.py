@@ -159,3 +159,16 @@ class TestCommonnessIndex:
         )._jdf.queryExecution().executedPlan().toString()
         assert plan.count("BroadcastHashJoin") >= 2
         assert "SortMergeJoin" not in plan
+        # the batch-bounded claim rests on Catalyst pushing the
+        # LeftSemi BELOW the consolidating sum (PushDownLeftSemi...):
+        # the semi must filter the raw counts BEFORE the partial
+        # aggregate, so only batch-relevant rows ever shuffle.  In the
+        # printed tree children sit below parents, so the LeftSemi
+        # line must come after the partial_sum line.
+        lines = plan.splitlines()
+        part = next(i for i, l in enumerate(lines) if "partial_sum" in l)
+        semi = next(i for i, l in enumerate(lines) if "LeftSemi" in l)
+        assert semi > part, (
+            "LeftSemi no longer pushed below the consolidating "
+            "aggregate - weights() would shuffle the full history"
+        )
