@@ -1022,3 +1022,18 @@ class TestSoftDedup:
         df = soft_dedup(spark, oracle_sf_dir)
         n = oracle.compare(df, duck, SOFT_DEDUP_SQL, "soft_dedup")
         assert n > 0
+
+    def test_weights_plan_single_exchange(self, spark, docs):
+        """soft_dedup_weights is ONE hash shuffle (the fingerprint
+        window) - the shuffle term is distinct contents, same as exact
+        dedup; anything more means a regression grew a join or a
+        second aggregation pass."""
+        from kafka_cassandra_plugin_spark.operators.dedup import (
+            soft_dedup_weights,
+        )
+
+        plan = soft_dedup_weights(
+            docs.limit(200).repartition(8).localCheckpoint()
+        )._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "EvalPython" not in plan
