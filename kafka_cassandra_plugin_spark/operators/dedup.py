@@ -32,8 +32,6 @@ Scale posture (the whole point of the LSH/simhash/blocking tiers):
 
 from __future__ import annotations
 
-from typing import Sequence
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
