@@ -232,3 +232,44 @@ class TestCompaction:
             sources.compact_parquet(spark, src, src)
         with pytest.raises(ValueError, match="out_path"):
             sources.compact_parquet(spark, src, src + "/")
+
+
+class TestRound9FacadeBindings:
+    def test_round9_depth_ops_binding(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        eng = Engine(spark, sf_dir)
+        docs = eng.table("documents").select("doc_id", "text")
+        full = eng.table("documents").select(
+            "doc_id", "text", "source", "lang")
+        # D32: weights + realized mixture
+        w = eng.soft_dedup_weights(docs)
+        assert {"commonness", "weight"} <= set(w.columns)
+        mixed = eng.mix_by_weight(w, "doc_id", "weight")
+        assert "epoch" in mixed.columns and mixed.count() > 0
+        # D27/D31/D34: tokenizer-driven last mile
+        tok = eng.train_bpe(docs.limit(100), num_merges=16)
+        packs = eng.pack_examples(docs.limit(100), tok, 512, num_groups=2)
+        assert {"pack", "tokens", "n_tokens"} <= set(packs.columns)
+        fert = eng.tokenizer_fertility(full.limit(100), tok)
+        assert "fertility" in fert.columns
+        # D30: rank + cutoff bucket forms over a synthetic ppl frame
+        ppl = full.limit(60).select(
+            "doc_id", "lang",
+            (F.col("doc_id") % 17).cast("double").alias("ppl"))
+        ranked = eng.ppl_buckets_by_rank(ppl)
+        assert "ppl_bucket" in ranked.columns
+        cuts = eng.ppl_cutoffs(ppl)
+        assert {"head_max", "middle_max"} <= set(cuts.columns)
+        assert "ppl_bucket" in eng.apply_ppl_cutoffs(ppl, cuts).columns
+        # D33: leakage report
+        rep = eng.contamination_report(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1).limit(20), n=13)
+        assert {"n_grams", "n_hit", "overlap_frac"} <= set(rep.columns)
+        # D35: init/load/append/weights through the facade
+        ci = eng.init_commonness(str(tmp_path / "ci"))
+        ci = ci.append_batch(docs.limit(50), 0)
+        got = eng.load_commonness(str(tmp_path / "ci")).weights(
+            docs.limit(50))
+        assert got.count() == 50
