@@ -75,14 +75,25 @@ class CommonnessIndex:
              exclude_batch: int | None = None) -> "CommonnessIndex":
         """One 1-row meta read; counts read with a DECLARED schema (an
         empty batch dir has no readable footer), ``exclude_batch``
-        partitions pruned at the scan."""
-        from ..fsutil import path_exists
+        partitions pruned at the scan.
+
+        Crash recovery: :meth:`compact` deletes ``counts/`` only AFTER
+        the ``counts__compacting`` sibling is fully written, so if a
+        crash lands in that window (``counts/`` absent, sibling
+        present) the sibling is complete — load() rolls the swap
+        forward by finishing the rename instead of failing."""
+        from ..fsutil import path_exists, rename_or_raise
 
         if not path_exists(spark, f"{path}/meta"):
             raise ValueError(
                 f"no CommonnessIndex meta table under {path!r} — "
                 "init() it first."
             )
+        if not path_exists(spark, f"{path}/counts") and path_exists(
+            spark, f"{path}/counts__compacting"
+        ):
+            rename_or_raise(spark, f"{path}/counts__compacting",
+                            f"{path}/counts")
         meta = spark.read.parquet(f"{path}/meta").first()
         t = cls._fp_type(meta.hash_fn)
         counts = spark.read.schema(f"fp {t}, count long, batch int").parquet(

@@ -891,10 +891,20 @@ def content_fingerprint(text_col: str = "text", hash_fn: str = "xxhash64",
     trim, and collapse whitespace runs (catches reflowed copies), then
     hash — xxhash64 (long) at scale, md5 (string) for cross-engine
     oracle checks.  Both consumers MUST use the identical expression
-    or accumulated counts stop matching one-shot weights."""
+    or accumulated counts stop matching one-shot weights.
+
+    NULL text is coalesced to a one-NUL-byte sentinel BEFORE hashing:
+    without it md5 yields NULL (so equi-joins never match NULL-text
+    docs and CommonnessIndex.weights would price them at 0) while
+    xxhash64 yields the seed hash (and DOES join) — the two hash
+    families and the join-vs-window paths would disagree.  The
+    sentinel makes all NULL-text docs one duplicate cluster under
+    both families; a real document whose normalized text is exactly
+    one NUL byte is not a thing."""
     src = F.col(text_col)
     if normalize:
         src = F.regexp_replace(F.lower(F.trim(src)), r"\s+", " ")
+    src = F.coalesce(src, F.lit("\x00"))
     if hash_fn == "xxhash64":
         return F.xxhash64(src)
     if hash_fn == "md5":

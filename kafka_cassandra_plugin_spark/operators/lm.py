@@ -552,8 +552,17 @@ def apply_ppl_cutoffs(
     semantics do not care which third an exact-boundary document
     lands in; both slips are between adjacent buckets (gated in
     tests/test_lm.py).  NULL ppl, or a language absent from
-    ``cutoffs``, keeps a NULL bucket."""
+    ``cutoffs``, keeps a NULL bucket.  ``cutoffs`` must hold ONE row
+    per language (what :func:`ppl_cutoffs` produces); only its
+    (lang, head_max, middle_max) columns are read — extra columns
+    are dropped, never leaked into the output."""
     rppl = F.round(F.col(ppl_col), round_digits)
+    # project the cutoffs side down to exactly the three columns the
+    # labeler reads: a user-supplied table with extra columns must not
+    # leak them into the output, and the contract (documented above)
+    # is one row per language — duplicate lang rows would fan out the
+    # corpus join, so they are a caller error, not silently absorbed.
+    cutoffs = cutoffs.select(lang_col, "head_max", "middle_max")
     return ppl_df.join(F.broadcast(cutoffs), on=lang_col, how="left").withColumn(
         bucket_col,
         F.when(F.col(ppl_col).isNull() | F.col("head_max").isNull(), F.lit(None))

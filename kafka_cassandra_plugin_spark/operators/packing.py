@@ -268,9 +268,12 @@ def pack_examples(docs: DataFrame, tokenizer, max_tokens: int,
     :func:`.export.export_shards` keyed by ``pack`` for deterministic
     training shards.
 
-    Oversize documents (longer than the budget even before the
-    terminator) stay singleton packs flagged ``oversize`` with their
-    full stream — truncation policy belongs to the caller, exactly as
+    Oversize documents (longer than the budget INCLUDING the
+    terminator — the EOS token occupies a slot in the training
+    example, so a doc of exactly ``max_tokens`` pre-EOS bills
+    ``max_tokens + 1`` and is oversize; size the budget with that
+    headroom in mind) stay singleton packs flagged ``oversize`` with
+    their full stream — truncation policy belongs to the caller, exactly as
     in :func:`pack_sequences`; chunk first with
     :func:`chunk_documents` when every token must train.
     """

@@ -2435,7 +2435,8 @@ SOFT_DEDUP_SQL = r"""
     ),
     fp AS (
       SELECT doc_id,
-             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+             md5(coalesce(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                          chr(0))) AS f
       FROM corpus
     ),
     c AS (

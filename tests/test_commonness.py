@@ -138,6 +138,60 @@ class TestCommonnessIndex:
         again = CommonnessIndex.load(spark, str(tmp_path / "r"))
         assert _wmap(again, docs)[1][0] == 1
 
+    def test_null_text_agrees_across_hash_families_and_paths(
+            self, spark, tmp_path):
+        """NULL text hashes to the NUL-byte sentinel under BOTH hash
+        families, so (a) md5 == xxhash64 weights and (b) the
+        accumulate (join) path == the one-shot (window) path — the
+        round-9 ADVICE bug was md5 mapping NULL to NULL (join never
+        matches) while xxhash64 mapped it to the seed hash (does
+        match)."""
+        docs = spark.createDataFrame(
+            [(1, None), (2, None), (3, "real text")],
+            "doc_id int, text string",
+        )
+        a = CommonnessIndex.init(spark, str(tmp_path / "a"))
+        b = CommonnessIndex.init(spark, str(tmp_path / "b"), hash_fn="md5")
+        a = a.append_batch(docs, 0)
+        b = b.append_batch(docs, 0)
+        got_a, got_b = _wmap(a, docs), _wmap(b, docs)
+        assert got_a == got_b
+        # the two NULL docs form one duplicate cluster
+        assert got_a[1] == (2, 0.5) and got_a[2] == (2, 0.5)
+        assert got_a[3] == (1, 1.0)
+        # and the join path agrees with the one-shot window path
+        want = {r.doc_id: (r.commonness, round(r.weight, 9))
+                for r in soft_dedup_weights(docs).collect()}
+        assert got_a == want
+
+    def test_load_rolls_forward_interrupted_compact(self, spark, batches,
+                                                    tmp_path):
+        """Crash window: compact() writes the counts__compacting
+        sibling fully, then deletes counts/, then renames.  A crash
+        between delete and rename must leave the index loadable —
+        load() completes the rename (roll-forward), losslessly."""
+        from kafka_cassandra_plugin_spark.fsutil import delete_dir
+
+        b0, b1, _ = batches
+        path = str(tmp_path / "ci")
+        idx = CommonnessIndex.init(spark, path)
+        idx = idx.append_batch(b0, 0)
+        idx = idx.append_batch(b1, 1)
+        before = {r.fp: r["count"] for r in idx.table().collect()}
+        # simulate compact() dying right after delete_dir(src): the
+        # sibling is complete, counts/ is gone
+        consolidated = CommonnessIndex.load(spark, path)
+        tmp = f"{path}/counts__compacting"
+        consolidated.table().write.mode("overwrite").parquet(
+            f"{tmp}/batch={CommonnessIndex.COMPACT_BATCH}")
+        delete_dir(spark, f"{path}/counts")
+        recovered = CommonnessIndex.load(spark, path)
+        assert {r.fp: r["count"]
+                for r in recovered.table().collect()} == before
+        # idempotent: a second load sees the renamed-in-place counts/
+        again = CommonnessIndex.load(spark, path)
+        assert {r.fp: r["count"] for r in again.table().collect()} == before
+
     def test_load_requires_init(self, spark, tmp_path):
         with pytest.raises(ValueError, match="init"):
             CommonnessIndex.load(spark, str(tmp_path / "missing"))

@@ -517,6 +517,22 @@ class TestCcnetBuckets:
         assert "BroadcastHashJoin" in plan
         assert "Exchange hashpartitioning" not in plan
 
+    def test_extra_cutoff_columns_do_not_leak(self, spark, sf_dir):
+        """Round-9 ADVICE: a user-supplied cutoffs table with extra
+        columns (ppl_cutoffs itself ships n_scored) must not leak
+        them into the labeled output — only ppl_df's columns plus the
+        bucket come back."""
+        from kafka_cassandra_plugin_spark.operators.lm import (
+            apply_ppl_cutoffs,
+            ppl_cutoffs,
+        )
+
+        ppl = self._scored(spark, sf_dir)
+        cuts = ppl_cutoffs(ppl).withColumn(
+            "debug_note", F.lit("do-not-leak"))
+        out = apply_ppl_cutoffs(ppl, cuts)
+        assert set(out.columns) == set(ppl.columns) | {"ppl_bucket"}
+
     def test_approx_cutoffs_branch(self, spark, sf_dir):
         """The exact=False (approx_percentile one-pass sketch) branch
         - the 100-TB path - returns the same schema, ordered cutoffs,

@@ -897,6 +897,34 @@ class TestPackExamples:
         b = {(r.pack, tuple(r.tokens)) for r in again.collect()}
         assert a == b
 
+    def test_terminator_is_billed_exact_budget_doc_is_oversize(
+            self, spark, tok):
+        """The documented contract (round-9 ADVICE): the EOS token
+        occupies a slot, so a doc encoding to exactly max_tokens
+        pre-EOS bills max_tokens+1 and is oversize, while a doc at
+        max_tokens-1 pre-EOS fits exactly."""
+        from kafka_cassandra_plugin_spark.operators.packing import (
+            pack_examples,
+        )
+
+        probe = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "doc_id long, text string")
+        n1 = tok.encode(probe, out_col="t").filter(
+            F.col("doc_id") == 1).select(F.size("t")).collect()[0][0]
+        packs = {
+            r.n_docs: r for r in pack_examples(
+                probe.filter(F.col("doc_id") == 1), tok, n1, num_groups=1
+            ).collect()
+        }
+        assert len(packs) == 1
+        (r,) = packs.values()
+        assert r.oversize and r.n_tokens == n1 + 1
+        fits = pack_examples(
+            probe.filter(F.col("doc_id") == 1), tok, n1 + 1, num_groups=1
+        ).collect()
+        assert len(fits) == 1 and not fits[0].oversize
+        assert fits[0].n_tokens == n1 + 1
+
     def test_no_eos_mode_conserves_exactly(self, corpus, tok):
         from kafka_cassandra_plugin_spark.operators.packing import (
             pack_examples,
