@@ -181,8 +181,10 @@ def media_plans(spark, sf_dir):
     sql=None,
     tags=("G62", "G50"),
     doc="decode_features: Arrow-batched mapInPandas over binary payloads "
-    "(deterministic stub kernel - real decoders are not in this "
-    "container; plumbing, schema and batch shape are the tested part).",
+    "(deterministic stub kernel here for oracle stability; the REAL "
+    "kernel=codec path - pure-stdlib PNG/WAV decoders in "
+    "operators/media_codecs.py - is pytest-gated on planted real bytes "
+    "in tests/test_multimodal.py and benched as media_codec_features).",
 )
 def media_decode_features(spark, sf_dir):
     media = M.synth_media_table(Catalog(spark, sf_dir).documents)

@@ -1,16 +1,22 @@
-"""Multimodal plumbing tests (G62): schema round-trip through parquet,
-Arrow batch shapes in mapInPandas, metadata-only planning ops, stub
-decode determinism."""
+"""Multimodal tests (G62): schema round-trip through parquet, Arrow
+batch shapes in mapInPandas, metadata-only planning ops, stub decode
+determinism — plus the REAL pure-stdlib codecs (PNG chunk walk / five
+scanline filters / CRC, PCM-16 WAV), the ``kernel="codec"`` feature
+path on planted real bytes, and the plan-then-execute resize."""
 
 from __future__ import annotations
 
 import shutil
+import struct
 import tempfile
+import zlib
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from kafka_cassandra_plugin_spark.catalog import Catalog
+from kafka_cassandra_plugin_spark.operators import media_codecs as mc
 from kafka_cassandra_plugin_spark.operators import multimodal as M
 
 
@@ -91,3 +97,318 @@ class TestMetadataPlans:
     def test_audio_windows(self, media):
         w = M.audio_window_plan(media, window_ms=500)
         assert w.filter(F.col("n_samples") != 8000).count() == 0  # 16kHz * 0.5s
+
+
+# --------------------------------------------------------------------------
+# Real codecs (pure stdlib) — spec-level tests, no Spark needed
+# --------------------------------------------------------------------------
+
+def _spec_filter(ftype: int, recon: bytes, prev: bytes, bpp: int) -> bytes:
+    """Independent re-derivation of PNG scanline filtering (RFC 2083
+    §6): given the RECONSTRUCTED bytes, produce the FILTERED bytes the
+    encoder would write — so the decoder under test must invert it."""
+    out = bytearray()
+    for x in range(len(recon)):
+        left = recon[x - bpp] if x >= bpp else 0
+        up = prev[x]
+        ul = prev[x - bpp] if x >= bpp else 0
+        if ftype == 0:
+            v = recon[x]
+        elif ftype == 1:
+            v = recon[x] - left
+        elif ftype == 2:
+            v = recon[x] - up
+        elif ftype == 3:
+            v = recon[x] - (left + up) // 2
+        else:
+            p = left + up - ul
+            pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+            pred = left if (pa <= pb and pa <= pc) else (
+                up if pb <= pc else ul)
+            v = recon[x] - pred
+        out.append(v & 0xFF)
+    return bytes(out)
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def _build_png(pixels: np.ndarray, filters: list[int]) -> bytes:
+    """Hand-assemble a PNG whose scanlines use the given filter types,
+    with the filtered bytes computed by the independent spec function
+    above."""
+    h, w, c = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = bytearray()
+    prev = bytes(w * c)
+    for y, f in zip(range(h), filters):
+        recon = pixels[y].tobytes()
+        raw.append(f)
+        raw += _spec_filter(f, recon, prev, c)
+        prev = recon
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (mc.PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+
+
+class TestPngCodec:
+    @pytest.mark.parametrize("channels", [1, 2, 3, 4])
+    def test_roundtrip(self, channels):
+        rng = np.random.RandomState(7 + channels)
+        px = rng.randint(0, 256, size=(13, 9, channels), dtype=np.uint8)
+        back = mc.decode_png(mc.encode_png(px))
+        assert back.shape == px.shape
+        assert np.array_equal(back, px)
+
+    @pytest.mark.parametrize("channels", [1, 3, 4])
+    def test_all_five_filters_defilter_correctly(self, channels):
+        """The decoder must invert Sub/Up/Average/Paeth, not just the
+        filter-0 lines our encoder writes — fixtures are built from an
+        independent spec-derived filter implementation."""
+        rng = np.random.RandomState(channels)
+        px = rng.randint(0, 256, size=(5, 7, channels), dtype=np.uint8)
+        data = _build_png(px, filters=[0, 1, 2, 3, 4])
+        assert np.array_equal(mc.decode_png(data), px)
+
+    def test_crc_corruption_detected(self):
+        px = np.zeros((4, 4, 3), dtype=np.uint8)
+        data = bytearray(mc.encode_png(px))
+        # flip one byte inside the IDAT payload
+        idat_at = bytes(data).index(b"IDAT") + 6
+        data[idat_at] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC"):
+            mc.decode_png(bytes(data))
+
+    def test_not_a_png_and_truncation(self):
+        with pytest.raises(ValueError, match="signature"):
+            mc.decode_png(b"\x00" * 16)
+        good = mc.encode_png(np.zeros((3, 3, 3), dtype=np.uint8))
+        with pytest.raises(ValueError):
+            mc.decode_png(good[: len(good) // 2])
+
+    def test_interlace_and_16bit_decline_clearly(self):
+        px = np.zeros((2, 2, 3), dtype=np.uint8)
+        base = mc.encode_png(px)
+
+        def rebuild_ihdr(depth, interlace):
+            ihdr = struct.pack(">IIBBBBB", 2, 2, depth, 2, 0, 0, interlace)
+            at = base.index(b"IHDR") - 4
+            end = at + 12 + 13
+            return base[:at] + _chunk(b"IHDR", ihdr) + base[end:]
+
+        with pytest.raises(NotImplementedError, match="interlace|Adam7"):
+            mc.decode_png(rebuild_ihdr(8, 1))
+        with pytest.raises(NotImplementedError, match="depth|Pillow"):
+            mc.decode_png(rebuild_ihdr(16, 0))
+
+    def test_sniff(self):
+        png = mc.encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+        wav = mc.encode_wav(np.zeros(8, dtype=np.int16), 8000)
+        assert mc.sniff_kind(png) == "png"
+        assert mc.sniff_kind(wav) == "wav"
+        assert mc.sniff_kind(b"garbage!") is None
+        assert mc.sniff_kind(None) is None
+
+
+class TestWavCodec:
+    def test_roundtrip_against_stdlib(self, tmp_path):
+        """encode_wav output must be readable by the stdlib wave module
+        directly, and decode_wav must invert a stdlib-written file —
+        both directions independent of our own pairing."""
+        import io
+        import wave as stdwave
+
+        rng = np.random.RandomState(3)
+        s = rng.randint(-30000, 30000, size=(500, 2)).astype(np.int16)
+        blob = mc.encode_wav(s, 44100)
+        with stdwave.open(io.BytesIO(blob), "rb") as wf:
+            assert wf.getframerate() == 44100
+            assert wf.getnchannels() == 2
+            raw = wf.readframes(wf.getnframes())
+        assert np.array_equal(
+            np.frombuffer(raw, dtype="<i2").reshape(-1, 2), s)
+        # stdlib-written -> our decoder
+        buf = io.BytesIO()
+        with stdwave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(s[:, 0].tobytes())
+        rate, back = mc.decode_wav(buf.getvalue())
+        assert rate == 8000
+        assert np.array_equal(back[:, 0], s[:, 0])
+
+    def test_non_pcm16_declines(self):
+        import io
+        import wave as stdwave
+
+        buf = io.BytesIO()
+        with stdwave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(1)  # 8-bit
+            wf.setframerate(8000)
+            wf.writeframes(b"\x80" * 100)
+        with pytest.raises(NotImplementedError, match="PCM-16"):
+            mc.decode_wav(buf.getvalue())
+
+
+class TestResizeImage:
+    def test_nearest_integer_downscale(self):
+        # 4x4 checkerboard of 2x2 blocks -> 2x2 picks block centers
+        px = np.zeros((4, 4, 1), dtype=np.uint8)
+        px[:2, 2:] = 100
+        px[2:, :2] = 200
+        px[2:, 2:] = 50
+        out = mc.resize_image(px, 2, 2, method="nearest")
+        assert out[:, :, 0].tolist() == [[0, 100], [200, 50]]
+
+    def test_area_is_exact_box_mean(self):
+        rng = np.random.RandomState(11)
+        px = rng.randint(0, 256, size=(6, 8, 3), dtype=np.uint8)
+        out = mc.resize_image(px, 4, 3, method="area")
+        want = np.round(
+            px.astype(float).reshape(3, 2, 4, 2, 3).mean(axis=(1, 3))
+        ).astype(np.uint8)
+        assert np.array_equal(out, want)
+
+    def test_constant_stays_constant_any_ratio(self):
+        px = np.full((7, 5, 3), 137, dtype=np.uint8)
+        for method in ("area", "nearest"):
+            out = mc.resize_image(px, 3, 4, method=method)
+            assert out.shape == (4, 3, 3)
+            assert np.all(out == 137)
+
+    def test_bad_args(self):
+        px = np.zeros((4, 4, 3), dtype=np.uint8)
+        with pytest.raises(ValueError, match="dims"):
+            mc.resize_image(px, 0, 2)
+        with pytest.raises(ValueError, match="method"):
+            mc.resize_image(px, 2, 2, method="bicubic")
+
+
+# --------------------------------------------------------------------------
+# The real kernel through Spark: planted real bytes end to end
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def codec_media(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents.limit(200)
+    return M.synth_codec_media_table(docs).localCheckpoint()
+
+
+class TestCodecKernel:
+    def test_real_decode_total_and_deterministic(self, codec_media):
+        out = M.decode_features(codec_media, kernel="codec",
+                                batch_note_col=None)
+        rows = {r.media_id: r.features for r in out.collect()}
+        assert len(rows) == codec_media.count()
+        assert all(f is not None and len(f) == M.FEATURE_DIM
+                   for f in rows.values())
+        again = {
+            r.media_id: r.features
+            for r in M.decode_features(
+                codec_media.repartition(7), kernel="codec",
+                batch_note_col=None).collect()
+        }
+        assert rows == again
+
+    def test_image_features_match_hand_arithmetic(self, spark):
+        """Plant ONE known image; re-derive every feature slot with
+        independent numpy arithmetic."""
+        rng = np.random.RandomState(99)
+        px = rng.randint(0, 256, size=(10, 6, 3), dtype=np.uint8)
+        media = spark.createDataFrame(
+            [(1, bytearray(mc.encode_png(px)))],
+            "media_id long, payload binary",
+        )
+        (row,) = M.decode_features(media, kernel="codec",
+                                   batch_note_col=None).collect()
+        f = px.reshape(-1, 3) / 255.0
+        luma = f @ np.array([0.299, 0.587, 0.114])
+        hist = np.histogram(luma, bins=8, range=(0.0, 1.0))[0] / luma.size
+        want = [*f.mean(axis=0), *f.std(axis=0), *hist,
+                np.log1p(6) / 10.0, np.log1p(10) / 10.0]
+        assert row.features == pytest.approx(want, abs=1e-12)
+
+    def test_audio_features_match_hand_arithmetic(self, spark):
+        s = (np.sin(np.arange(400) / 5.0) * 20000).astype(np.int16)
+        media = spark.createDataFrame(
+            [(2, bytearray(mc.encode_wav(s, 16000)))],
+            "media_id long, payload binary",
+        )
+        (row,) = M.decode_features(media, kernel="codec",
+                                   batch_note_col=None).collect()
+        x = s.astype(float) / 32768.0
+        zc = np.count_nonzero(np.diff(np.signbit(x))) / x.size
+        hist = np.histogram(np.abs(x), bins=8, range=(0.0, 1.0))[0] / x.size
+        want = [x.mean(), x.std(), np.sqrt((x * x).mean()), zc,
+                np.abs(x).max(), *hist,
+                np.log1p(16000) / 20.0, np.log1p(400) / 20.0, 1 / 8.0]
+        assert row.features == pytest.approx(want, abs=1e-12)
+
+    def test_on_error_policies(self, spark):
+        media = spark.createDataFrame(
+            [(1, bytearray(b"not media at all"))],
+            "media_id long, payload binary",
+        )
+        (row,) = M.decode_features(media, kernel="codec", on_error="null",
+                                   batch_note_col=None).collect()
+        assert row.features is None
+        from py4j.protocol import Py4JJavaError
+        with pytest.raises((Py4JJavaError, Exception)):
+            M.decode_features(media, kernel="codec", on_error="raise",
+                              batch_note_col=None).collect()
+        with pytest.raises(ValueError, match="kernel"):
+            M.decode_features(media, kernel="pillow")
+
+    def test_stub_kernel_unchanged(self, spark):
+        media = spark.createDataFrame(
+            [(1, bytearray(b"abc"))], "media_id long, payload binary")
+        (row,) = M.decode_features(media, batch_note_col=None).collect()
+        assert row.features == M._stub_features(b"abc")
+
+
+class TestResizeImagesExecute:
+    MAXD = 24
+
+    @pytest.fixture(scope="class")
+    def resized(self, codec_media):
+        return M.resize_images(codec_media, self.MAXD, self.MAXD).cache()
+
+    def test_dims_capped_and_match_plan(self, codec_media, resized):
+        plan = {r.media_id: r for r in M.resize_plan(
+            codec_media, self.MAXD, self.MAXD).collect()}
+        rows = resized.collect()
+        assert len(rows) == len(plan)  # every image, no audio rows
+        for r in rows:
+            assert r.width <= self.MAXD and r.height <= self.MAXD
+            assert (r.width, r.height) == (
+                plan[r.media_id].dst_w, plan[r.media_id].dst_h)
+            assert r.resized == plan[r.media_id].needs_resize
+
+    def test_resized_payloads_decode_to_target_dims(self, resized):
+        for r in resized.filter("resized").limit(10).collect():
+            px = mc.decode_png(bytes(r.payload))
+            assert px.shape[:2] == (r.height, r.width)
+
+    def test_small_images_pass_through_byte_identical(self, codec_media,
+                                                      resized):
+        src = {r.media_id: bytes(r.payload)
+               for r in codec_media.filter("kind = 'image'").collect()}
+        passthrough = resized.filter("NOT resized").collect()
+        assert passthrough  # synth table plants sub-24px images
+        for r in passthrough:
+            assert bytes(r.payload) == src[r.media_id]
+
+    def test_aspect_ratio_preserved(self, resized):
+        for r in resized.filter("resized").collect():
+            px_ratio = r.width / r.height
+            src = mc.decode_png(bytes(r.payload))
+            # decoded output matches the recorded dims; ratio close to
+            # the plan's uniform-scale contract is covered by the plan
+            # test — here just sanity the payload agrees with columns
+            assert src.shape[1] / src.shape[0] == pytest.approx(
+                px_ratio, rel=0.01)
