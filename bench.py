@@ -78,7 +78,14 @@ EXPLICIT_ANCHORS = {
     "term_frequency_topk": 0.34,
     "dedup_exact": 0.80,
     "dedup_minhash_lsh": 3.29,
-    "dedup_ngram_jaccard": 4.17,
+    # round-10 re-anchor with cause (BASELINE.md): hash-shingle plan
+    # (map-only array substrate, long join keys) measured 5.93 isolated
+    # on a calib_s-0.27 host = ~4.8 on the anchor host class; the old
+    # 4.17 belonged to the string-key plan.
+    "dedup_ngram_jaccard": 4.8,
+    # round-10 row: fixed pandas-UDF stage overhead dominates at sf0.1
+    # (4.67 isolated, this VM).
+    "sim_lsh_ann_portable": 4.7,
     "dedup_embedding_cosine": 4.89,
     "sim_topk_bruteforce": 1.22,
     "sim_lsh_ann": 2.65,
@@ -1220,6 +1227,58 @@ def _depth_ops(sf_dir):
         batch = d.filter(F.col("doc_id") % 5 == 0)
         return _state["ci"].weights(batch)
 
+    # Round-10 row (verdict #6): the COMPOSED training-data path as one
+    # lazy plan - curation gates -> SoftDedup weights -> realized
+    # weighted mixture -> BPE pack_examples -> deterministic shard
+    # staging.  The per-stage rows above each price one link; this row
+    # prices the chain a real pipeline runs nightly (token conservation
+    # across the chain is pytest-gated:
+    # tests/test_pipeline.py::TestPipelineE2E).  Shares the cached D27
+    # tokenizer; runs after the fertility/pack rows so the one-off BPE
+    # fit is never billed here.
+    def pipeline_e2e(spark):
+        from kafka_cassandra_plugin_spark.operators.dedup import (
+            soft_dedup_weights,
+        )
+        from kafka_cassandra_plugin_spark.operators.export import (
+            shard_assignments,
+        )
+        from kafka_cassandra_plugin_spark.operators.packing import (
+            pack_examples,
+        )
+        from kafka_cassandra_plugin_spark.operators.sampling import (
+            mix_by_weight,
+        )
+
+        docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+        if "bpe" not in _state:
+            from kafka_cassandra_plugin_spark.operators.bpe import (
+                BpeTokenizer,
+            )
+            _state["bpe"] = BpeTokenizer.train(docs, num_merges=64)
+        annotated = PL.curate_annotated(docs)
+        # accepted feeds TWO consumers (the SoftDedup fingerprint window
+        # and the mixture join's left side); without materialization the
+        # whole curation funnel replays for each - localCheckpoint is
+        # the stage boundary a production pipeline would write to
+        # storage (the fingerprint_overlap persist precedent).
+        accepted = annotated.filter(
+            F.col("reject_reason").isNull()).select(
+                "doc_id", "text").localCheckpoint()
+        mixture = mix_by_weight(
+            accepted.join(soft_dedup_weights(accepted), "doc_id"),
+            "doc_id", "weight",
+        ).select(F.concat_ws("#", "doc_id", "epoch").alias("mix_id"),
+                 "text")
+        packed = pack_examples(mixture, _state["bpe"], 2048,
+                               id_col="mix_id", num_groups=16)
+        return (
+            shard_assignments(packed, n_shards=16, id_col="pack")
+            .repartition(16, "shard")
+            .sortWithinPartitions("shard", "__ord")
+            .drop("__ord")
+        )
+
     return {"curation_funnel": curation_funnel, "sim_ivf_pq": ivf_pq,
             "decontaminate": decontaminate,
             "shard_export[staging]": shard_export_staging,
@@ -1238,7 +1297,8 @@ def _depth_ops(sf_dir):
             "ccnet_buckets": ccnet_buckets, "pack_examples": pack_ex,
             "soft_dedup": soft_dd, "contamination_report": contam_report,
             "tokenizer_fertility": fertility,
-            "commonness_weights": commonness_weights}
+            "commonness_weights": commonness_weights,
+            "pipeline_e2e": pipeline_e2e}
 
 
 if __name__ == "__main__":

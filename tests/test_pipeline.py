@@ -509,3 +509,99 @@ class TestGopherGate:
         for did, reason in off_rej.items():
             if reason is not None:
                 assert on_rej[did] == reason
+
+
+class TestPipelineE2E:
+    """Round-10 verdict #6: the COMPOSED chain (curation -> SoftDedup
+    weights -> realized weighted mixture -> BPE pack_examples ->
+    deterministic shard staging) conserves tokens stage to stage - the
+    bench `pipeline_e2e` row prices this exact plan; here the
+    arithmetic is asserted link by link."""
+
+    @pytest.fixture(scope="class")
+    def chain(self, spark, docs):
+        from kafka_cassandra_plugin_spark.operators.bpe import BpeTokenizer
+        from kafka_cassandra_plugin_spark.operators.dedup import (
+            soft_dedup_weights,
+        )
+        from kafka_cassandra_plugin_spark.operators.export import (
+            shard_assignments,
+        )
+        from kafka_cassandra_plugin_spark.operators.packing import (
+            pack_examples,
+        )
+        from kafka_cassandra_plugin_spark.operators.sampling import (
+            mix_by_weight,
+        )
+
+        bpe = BpeTokenizer.train(docs, num_merges=32)
+        annotated = PL.curate_annotated(docs).cache()
+        accepted = annotated.filter(
+            F.col("reject_reason").isNull()).select("doc_id", "text")
+        weights = soft_dedup_weights(accepted)
+        mixture = mix_by_weight(
+            accepted.join(weights, "doc_id"), "doc_id", "weight",
+        ).select(F.concat_ws("#", "doc_id", "epoch").alias("mix_id"),
+                 "text").cache()
+        packed = pack_examples(mixture, bpe, 2048,
+                               id_col="mix_id", num_groups=4).cache()
+        staging = (
+            shard_assignments(packed, n_shards=4, id_col="pack")
+            .repartition(4, "shard")
+            .sortWithinPartitions("shard", "__ord")
+            .drop("__ord")
+        )
+        return dict(bpe=bpe, annotated=annotated, accepted=accepted,
+                    weights=weights, mixture=mixture, packed=packed,
+                    staging=staging)
+
+    def test_funnel_partitions_input(self, docs, chain):
+        ann = chain["annotated"]
+        total = docs.count()
+        acc = ann.filter(F.col("reject_reason").isNull()).count()
+        rej = ann.filter(F.col("reject_reason").isNotNull()).count()
+        assert acc + rej == total == ann.count()
+        assert acc > 0
+
+    def test_mixture_realizes_weights(self, chain):
+        # every (doc, epoch) count sits in [floor(w), ceil(w)] and the
+        # unique-content corpus realizes weight 1.0 -> exactly 1 epoch
+        per_doc = (
+            chain["mixture"]
+            .select(F.split("mix_id", "#")[0].alias("doc_id"))
+            .groupBy("doc_id").count()
+        )
+        w = chain["weights"].select(
+            F.col("doc_id").cast("string").alias("doc_id"), "weight")
+        joined = per_doc.join(w, "doc_id").collect()
+        assert joined
+        import math
+        for r in joined:
+            assert math.floor(r.weight) <= r["count"] <= math.ceil(r.weight)
+
+    def test_tokens_conserved_through_packing(self, chain):
+        # sum over packs of n_tokens == sum over mixture rows of
+        # (BPE length + 1 EOS): packing moves tokens, never drops them
+        enc = chain["bpe"].encode(chain["mixture"], text_col="text",
+                                  out_col="__toks")
+        mix_tokens = enc.select(
+            F.sum(F.size("__toks") + 1).alias("s")).collect()[0].s
+        pack_tokens = chain["packed"].select(
+            F.sum("n_tokens").alias("s")).collect()[0].s
+        assert mix_tokens == pack_tokens
+        # and the assembled streams carry exactly n_tokens tokens
+        bad = chain["packed"].filter(
+            F.size("tokens") != F.col("n_tokens")).count()
+        assert bad == 0
+
+    def test_budget_and_staging(self, chain):
+        over = chain["packed"].filter(
+            ~F.col("oversize") & (F.col("n_tokens") > 2048)).count()
+        assert over == 0
+        # staging conserves packs 1:1 and shards every one
+        packs = chain["packed"].count()
+        staged = chain["staging"]
+        assert staged.count() == packs
+        assert staged.select("pack").distinct().count() == packs
+        assert staged.filter(
+            (F.col("shard") < 0) | (F.col("shard") >= 4)).count() == 0
