@@ -651,21 +651,21 @@ def sim_topk_bruteforce(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# G61: approximate NN - LSH and IVF scale paths (rows-only; recall gates
-# in tests/test_llm_ops.py).
+# G61: approximate NN - LSH and IVF scale paths.  The LSH family follows
+# the G55 dedup precedent since round 10: the DECLARED row is the
+# md5-portable variant (hash-matched against DuckDB), while the
+# corpus-adaptive numpy path below stays the at-scale default, tracked
+# every round in bench.py extra_queries (the declared set is capped at
+# the driver's 50-query window) and recall-gated in tests.
 # --------------------------------------------------------------------------
-@register(
-    "sim_lsh_ann",
-    sql=None,
-    tags=("G61",),
-    doc="rp_lsh_topk: 8 random-hyperplane sketch tables with hamming-2 "
-    "multi-probe on the query side, bucket equi-join candidates, exact "
-    "re-rank. Bit-width is corpus-adaptive (adaptive_n_planes: ~32 "
-    "vectors per expected bucket; 6 bits at the 2k-vector test corpus, "
-    "unchanged vs the fixed-geometry anchors). Recall@10 vs brute force "
-    "measured 1.00, gate >= 0.85 in tests.",
-)
 def sim_lsh_ann(spark, sf_dir):
+    """rp_lsh_topk (the AT-SCALE default): 8 random-hyperplane sketch
+    tables with hamming-2 multi-probe on the query side, bucket
+    equi-join candidates, exact re-rank.  Bit-width is corpus-adaptive
+    (adaptive_n_planes: ~32 vectors per expected bucket).  Recall@10 vs
+    brute force measured 1.00, gate >= 0.85 in tests.  Not a declared
+    query since round 10 (the portable twin took the declared slot);
+    benched every round as extra_queries['sim_lsh_ann']."""
     e = Catalog(spark, sf_dir).embeddings
     queries = e.filter(F.col("vec_id") % 10 == 0)
     planes = S.adaptive_n_planes(_corpus_rows(spark, sf_dir))

@@ -59,13 +59,13 @@ INVENTORY = {
 
 # coverage that lives in modules/tests rather than declared queries
 EXTRA = {
-    "R8": "n/a in Spark's model - documented as a Cassandra-sink consistency option (sources/__init__.py LWT sink; SURVEY §2.1)",
+    "R8": "n/a in Spark's batch model; the serving tier has a SERIAL-consistency live test (tests/test_integration_live.py::test_serial_read_r8, env-gated; scripts/live_harness.py protocol)",
     "R11": "streaming/ops.py DEFAULT_TRIGGER_MS=500 (reference cadence); availableNow in tests",
     "R13": "streaming/watch.py ListenerHub; tests/test_streaming.py::TestListenerFanout",
     "R14": "ListenerHub add/remove + StreamingQuery lifecycle (streaming/watch.py)",
     "R16": "session.py ENGINE_DEFAULTS layering (defaults < env < overrides)",
-    "G3": "sources/kafka_stream option-builder; tests/test_streaming.py (skips without broker jar)",
-    "G4": "sources/write_cassandra + CassandraLwtForeachBatch; LWT statements unit-tested",
+    "G3": "sources/kafka_stream option-builder; tests/test_streaming.py (skips without broker jar); round 10: live round-trip tests incl. kafka_stream -> watch_value_changes (tests/test_integration_live.py, env-gated + recorded-artifact protocol)",
+    "G4": "sources/write_cassandra + CassandraLwtForeachBatch; LWT statements unit-tested; round 10: live LWT tests asserting insert/update/delete outcomes == kv.py CAS operators on the same contended input (tests/test_integration_live.py, env-gated)",
     "S1": "streaming/ops.py trigger cadence; bounded tests use availableNow; SLOs MEASURED round 4 (streaming/slo.py, tests/test_streaming_slo.py): change-notification p50 0.59 s / p90 0.82 s vs <= 1 s target at the live 500 ms trigger; lease failover worst 2.49 s vs <= 2.5 s target (event-time replay, exact)",
     "S2": "sources/_project_kafka from_json(value); plumbing test",
     "S3": "withWatermark in every streaming agg (streaming/ops.py)",
@@ -78,8 +78,8 @@ EXTRA = {
     "S10": "ListenerHub foreachBatch; Cassandra LWT sink",
     "S11": "tests/test_streaming.py::TestCheckpointedSink",
     "G55": "also operators/dedup.py minhash/simhash + planted-dup recall tests (tests/test_llm_ops.py)",
-    "G61": "recall gates >= 0.85: tests/test_llm_ops.py::TestAnnRecall (round-3 measured: LSH 1.00, IVF 0.94 @10); round 4: corpus-adaptive geometry (adaptive_n_planes/adaptive_nlist, anchored params reproduced at the small corpus, pinned in TestAdaptiveIndexGeometry) + vectorized probe kernels; sf1 smoke in bench.py sf1_queries",
-    "G62": "also tests/test_multimodal.py (schema round-trip, Arrow batching, metadata plans)",
+    "G61": "recall gates >= 0.85: tests/test_llm_ops.py::TestAnnRecall (round-3 measured: LSH 1.00, IVF 0.94 @10); round 4: corpus-adaptive geometry (adaptive_n_planes/adaptive_nlist) + vectorized probe kernels; round 10: sim_lsh_ann_portable is HASH-MATCHED vs DuckDB (md5 Rademacher planes + fold-ordered math re-derived by the oracle SQL) while the adaptive rp_lsh_topk stays the at-scale default (bench extra_queries['sim_lsh_ann'] + sf1 smoke)",
+    "G62": "also tests/test_multimodal.py (schema round-trip, Arrow batching, metadata plans); round 10: real decode kernels - pure-stdlib PNG/WAV codecs behind kernel='codec' (deterministic stub remains the oracle kernel)",
 }
 
 # SURVEY §2.5 tier D: depth operators beyond the 50-query declared set
