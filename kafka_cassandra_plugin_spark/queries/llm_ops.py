@@ -748,11 +748,12 @@ def _rp_portable_sql(dim: int = 64, n_planes: int = 6, n_tables: int = 4,
 
 @register(
     "sim_lsh_ann_portable",
-    sql=_rp_portable_sql(),
+    sql=_rp_portable_sql(probe_hamming=2),
     tags=("G61",),
     doc="rp_lsh_topk_portable: the hash-matched ANN row (round-10 "
     "verdict #5). Fixed-geometry RP-LSH (4 tables x 6 Rademacher "
-    "md5-derived ±1 planes, hamming-1 multi-probe) whose sketch bits, "
+    "md5-derived ±1 planes, hamming-2 multi-probe; recall@10 0.94-0.95 "
+    "vs brute force on the uniform corpora) whose sketch bits, "
     "probe keys, candidate pairs and fold-ordered cosine re-rank are "
     "all re-derived by the DuckDB oracle - the candidate-enumeration "
     "and re-rank logic of the ANN family is value-verified, not just "
@@ -763,7 +764,7 @@ def sim_lsh_ann_portable(spark, sf_dir):
     e = Catalog(spark, sf_dir).embeddings
     queries = e.filter(F.col("vec_id") % 10 == 0)
     return S.rp_lsh_topk_portable(
-        e, queries, dim=64, k=10, n_planes=6, n_tables=4, probe_hamming=1
+        e, queries, dim=64, k=10, n_planes=6, n_tables=4, probe_hamming=2
     ).orderBy("query_id", "rank")
 
 

@@ -97,6 +97,55 @@ class TestAnnRecall:
     def test_exact_self_recall(self, exact):
         assert S.recall_at_k(exact, exact, self.K) == 1.0
 
+    def test_portable_lsh_recall(self, emb, exact):
+        # the declared hash-matched row (fixed 4x6 geometry, hamming-2
+        # probes): measured 0.94 sf0.001 / 0.95 sf0.01 (hamming-1 was
+        # 0.65-0.67 on these uniform corpora - the probe radius is what
+        # buys recall at a fixed small table count)
+        q = emb.filter(F.col("vec_id") % 10 == 0)
+        approx = S.rp_lsh_topk_portable(emb, q, dim=64, k=self.K,
+                                        n_planes=6, n_tables=4,
+                                        probe_hamming=2)
+        r = S.recall_at_k(approx, exact, self.K)
+        assert r >= 0.85, f"portable LSH recall@{self.K} too low: {r}"
+
+
+class TestPortableKernelBitIdentity:
+    """The cross-engine claim behind sim_lsh_ann_portable, pinned
+    Spark-side: the vectorized fold kernels must stay BIT-identical to
+    the interpreted left-fold expressions (which the DuckDB oracle's
+    list_reduce matches by the sim_topk_bruteforce precedent).  A
+    future numpy-order edit (einsum, pairwise sum) would flip last-ulp
+    bits and break hash matches only intermittently - this catches it
+    deterministically."""
+
+    def test_fold_dot_matches_aggregate_fold(self, emb):
+        import numpy as np
+        planes = np.array(
+            S.rademacher_planes(64, 4, 2), dtype="float64"
+        ).reshape(8, 64)
+        lits = [F.array(*[F.lit(float(x)) for x in row]) for row in planes]
+        df = emb.limit(200).select(
+            S.fold_dot_pandas(F.col("embedding"), planes).alias("vec_k"),
+            F.array(*[S.dot(F.col("embedding"), lit)
+                      for lit in lits]).alias("fold_k"),
+        )
+        bad = df.filter(F.col("vec_k") != F.col("fold_k")).count()
+        assert bad == 0
+
+    def test_cosine_foldexact_matches_cosine(self, emb):
+        a = emb.limit(100).select(
+            F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+        b = emb.filter(F.col("vec_id") % 7 == 3).limit(100).select(
+            F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+        pairs = a.crossJoin(b)
+        df = pairs.select(
+            S.cosine_foldexact_pandas(F.col("va"), F.col("vb")).alias("k"),
+            S.cosine(F.col("va"), F.col("vb")).alias("f"),
+        )
+        bad = df.filter(F.col("k") != F.col("f")).count()
+        assert bad == 0
+
 
 class TestIvfIndexPersistence:
     """IvfIndex.save/load: the disk-backed index is parquet partitioned
