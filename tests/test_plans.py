@@ -124,3 +124,15 @@ class TestHashDedupPlans:
         plan = P.formatted_plan(q(name))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestPortableLshPlan:
+    def test_candidates_equi_join_queries_broadcast(self, q):
+        """The hash-matched ANN row keeps the rp_lsh_topk plan shape:
+        candidates from a (table,bucket)-key equality join (never a
+        cartesian), and the query-vector re-attach is a broadcast (the
+        query set is small by contract)."""
+        plan = P.formatted_plan(q("sim_lsh_ann_portable"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan  # q_vecs re-attach
