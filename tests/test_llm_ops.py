@@ -246,6 +246,14 @@ class TestStopShingleCap:
                 (F.col("doc_id") + 1000000).alias("doc_id"),
                 F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
             )
+        ).unionByName(
+            # sub-n-token docs: the hashed path's sequence(0, size-n)
+            # would run BACKWARD without its size guard; both paths
+            # must emit zero shingles for these, never crash or pair
+            d.sparkSession.createDataFrame(
+                [(8_000_001, "two tokens"), (8_000_002, "one")],
+                "doc_id long, text string",
+            )
         )
         kw = dict(threshold=0.7, max_shingle_freq=20)
         hashed = {(r.id_a, r.id_b, r.jaccard)
