@@ -277,7 +277,12 @@ def dedup_exact(spark, sf_dir):
       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     ),
-    pairs AS (
+    -- MATERIALIZED: pairs is referenced five times (4x in edges + the
+    -- final select) and edges seven times (l0..l6); DuckDB inlines
+    -- plain CTEs per reference, which re-runs the whole shingle
+    -- self-join pipeline each time - measured minutes-vs-seconds at
+    -- sf1
+    pairs AS MATERIALIZED (
       SELECT id_a, id_b,
              n_common / (sa.n_sh + sb.n_sh - n_common) AS j_raw
       FROM common
@@ -285,7 +290,7 @@ def dedup_exact(spark, sf_dir):
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.7
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       -- undirected + self-loops, so min-over-neighbors includes self
       SELECT id_a AS u, id_b AS v FROM pairs
       UNION
