@@ -397,10 +397,7 @@ def rp_lsh_topk_portable(corpus: DataFrame, queries: DataFrame, dim: int,
                       dtype="float64")  # (T, P, D)
     flat = planes.reshape(n_tables * n_planes, dim)
 
-    def bucket_keys(df: DataFrame, masks: list[int]) -> DataFrame:
-        base = ensure_min_parallelism(df).select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-        d = base.withColumn("__dots", fold_dot_pandas(F.col("vec"), flat))
+    def key_exprs(masks: list[int]) -> list:
         # pack sign bits per table, then fan out the probe masks - all
         # column arithmetic over the K dots (K = T*P, tiny)
         keys = []
@@ -413,12 +410,37 @@ def rp_lsh_topk_portable(corpus: DataFrame, queries: DataFrame, dim: int,
             for m in masks:
                 keys.append(F.lit(t * 2 ** n_planes).cast("long")
                             + bucket.bitwiseXOR(F.lit(m).cast("long")))
-        return d.select("id", F.explode(F.array(*keys)).alias("tb_key"))
+        return keys
 
     probe_masks = [m for m in range(2 ** n_planes)
                    if bin(m).count("1") <= probe_hamming]
-    cs = bucket_keys(corpus, [0]).withColumnRenamed("id", "neighbor_id")
-    qs = bucket_keys(queries, probe_masks).withColumnRenamed("id", "query_id")
+    # ONE sketch pass over corpus-union-queries (side-tagged), not one
+    # Python stage per side: the sketch kernel is per-row independent,
+    # so batching both sides together is bit-identical, and the probe
+    # fanout stays a per-side column expression over the shared dots.
+    # At bench scale the saving is a whole UDF stage's fixed overhead;
+    # at 100 TB it is one corpus scan instead of... still one - the
+    # query side is tiny by assumption either side of this choice.
+    tagged = (
+        ensure_min_parallelism(corpus).select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+            F.lit(False).alias("__q"))
+        .unionByName(queries.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+            F.lit(True).alias("__q")))
+        .withColumn("__dots", fold_dot_pandas(F.col("vec"), flat))
+        .select("id", "__q", F.explode(
+            F.when(F.col("__q"), F.array(*key_exprs(probe_masks)))
+            .otherwise(F.array(*key_exprs([0])))).alias("tb_key"))
+        # both candidate-join sides read this frame (a diamond): pin it
+        # so the sketch UDF runs exactly once - the rows are slim
+        # (id, bool, key), bounded by corpus + |probes| x queries
+        .localCheckpoint()
+    )
+    cs = tagged.filter(~F.col("__q")).select(
+        F.col("id").alias("neighbor_id"), "tb_key")
+    qs = tagged.filter(F.col("__q")).select(
+        F.col("id").alias("query_id"), "tb_key")
     pairs = (
         qs.join(cs, ["tb_key"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
