@@ -719,7 +719,15 @@ class IvfIndex:
         scored = (
             q_lists.join(assigned, "list_id")
             .filter(F.col("query_id") != F.col("neighbor_id"))
-            .withColumn("score", cosine_pandas(F.col("q_vec"), F.col("c_vec")))
+            # fold-ordered Arrow kernel (round-10): same vectorized
+            # speed class as the numpy-order cosine_pandas, but
+            # bit-identical to the interpreted fold and DuckDB's
+            # list_reduce - which lets the IVF probe/re-rank pipeline
+            # be VALUE-verified against a DuckDB oracle on exported
+            # probe/cell literal tables (tests/test_llm_ops.py::
+            # TestIvfTopkOracle), not recall-gated alone
+            .withColumn("score", cosine_foldexact_pandas(
+                F.col("q_vec"), F.col("c_vec")))
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("score").desc(), F.col("neighbor_id")

@@ -147,6 +147,32 @@ class TestPortableKernelBitIdentity:
         assert bad == 0
 
 
+class TestIvfTopkOracle:
+    """G61's pytest DuckDB oracle (round-10): everything downstream of
+    the recall-gated KMeans fit + probe ranking - candidate
+    enumeration, fold-exact cosine re-rank, deterministic top-k - is
+    VALUE-verified at sf0.01 on exported probe/cell literal tables
+    (the semantic_dedup_oracle precedent).  sim_ivf_ann stays
+    rows-only in the driver gate (the driver cannot register literal
+    tables), but is no longer recall-gated alone."""
+
+    def test_oracle_match_sf001(self, spark, duck, oracle_sf_dir):
+        from kafka_cassandra_plugin_spark import oracle
+        from kafka_cassandra_plugin_spark.queries.llm_ops import (
+            sim_ivf_oracle,
+        )
+
+        df, sql = sim_ivf_oracle(spark, oracle_sf_dir, duck)
+        n = oracle.compare(df, duck, sql, name="sim_ivf_ann")
+        n_queries = duck.execute(
+            "SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0"
+        ).fetchone()[0]
+        # k=10 neighbors per query unless a query's probed cells hold
+        # fewer than 10 other vectors - never the case at nlist=16 on
+        # this corpus, so the row count is exact
+        assert n == 10 * n_queries > 0
+
+
 class TestIvfIndexPersistence:
     """IvfIndex.save/load: the disk-backed index is parquet partitioned
     by list_id, probes statically prune to the probed partitions, and a
