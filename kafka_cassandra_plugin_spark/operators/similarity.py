@@ -397,20 +397,28 @@ def rp_lsh_topk_portable(corpus: DataFrame, queries: DataFrame, dim: int,
                       dtype="float64")  # (T, P, D)
     flat = planes.reshape(n_tables * n_planes, dim)
 
+    def bucket_expr(t: int):
+        # pack sign bits for table t - column arithmetic over the K
+        # dots (K = T*P, tiny)
+        bucket = F.lit(0).cast("long")
+        for p in range(n_planes):
+            bucket = bucket + F.when(
+                F.col("__dots")[t * n_planes + p] >= 0,
+                F.lit(2 ** p).cast("long")).otherwise(F.lit(0).cast("long"))
+        return bucket
+
     def key_exprs(masks: list[int]) -> list:
-        # pack sign bits per table, then fan out the probe masks - all
-        # column arithmetic over the K dots (K = T*P, tiny)
-        keys = []
-        for t in range(n_tables):
-            bucket = F.lit(0).cast("long")
-            for p in range(n_planes):
-                bucket = bucket + F.when(
-                    F.col("__dots")[t * n_planes + p] >= 0,
-                    F.lit(2 ** p).cast("long")).otherwise(F.lit(0).cast("long"))
-            for m in masks:
-                keys.append(F.lit(t * 2 ** n_planes).cast("long")
-                            + bucket.bitwiseXOR(F.lit(m).cast("long")))
-        return keys
+        # probe keys from the MATERIALIZED per-table bucket columns:
+        # inlining the 24-branch bucket tree into each of the
+        # |masks| x n_tables keys (the previous form) built a ~2,600-
+        # node expression whose codegen+eval dominated the sketch stage
+        # - measured 7.5 s -> sub-second on the tagged frame after this
+        # split; each key is now two nodes over __b{t}
+        return [
+            F.lit(t * 2 ** n_planes).cast("long")
+            + F.col(f"__b{t}").bitwiseXOR(F.lit(m).cast("long"))
+            for t in range(n_tables) for m in masks
+        ]
 
     probe_masks = [m for m in range(2 ** n_planes)
                    if bin(m).count("1") <= probe_hamming]
@@ -429,6 +437,7 @@ def rp_lsh_topk_portable(corpus: DataFrame, queries: DataFrame, dim: int,
             F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
             F.lit(True).alias("__q")))
         .withColumn("__dots", fold_dot_pandas(F.col("vec"), flat))
+        .withColumns({f"__b{t}": bucket_expr(t) for t in range(n_tables)})
         .select("id", "__q", F.explode(
             F.when(F.col("__q"), F.array(*key_exprs(probe_masks)))
             .otherwise(F.array(*key_exprs([0])))).alias("tb_key"))
