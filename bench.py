@@ -83,9 +83,11 @@ EXPLICIT_ANCHORS = {
     # on a calib_s-0.27 host = ~4.8 on the anchor host class; the old
     # 4.17 belonged to the string-key plan.
     "dedup_ngram_jaccard": 4.8,
-    # round-10 row: fixed pandas-UDF stage overhead dominates at sf0.1
-    # (4.67 isolated, this VM).
-    "sim_lsh_ann_portable": 4.7,
+    # round-10 row, re-anchored same round with cause (BASELINE.md):
+    # single tagged sketch pass + per-table bucket materialization cut
+    # 5.86 -> 3.50 isolated on this calib_s-0.27 host = ~2.8 on the
+    # anchor host class.
+    "sim_lsh_ann_portable": 2.8,
     "dedup_embedding_cosine": 4.89,
     "sim_topk_bruteforce": 1.22,
     "sim_lsh_ann": 2.65,
