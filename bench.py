@@ -88,7 +88,11 @@ EXPLICIT_ANCHORS = {
     # 5.86 -> 3.50 isolated on this calib_s-0.27 host = ~2.8 on the
     # anchor host class.
     "sim_lsh_ann_portable": 2.8,
-    "dedup_embedding_cosine": 4.89,
+    # round-10 re-anchor with cause (BASELINE.md): the exact-verify
+    # kernel moved from the interpreted HOF fold (single-threaded after
+    # AQE coalesces the candidate join) to the bit-identical Arrow fold
+    # - isolated 4.20 -> 3.29 on this calib-0.24 host.
+    "dedup_embedding_cosine": 2.6,
     "sim_topk_bruteforce": 1.22,
     "sim_lsh_ann": 2.65,
     "sim_ivf_ann": 1.8,
@@ -101,7 +105,10 @@ EXPLICIT_ANCHORS = {
     # host; BASELINE.md "Round-6 anchors" note).  dedup_semantic's 7.93
     # is the best r5 full-run reading (today's isolated: 9.1-10.0);
     # lm_perplexity re-anchored 0.40 -> 1.02 with cause in BASELINE.md.
-    "dedup_semantic": 7.93,
+    # round-10 re-anchor with cause (BASELINE.md): same Arrow-fold
+    # verify swap; the in-cell verify WAS this operator's dominant term
+    # - isolated 8.10 -> 1.45 (probe-only path, index memoized).
+    "dedup_semantic": 1.2,
     "bloom_filter_new": 0.46,
     "lm_perplexity": 1.02,
     # round-9 re-anchor with cause (BASELINE.md): the round-5 openCost

@@ -681,11 +681,16 @@ def embedding_cosine_pairs(vectors: DataFrame, threshold: float = 0.99,
     ``block_top_k=None`` is the exact all-pairs baseline (small inputs
     only).
 
-    Cosine is the left-fold double formulation (similarity.cosine):
-    bit-identical to the DuckDB list_reduce oracle, so this tier is
-    hash-matched, not rows-only.
+    Cosine is fold-ordered double math, bit-identical to the DuckDB
+    list_reduce oracle (so this tier is hash-matched, not rows-only),
+    via the Arrow fold kernel similarity.cosine_foldexact_pandas:
+    vectorized across candidate rows but sequential across dims, same
+    bits as the interpreted similarity.cosine fold - which evaluated
+    single-threaded after AQE coalesces the small candidate join
+    (measured 1.3 s for 21k candidates at sf0.1; the Arrow kernel does
+    the same rows in one numpy pass).
     """
-    from .similarity import cosine
+    from .similarity import cosine_foldexact_pandas
 
     if block_top_k is not None:
         # one materialized vector+signature build feeding both self-join
@@ -733,7 +738,8 @@ def embedding_cosine_pairs(vectors: DataFrame, threshold: float = 0.99,
         cond = F.col("id_a") < F.col("id_b")
     return (
         a.join(b, cond)
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cos", cosine_foldexact_pandas(F.col("va"),
+                                                   F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
     )
@@ -867,7 +873,9 @@ def semantic_dedup_pairs(vectors: DataFrame, threshold: float = 0.95,
     survivors_from_pairs), and :func:`semantic_dedup` follows that
     convention for cross-tier consistency.
     """
-    from .similarity import IvfIndex, adaptive_nlist, cosine
+    from .similarity import (
+        IvfIndex, adaptive_nlist, cosine_foldexact_pandas,
+    )
 
     if index is None:
         corpus = vectors.select(
@@ -899,7 +907,12 @@ def semantic_dedup_pairs(vectors: DataFrame, threshold: float = 0.95,
     )
     return (
         a.join(b, (F.col("l_a") == F.col("l_b")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        # Arrow fold kernel: bit-identical to the interpreted fold and
+        # the DuckDB oracle, vectorized over the in-cell candidate
+        # stream (the operator's dominant term - see the
+        # embedding_cosine_pairs note)
+        .withColumn("cos", cosine_foldexact_pandas(F.col("va"),
+                                                   F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
     )
