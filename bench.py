@@ -102,10 +102,9 @@ EXPLICIT_ANCHORS = {
     "join_range_bands": 0.95,
     "csv_roundtrip": 0.75,
     # round-6 anchors for the round-5 ops (isolated best-of-3, quiet
-    # host; BASELINE.md "Round-6 anchors" note).  dedup_semantic's 7.93
-    # is the best r5 full-run reading (today's isolated: 9.1-10.0);
-    # lm_perplexity re-anchored 0.40 -> 1.02 with cause in BASELINE.md.
-    # round-10 re-anchor with cause (BASELINE.md): same Arrow-fold
+    # host; BASELINE.md "Round-6 anchors" note); lm_perplexity
+    # re-anchored 0.40 -> 1.02 with cause in BASELINE.md.
+    # dedup_semantic: round-10 re-anchor with cause: the Arrow-fold
     # verify swap; the in-cell verify WAS this operator's dominant term
     # - isolated 8.10 -> 1.45 (probe-only path, index memoized).
     "dedup_semantic": 1.2,
