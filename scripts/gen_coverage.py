@@ -78,7 +78,7 @@ EXTRA = {
     "S10": "ListenerHub foreachBatch; Cassandra LWT sink",
     "S11": "tests/test_streaming.py::TestCheckpointedSink",
     "G55": "also operators/dedup.py minhash/simhash + planted-dup recall tests (tests/test_llm_ops.py)",
-    "G61": "recall gates >= 0.85: tests/test_llm_ops.py::TestAnnRecall (round-3 measured: LSH 1.00, IVF 0.94 @10); round 4: corpus-adaptive geometry (adaptive_n_planes/adaptive_nlist) + vectorized probe kernels; round 10: sim_lsh_ann_portable is HASH-MATCHED vs DuckDB (md5 Rademacher planes + fold-ordered math re-derived by the oracle SQL) while the adaptive rp_lsh_topk stays the at-scale default (bench extra_queries['sim_lsh_ann'] + sf1 smoke)",
+    "G61": "recall gates >= 0.85: tests/test_llm_ops.py::TestAnnRecall (round-3 measured: LSH 1.00, IVF 0.94 @10); round 4: corpus-adaptive geometry (adaptive_n_planes/adaptive_nlist) + vectorized probe kernels; round 10: sim_lsh_ann_portable is HASH-MATCHED vs DuckDB (md5 Rademacher planes + fold-ordered math re-derived by the oracle SQL) while the adaptive rp_lsh_topk stays the at-scale default (bench extra_queries['sim_lsh_ann'] + sf1 smoke); sim_ivf_ann additionally pytest-oracled (TestIvfTopkOracle: candidate enumeration + fold-exact re-rank + ranking hash-match DuckDB on exported probe/cell literal tables)",
     "G62": "also tests/test_multimodal.py (schema round-trip, Arrow batching, metadata plans); round 10: real decode kernels - pure-stdlib PNG/WAV codecs behind kernel='codec' (deterministic stub remains the oracle kernel)",
 }
 
