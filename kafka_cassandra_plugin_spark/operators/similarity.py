@@ -75,6 +75,8 @@ def cosine_pandas(a, b) -> Column:
 
     @F.pandas_udf("double")
     def _cos(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        if len(xs) == 0:  # np.stack raises on an empty Arrow batch
+            return pd.Series([], dtype="float64")
         xa = np.stack(xs.to_numpy()).astype("float64")
         ya = np.stack(ys.to_numpy()).astype("float64")
         dots = np.einsum("ij,ij->i", xa, ya)
@@ -344,6 +346,8 @@ def fold_dot_pandas(vec_col, consts: np.ndarray) -> Column:
 
     @F.pandas_udf("array<double>")
     def _dots(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:  # np.stack raises on an empty Arrow batch
+            return pd.Series([], dtype=object)
         X = np.stack(vs.to_numpy()).astype("float64")  # (n, D)
         acc = np.zeros((len(X), C.shape[0]))
         for d in range(C.shape[1]):
@@ -362,6 +366,8 @@ def cosine_foldexact_pandas(a, b) -> Column:
 
     @F.pandas_udf("double")
     def _cos(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        if len(xs) == 0:  # np.stack raises on an empty Arrow batch
+            return pd.Series([], dtype="float64")
         xa = np.stack(xs.to_numpy()).astype("float64")
         ya = np.stack(ys.to_numpy()).astype("float64")
         dots = np.zeros(len(xa))
@@ -371,8 +377,13 @@ def cosine_foldexact_pandas(a, b) -> Column:
             dots += xa[:, d] * ya[:, d]
             na += xa[:, d] * xa[:, d]
             nb += ya[:, d] * ya[:, d]
-        denom = np.sqrt(na) * np.sqrt(nb)
-        out = np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0), 0.0)
+        # mirror cosine()'s guard EXACTLY: (sqrt(na) > 0) & (sqrt(nb) > 0),
+        # not (denom > 0) - two subnormal norms whose product underflows
+        # to 0 must yield d/0.0 (inf), as the interpreted form does
+        sna, snb = np.sqrt(na), np.sqrt(nb)
+        ok = (sna > 0) & (snb > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(ok, dots / (sna * snb), 0.0)
         return pd.Series(out)
 
     return _cos(a, b)
@@ -443,7 +454,15 @@ def rp_lsh_topk_portable(corpus: DataFrame, queries: DataFrame, dim: int,
             .otherwise(F.array(*key_exprs([0])))).alias("tb_key"))
         # both candidate-join sides read this frame (a diamond): pin it
         # so the sketch UDF runs exactly once - the rows are slim
-        # (id, bool, key), bounded by corpus + |probes| x queries
+        # (id, bool, key), bounded by corpus + |probes| x queries.
+        # CAVEATS (portable bench/oracle path only): localCheckpoint()
+        # is EAGER (building this plan runs a Spark job) and its blocks
+        # are unrecoverable on executor loss / dynamic allocation, and
+        # stay pinned until the driver GCs the frame (the round-5b
+        # pinned-blocks lesson).  The corpus-adaptive rp_lsh_topk stays
+        # the at-scale default; a long-lived-driver deployment of THIS
+        # path should swap in persist(MEMORY_AND_DISK)+count with an
+        # explicit unpersist at the call site.
         .localCheckpoint()
     )
     cs = tagged.filter(~F.col("__q")).select(
@@ -708,11 +727,22 @@ class IvfIndex:
         )
 
     def topk(self, queries: DataFrame, k: int = 10, nprobe: int = 8,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             probes: DataFrame | None = None) -> DataFrame:
+        """``probes``: optional precomputed (query_id, list_id) frame.
+        The oracle path exports the probe choice to DuckDB as a literal
+        table; feeding the SAME materialized rows back here guarantees
+        both engines score identical candidates even if the BLAS probe
+        ranking would tie-break differently across evaluations (the
+        per-row summation order of X @ C.T can vary with Arrow batch
+        composition)."""
         q = queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         )
-        q_lists = self._probe_lists(q, nprobe)
+        q_lists = (
+            q.join(probes.select("query_id", "list_id"), "query_id")
+            if probes is not None else self._probe_lists(q, nprobe)
+        )
         assigned = self.assigned
         if self.path is not None:
             # Loaded (disk-backed) index: resolve the probed list ids

@@ -1645,7 +1645,7 @@ def semantic_dedup_oracle(spark, sf_dir, con, threshold: float = 0.99,
 IVF_TOPK_SQL = r"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-      WHERE vec_id % 10 = 0
+      WHERE {qpred}
     ),
     cand AS (
       SELECT p.query_id, c.neighbor_id
@@ -1666,7 +1666,7 @@ IVF_TOPK_SQL = r"""
       FROM scored
     )
     SELECT query_id, neighbor_id, score, rank
-    FROM ranked WHERE rank <= 10
+    FROM ranked WHERE rank <= {k}
     ORDER BY query_id, rank
 """.replace("{cos}", _COS_SQL)
 
@@ -1687,11 +1687,21 @@ def sim_ivf_oracle(spark, sf_dir, con, nlist: int = 16, seed: int = 42,
     cosine_foldexact_pandas kernel) and the deterministic top-k
     ranking.  A cell-join bug, a lost candidate, a kernel drift or a
     tie-break change all hash-mismatch.  Exported tables are
-    corpus-row- and Q x nprobe-sized - oracle/test path only."""
+    corpus-row- and Q x nprobe-sized - oracle/test path only.
+
+    The probe lists are materialized ONCE and fed both to the DuckDB
+    registration and back into :meth:`IvfIndex.topk` (``probes=``):
+    the BLAS probe ranking's per-row summation order can vary with
+    Arrow batch composition, so a near-tie centroid distance could
+    rank lists differently across two evaluations - a single
+    materialization removes that flake class entirely.  ``k`` and the
+    query predicate are formatted into the SQL so the two definitions
+    cannot silently diverge."""
     from ..operators.similarity import IvfIndex
 
+    qpred = "vec_id % 10 = 0"
     e = Catalog(spark, sf_dir).embeddings
-    queries = e.filter(F.col("vec_id") % 10 == 0)
+    queries = e.filter(F.expr(qpred))
     idx = IvfIndex.build(e, nlist=nlist, seed=seed)
     con.register(
         "ivf_cells",
@@ -1700,13 +1710,17 @@ def sim_ivf_oracle(spark, sf_dir, con, nlist: int = 16, seed: int = 42,
     q_named = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
     )
-    con.register(
-        "ivf_probes",
+    probes_pd = (
         idx._probe_lists(q_named, nprobe)
-        .select("query_id", "list_id").toPandas(),
+        .select("query_id", "list_id").toPandas()
     )
-    df = idx.topk(queries, k=k, nprobe=nprobe).orderBy("query_id", "rank")
-    return df, IVF_TOPK_SQL
+    con.register("ivf_probes", probes_pd)
+    probes_df = spark.createDataFrame(probes_pd)
+    df = idx.topk(queries, k=k, nprobe=nprobe, probes=probes_df).orderBy(
+        "query_id", "rank"
+    )
+    sql = IVF_TOPK_SQL.replace("{qpred}", qpred).replace("{k}", str(int(k)))
+    return df, sql
 
 
 def chunk_docs(spark, sf_dir):
