@@ -59,3 +59,84 @@ def rename_or_raise(spark: SparkSession, src: str, dst: str) -> None:
     hdst = jvm.org.apache.hadoop.fs.Path(dst)
     if not fs.rename(hsrc, hdst):
         raise IOError(f"rename {src} -> {dst} failed")
+
+
+def tiered_compact_tables(spark: SparkSession, path: str, tables,
+                          exclude_batch: int | None = None,
+                          max_levels: int = 8) -> str:
+    """LSM-style tiered fold of an index's ``batch=<id>`` tables: fold
+    ONLY the young (``batch >= 0``, minus ``exclude_batch``) partitions
+    into one new negative LEVEL partition, carrying every existing
+    level - and the excluded in-flight batch - through the swap as
+    verbatim directory renames (no data read).  This is the answer to
+    the full ``compact()``'s one growth term: a full fold rewrites the
+    whole accumulated history every cadence (measured 111 -> 176 s
+    across a 5M-doc campaign), while a tiered fold's write cost is
+    bounded by data appended SINCE the last fold - flat per cadence.
+
+    Losslessness rests on the property every caller's ``load()``
+    already has: the stored tables are distributive (postings/
+    fingerprints concatenate, counts sum, bitsets OR) and the read
+    path re-aggregates across batch partitions - so multiple negative
+    levels read exactly like multiple positive batches.  Real batch
+    ids are non-negative, so ``load(exclude_batch=N)`` can never hide
+    a level, and the per-table ``fold`` callables shrink each level to
+    its aggregated form using ONLY young rows (O(recent) work).
+
+    ``tables``: sequence of ``(name, schema, partition_cols, fold)``
+    where ``schema`` is the declared read schema INCLUDING the
+    ``batch int`` column (empty batch dirs have no readable footer),
+    ``partition_cols`` the hive sub-partitioning to preserve
+    (``fpbucket``/``tbucket``), and ``fold`` an optional
+    DataFrame -> DataFrame aggregation applied to the young rows.
+
+    Returns ``"noop"`` (no young batches - nothing written),
+    ``"tiered"`` (folded into a new level), or ``"full_needed"``
+    (``max_levels`` levels already exist: the caller should run its
+    FULL ``compact()`` to merge the levels - the periodic major
+    compaction that bounds read-side file counts; with cadence C and
+    L levels, only every L-th compaction pays the O(history) cost).
+
+    Same non-atomicity caveat as the full swap: run between batches,
+    never concurrently with readers.  Crash recovery: the
+    ``__compacting`` sibling is complete before the source dir is
+    deleted, so a crash in the swap window leaves either the old dir
+    intact or the sibling ready to roll forward."""
+    first = f"{path}/{tables[0][0]}"
+    ids = list_batch_ids(spark, first)
+    excl = None if exclude_batch is None else int(exclude_batch)
+    youngs = [i for i in ids if i >= 0 and i != excl]
+    levels = [i for i in ids if i < 0]
+    if not youngs:
+        return "noop"
+    if len(levels) >= int(max_levels):
+        return "full_needed"
+    from pyspark.sql import functions as F
+
+    new_level = min(levels, default=0) - 1
+    for name, schema, partition_cols, fold in tables:
+        tpath = f"{path}/{name}"
+        tmp = f"{tpath}__compacting"
+        delete_dir(spark, tmp)
+        young = (
+            spark.read.schema(schema).parquet(tpath)
+            .filter(F.col("batch") >= 0)
+        )
+        if excl is not None:
+            young = young.filter(F.col("batch") != excl)
+        young = young.drop("batch")
+        if fold is not None:
+            young = fold(young)
+        w = young.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(f"{tmp}/batch={int(new_level)}")
+        keep = [
+            i for i in list_batch_ids(spark, tpath)
+            if i < 0 or (excl is not None and i == excl)
+        ]
+        for i in keep:
+            rename_or_raise(spark, f"{tpath}/batch={i}", f"{tmp}/batch={i}")
+        delete_dir(spark, tpath)
+        rename_or_raise(spark, tmp, tpath)
+    return "tiered"

@@ -248,6 +248,36 @@ class FingerprintIndex:
             rename_or_raise(spark, tmp, src)
         return FingerprintIndex.load(spark, self.path)
 
+    def compact_tiered(self, exclude_batch: int | None = None,
+                       max_levels: int = 8) -> "FingerprintIndex":
+        """Tiered (LSM-style) compact: fold only the batch partitions
+        appended SINCE the last fold into one new negative level,
+        moving existing levels through the swap as verbatim renames -
+        O(recent) write cost instead of :meth:`compact`'s O(history)
+        rewrite (the one non-flat growth term of the 5M-doc campaign).
+        Lossless because fingerprint sets concatenate across document-
+        disjoint batches, so levels read exactly like batches; falls
+        back to the FULL :meth:`compact` once ``max_levels`` levels
+        have accreted (the periodic major compaction that bounds
+        read-side file counts).  Same exclude_batch/replay gates."""
+        if self.path is None:
+            raise ValueError("compact requires a saved index (use save())")
+        from ..fsutil import tiered_compact_tables
+
+        spark = self.fps.sparkSession
+        outcome = tiered_compact_tables(
+            spark, self.path,
+            [
+                ("fps", "doc_id long, fp long, fpbucket int, batch int",
+                 ("fpbucket",), None),
+                ("sizes", "doc_id long, n_fp long, batch int", (), None),
+            ],
+            exclude_batch=exclude_batch, max_levels=max_levels,
+        )
+        if outcome == "full_needed":
+            return self.compact(exclude_batch=exclude_batch)
+        return FingerprintIndex.load(spark, self.path)
+
     # -- probe ---------------------------------------------------------------
 
     def match_batch(self, docs: DataFrame, threshold: float | None = None,
