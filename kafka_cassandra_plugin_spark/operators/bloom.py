@@ -210,6 +210,9 @@ class BloomIndex:
         scan) - what a foreachBatch caller passes so a REPLAYED batch
         probes the filter as of its predecessors, not as of its own
         failed first attempt."""
+        from ..fsutil import recover_tables
+
+        recover_tables(spark, path, ("words",))
         meta = spark.read.parquet(f"{path}/meta").collect()[0]
         words = spark.read.parquet(f"{path}/words")
         if exclude_batch is not None:
@@ -274,11 +277,14 @@ class BloomIndex:
         CurationSink` passes the in-flight batch id."""
         if self.path is None:
             raise ValueError("compact requires a saved filter (use save())")
-        from ..fsutil import delete_dir, path_exists, rename_or_raise
+        from ..fsutil import recover_fold_swap, staged_fold_swap
 
         spark = self.words.sparkSession
         src = f"{self.path}/words"
-        tmp = f"{self.path}/words__compacting"
+        # heal any interrupted swap BEFORE resolving the read's file
+        # listing - a fold that read src while originals still sat in
+        # an uncommitted sibling would omit them from the rewrite
+        recover_fold_swap(spark, src)
         words = spark.read.parquet(src)
         if exclude_batch is not None:
             words = words.filter(F.col("batch") != int(exclude_batch))
@@ -287,22 +293,43 @@ class BloomIndex:
             .groupBy("word")
             .agg(F.expr("bit_or(bits)").alias("bits"))
         )
-        consolidated.write.mode("overwrite").parquet(
-            f"{tmp}/batch={self.COMPACT_BATCH}"
+        # the marker-based swap carries the in-flight partition through
+        # verbatim (a rename, no data read) so exclude_batch probes
+        # keep working, and a crash-retry at any point rolls forward or
+        # back instead of discarding it
+        keeps = [] if exclude_batch is None else [int(exclude_batch)]
+        staged_fold_swap(
+            spark, src, self.COMPACT_BATCH,
+            lambda dest: consolidated.write.mode("overwrite").parquet(dest),
+            keeps,
         )
-        if exclude_batch is not None and path_exists(
-            spark, self._batch_dir(exclude_batch)
-        ):
-            # preserve the in-flight partition verbatim (a rename, no
-            # data read) so exclude_batch probes keep working; checked:
-            # a silently failed rename here followed by the delete
-            # below would discard the in-flight batch's contribution
-            rename_or_raise(
-                spark, self._batch_dir(exclude_batch),
-                f"{tmp}/batch={int(exclude_batch)}",
-            )
-        delete_dir(spark, src)
-        rename_or_raise(spark, tmp, src)
+        return BloomIndex.load(spark, self.path)
+
+    def compact_tiered(self, exclude_batch: int | None = None,
+                       max_levels: int = 8) -> "BloomIndex":
+        """Tiered (LSM-style) compact: fold only the batches appended
+        SINCE the last fold into one new negative level — O(recent)
+        write cost instead of :meth:`compact`'s O(history) rewrite.
+        Lossless because bitsets OR distributively and :meth:`load`
+        re-aggregates across partitions, so levels read exactly like
+        batches; falls back to the FULL :meth:`compact` once
+        ``max_levels`` levels have accreted.  Same ``exclude_batch``
+        replay gate; crash-safe via the
+        :func:`..fsutil.staged_fold_swap` marker protocol."""
+        if self.path is None:
+            raise ValueError("compact requires a saved filter (use save())")
+        from ..fsutil import tiered_compact_tables
+
+        spark = self.words.sparkSession
+        outcome = tiered_compact_tables(
+            spark, self.path,
+            [("words", "word long, bits long, batch int", (),
+              lambda df: df.groupBy("word").agg(
+                  F.expr("bit_or(bits)").alias("bits")))],
+            exclude_batch=exclude_batch, max_levels=max_levels,
+        )
+        if outcome == "full_needed":
+            return self.compact(exclude_batch=exclude_batch)
         return BloomIndex.load(spark, self.path)
 
     # -- composition -------------------------------------------------------

@@ -312,14 +312,17 @@ class WordHistogram:
              exclude_batch: int | None = None) -> "WordHistogram":
         """One 1-row meta read; the counts table reads with a DECLARED
         schema (an empty batch dir has no readable footer) and the
-        ``exclude_batch`` partitions pruned at the scan."""
-        from ..fsutil import path_exists
+        ``exclude_batch`` partitions pruned at the scan.  Any
+        interrupted compaction swap is healed on entry
+        (:func:`..fsutil.recover_fold_swap`)."""
+        from ..fsutil import path_exists, recover_tables
 
         if not path_exists(spark, f"{path}/meta"):
             raise ValueError(
                 f"no WordHistogram meta table under {path!r} — "
                 "init() it first."
             )
+        recover_tables(spark, path, ("counts",))
         meta = spark.read.parquet(f"{path}/meta").first()
         t = spark.read.schema("word string, count long, batch int").parquet(
             f"{path}/counts")
@@ -362,23 +365,45 @@ class WordHistogram:
         :meth:`.bloom.BloomIndex.compact` discipline."""
         if self.path is None:
             raise ValueError("compact requires a saved histogram")
-        from ..fsutil import delete_dir, path_exists, rename_or_raise
+        from ..fsutil import staged_fold_swap
 
         spark = self.counts.sparkSession
         consolidated = WordHistogram.load(spark, self.path,
                                           exclude_batch=exclude_batch)
-        src = f"{self.path}/counts"
-        tmp = f"{self.path}/counts__compacting"
-        delete_dir(spark, tmp)
-        consolidated.histogram().write.mode("overwrite").parquet(
-            f"{tmp}/batch={self.COMPACT_BATCH}")
-        if exclude_batch is not None and path_exists(
-            spark, f"{src}/batch={int(exclude_batch)}"
-        ):
-            rename_or_raise(spark, f"{src}/batch={int(exclude_batch)}",
-                            f"{tmp}/batch={int(exclude_batch)}")
-        delete_dir(spark, src)
-        rename_or_raise(spark, tmp, src)
+        keeps = [] if exclude_batch is None else [int(exclude_batch)]
+        staged_fold_swap(
+            spark, f"{self.path}/counts", self.COMPACT_BATCH,
+            lambda dest: consolidated.histogram().write.mode(
+                "overwrite").parquet(dest),
+            keeps,
+        )
+        return WordHistogram.load(spark, self.path)
+
+    def compact_tiered(self, exclude_batch: int | None = None,
+                       max_levels: int = 8) -> "WordHistogram":
+        """Tiered (LSM-style) compact: fold only the batches appended
+        SINCE the last fold into one new negative level — O(recent)
+        write cost instead of :meth:`compact`'s O(history) rewrite.
+        Lossless because counts sum distributively and
+        :meth:`histogram` re-aggregates across partitions, so levels
+        read exactly like batches; falls back to the FULL
+        :meth:`compact` once ``max_levels`` levels have accreted.
+        Crash-safe via the :func:`..fsutil.staged_fold_swap` marker
+        protocol."""
+        if self.path is None:
+            raise ValueError("compact requires a saved histogram")
+        from ..fsutil import tiered_compact_tables
+
+        spark = self.counts.sparkSession
+        outcome = tiered_compact_tables(
+            spark, self.path,
+            [("counts", "word string, count long, batch int", (),
+              lambda df: df.groupBy("word").agg(
+                  F.sum("count").alias("count")))],
+            exclude_batch=exclude_batch, max_levels=max_levels,
+        )
+        if outcome == "full_needed":
+            return self.compact(exclude_batch=exclude_batch)
         return WordHistogram.load(spark, self.path)
 
     def train(self, num_merges: int = 512,

@@ -77,23 +77,19 @@ class CommonnessIndex:
         empty batch dir has no readable footer), ``exclude_batch``
         partitions pruned at the scan.
 
-        Crash recovery: :meth:`compact` deletes ``counts/`` only AFTER
-        the ``counts__compacting`` sibling is fully written, so if a
-        crash lands in that window (``counts/`` absent, sibling
-        present) the sibling is complete — load() rolls the swap
-        forward by finishing the rename instead of failing."""
-        from ..fsutil import path_exists, rename_or_raise
+        Crash recovery: an interrupted compaction swap is healed on
+        entry (:func:`..fsutil.recover_fold_swap` via
+        ``recover_tables``) — rolled forward past its commit point,
+        rolled back before it — so readers never observe a missing or
+        double-counted table."""
+        from ..fsutil import path_exists, recover_tables
 
         if not path_exists(spark, f"{path}/meta"):
             raise ValueError(
                 f"no CommonnessIndex meta table under {path!r} — "
                 "init() it first."
             )
-        if not path_exists(spark, f"{path}/counts") and path_exists(
-            spark, f"{path}/counts__compacting"
-        ):
-            rename_or_raise(spark, f"{path}/counts__compacting",
-                            f"{path}/counts")
+        recover_tables(spark, path, ("counts",))
         meta = spark.read.parquet(f"{path}/meta").first()
         t = cls._fp_type(meta.hash_fn)
         counts = spark.read.schema(f"fp {t}, count long, batch int").parquet(
@@ -134,28 +130,51 @@ class CommonnessIndex:
 
     def compact(self, exclude_batch: int | None = None) -> "CommonnessIndex":
         """Rewrite stored batch partitions into one consolidated
-        ``batch=-1`` (sibling-then-rename swap; run between batches),
+        ``batch=-1`` (marker-based crash-recoverable swap,
+        :func:`..fsutil.staged_fold_swap`; run between batches),
         carrying ``exclude_batch``'s partition through VERBATIM so a
         replayed attempt stays hideable — the BloomIndex discipline."""
         if self.path is None:
             raise ValueError("compact requires a saved index")
-        from ..fsutil import delete_dir, path_exists, rename_or_raise
+        from ..fsutil import staged_fold_swap
 
         spark = self.counts.sparkSession
         consolidated = CommonnessIndex.load(spark, self.path,
                                             exclude_batch=exclude_batch)
-        src = f"{self.path}/counts"
-        tmp = f"{self.path}/counts__compacting"
-        delete_dir(spark, tmp)
-        consolidated.table().write.mode("overwrite").parquet(
-            f"{tmp}/batch={self.COMPACT_BATCH}")
-        if exclude_batch is not None and path_exists(
-            spark, f"{src}/batch={int(exclude_batch)}"
-        ):
-            rename_or_raise(spark, f"{src}/batch={int(exclude_batch)}",
-                            f"{tmp}/batch={int(exclude_batch)}")
-        delete_dir(spark, src)
-        rename_or_raise(spark, tmp, src)
+        keeps = [] if exclude_batch is None else [int(exclude_batch)]
+        staged_fold_swap(
+            spark, f"{self.path}/counts", self.COMPACT_BATCH,
+            lambda dest: consolidated.table().write.mode(
+                "overwrite").parquet(dest),
+            keeps,
+        )
+        return CommonnessIndex.load(spark, self.path)
+
+    def compact_tiered(self, exclude_batch: int | None = None,
+                       max_levels: int = 8) -> "CommonnessIndex":
+        """Tiered (LSM-style) compact: fold only the batches appended
+        SINCE the last fold into one new negative level — O(recent)
+        write cost instead of :meth:`compact`'s O(history) rewrite.
+        Lossless because counts sum distributively and :meth:`table`
+        re-aggregates across partitions, so levels read exactly like
+        batches; falls back to the FULL :meth:`compact` once
+        ``max_levels`` levels have accreted.  Crash-safe via the
+        :func:`..fsutil.staged_fold_swap` marker protocol."""
+        if self.path is None:
+            raise ValueError("compact requires a saved index")
+        from ..fsutil import tiered_compact_tables
+
+        spark = self.counts.sparkSession
+        t = self._fp_type(self.hash_fn)
+        outcome = tiered_compact_tables(
+            spark, self.path,
+            [("counts", f"fp {t}, count long, batch int", (),
+              lambda df: df.groupBy("fp").agg(
+                  F.sum("count").alias("count")))],
+            exclude_batch=exclude_batch, max_levels=max_levels,
+        )
+        if outcome == "full_needed":
+            return self.compact(exclude_batch=exclude_batch)
         return CommonnessIndex.load(spark, self.path)
 
     def weights(self, docs: DataFrame, text_col: str = "text",

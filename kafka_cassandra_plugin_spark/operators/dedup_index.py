@@ -115,6 +115,11 @@ class MinHashIndex:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "MinHashIndex":
+        from ..fsutil import recover_tables
+
+        # heal an interrupted compact() swap (roll a committed sibling
+        # forward, drop an uncommitted one) before resolving file lists
+        recover_tables(spark, path, ("bands", "shingles"))
         meta = spark.read.parquet(f"{path}/meta").collect()[0]
         params = {
             "n": int(meta["n"]), "num_hashes": int(meta["num_hashes"]),
@@ -263,14 +268,15 @@ class MinHashIndex:
         not concurrently with probes."""
         if self.path is None:
             raise ValueError("compact requires a saved index (use save())")
-        from ..fsutil import delete_dir, rename_or_raise
+        from ..fsutil import staged_replace
         from ..sources import compact_parquet
 
         spark = self.bands.sparkSession
         for sub, pby in (("bands", ("band",)), ("shingles", ())):
             src = f"{self.path}/{sub}"
-            tmp = f"{self.path}/{sub}__compacting"
-            compact_parquet(spark, src, tmp, target_file_mb, partition_by=pby)
-            delete_dir(spark, src)
-            rename_or_raise(spark, tmp, src)
+            staged_replace(
+                spark, src,
+                lambda tmp, src=src, pby=pby: compact_parquet(
+                    spark, src, tmp, target_file_mb, partition_by=pby),
+            )
         return MinHashIndex.load(spark, self.path)

@@ -163,14 +163,17 @@ class FingerprintIndex:
         """Lazy union of the stored batch partitions; ``exclude_batch``
         hides that batch's partitions AT THE SCAN (a partition filter)
         so a replayed foreachBatch caller probes the index as of its
-        predecessors.  Load cost: one 1-row meta read."""
-        from ..fsutil import path_exists
+        predecessors.  Load cost: one 1-row meta read (plus one
+        exists-check per table that self-heals a post-commit
+        compaction crash by finishing the swap)."""
+        from ..fsutil import path_exists, recover_tables
 
         if not path_exists(spark, f"{path}/meta"):
             raise ValueError(
                 f"no FingerprintIndex meta table under {path!r} "
                 "(build().save() or init() first)"
             )
+        recover_tables(spark, path, ("fps", "sizes"))
         meta = spark.read.parquet(f"{path}/meta").first()
         schemas = {
             "fps": "doc_id long, fp long, fpbucket int, batch int",
@@ -221,31 +224,28 @@ class FingerprintIndex:
         ``exclude_batch`` moves that batch through the swap verbatim so
         ``load(exclude_batch=N)`` keeps working after compaction (the
         in-flight-batch discipline shared with BloomIndex/NgramLM/
-        Bm25Index).  Sibling-then-rename swap; run between batches."""
+        Bm25Index).  The swap runs through
+        :func:`..fsutil.staged_fold_swap` (marker-based, crash-
+        recoverable at every step); run between batches."""
         if self.path is None:
             raise ValueError("compact requires a saved index (use save())")
-        from ..fsutil import delete_dir, path_exists, rename_or_raise
+        from ..fsutil import staged_fold_swap
 
         spark = self.fps.sparkSession
         consolidated = FingerprintIndex.load(spark, self.path,
                                              exclude_batch=exclude_batch)
         consolidated.bucket_partitions = self.bucket_partitions
+        keeps = [] if exclude_batch is None else [int(exclude_batch)]
         for table, df in consolidated._tables():
-            src = f"{self.path}/{table}"
-            tmp = f"{self.path}/{table}__compacting"
-            writer = df.write.mode("overwrite")
-            if table == "fps":
-                writer = writer.partitionBy("fpbucket")
-            writer.parquet(f"{tmp}/batch={self.COMPACT_BATCH}")
-            if exclude_batch is not None and path_exists(
-                spark, self._tdir(table, exclude_batch)
-            ):
-                rename_or_raise(
-                    spark, self._tdir(table, exclude_batch),
-                    f"{tmp}/batch={int(exclude_batch)}",
-                )
-            delete_dir(spark, src)
-            rename_or_raise(spark, tmp, src)
+
+            def _write(dest: str, df=df, table=table) -> None:
+                writer = df.write.mode("overwrite")
+                if table == "fps":
+                    writer = writer.partitionBy("fpbucket")
+                writer.parquet(dest)
+
+            staged_fold_swap(spark, f"{self.path}/{table}",
+                             self.COMPACT_BATCH, _write, keeps)
         return FingerprintIndex.load(spark, self.path)
 
     def compact_tiered(self, exclude_batch: int | None = None,
@@ -259,7 +259,12 @@ class FingerprintIndex:
         disjoint batches, so levels read exactly like batches; falls
         back to the FULL :meth:`compact` once ``max_levels`` levels
         have accreted (the periodic major compaction that bounds
-        read-side file counts).  Same exclude_batch/replay gates."""
+        read-side file counts).  Same exclude_batch/replay gates.
+        Crash-safe: every table swap runs the marker protocol of
+        :func:`..fsutil.staged_fold_swap`, so a retry after a crash at
+        any point rolls the interrupted swap forward or back - never
+        deletes accumulated levels (gated by the fault-injection
+        battery in tests/test_tiered_compact.py)."""
         if self.path is None:
             raise ValueError("compact requires a saved index (use save())")
         from ..fsutil import tiered_compact_tables

@@ -272,7 +272,12 @@ class NgramLM:
         of its own failed first attempt.  Cost note: load runs two
         small jobs over the MODEL tables (distinct-vocab count for V,
         gram-row count for the broadcast decision) - model-sized, not
-        corpus-sized; :meth:`compact` keeps them cheap."""
+        corpus-sized; :meth:`compact` keeps them cheap.  Any
+        interrupted compaction swap is healed on entry
+        (:func:`..fsutil.recover_fold_swap`)."""
+        from ..fsutil import recover_tables
+
+        recover_tables(spark, path, ("grams", "contexts", "vocab"))
         meta = spark.read.parquet(f"{path}/meta").collect()[0]
 
         def _table(name: str) -> DataFrame:
@@ -347,7 +352,7 @@ class NgramLM:
         replay."""
         if self.path is None:
             raise ValueError("compact requires a saved model (use save())")
-        from ..fsutil import delete_dir, path_exists, rename_or_raise
+        from ..fsutil import staged_fold_swap
 
         spark = self.grams.sparkSession
         consolidated = NgramLM.load(spark, self.path,
@@ -355,28 +360,58 @@ class NgramLM:
         grams = consolidated.grams
         if prune_min_count > 1:
             grams = grams.filter(F.col("cnt") >= prune_min_count)
+        # marker-based crash-recoverable swap: the in-flight partition
+        # is carried through verbatim, and a crash-retry at any point
+        # rolls forward or back instead of discarding it
+        keeps = [] if exclude_batch is None else [int(exclude_batch)]
         for table, df in (
             ("grams", grams),
             ("contexts", consolidated.contexts),
             ("vocab", consolidated._vocab),
         ):
-            src = f"{self.path}/{table}"
-            tmp = f"{self.path}/{table}__compacting"
-            df.write.mode("overwrite").parquet(
-                f"{tmp}/batch={self.COMPACT_BATCH}"
+            staged_fold_swap(
+                spark, f"{self.path}/{table}", self.COMPACT_BATCH,
+                lambda dest, df=df: df.write.mode(
+                    "overwrite").parquet(dest),
+                keeps,
             )
-            if exclude_batch is not None and path_exists(
-                spark, self._tdir(table, exclude_batch)
-            ):
-                # preserve the in-flight partition verbatim (checked:
-                # a silently failed rename + the delete below would
-                # discard its contribution)
-                rename_or_raise(
-                    spark, self._tdir(table, exclude_batch),
-                    f"{tmp}/batch={int(exclude_batch)}",
-                )
-            delete_dir(spark, src)
-            rename_or_raise(spark, tmp, src)
+        return NgramLM.load(spark, self.path)
+
+    def compact_tiered(self, exclude_batch: int | None = None,
+                       max_levels: int = 8) -> "NgramLM":
+        """Tiered (LSM-style) compact: fold only the batches appended
+        SINCE the last fold into one new negative level per table —
+        O(recent) write cost instead of :meth:`compact`'s O(history)
+        rewrite.  Lossless because counts sum (and vocab unions)
+        distributively and :meth:`load` re-aggregates across
+        partitions, so levels read exactly like batches; falls back
+        to the FULL :meth:`compact` once ``max_levels`` levels have
+        accreted (that major compaction is also where KenLM-style
+        ``prune_min_count`` belongs — pruning needs CONSOLIDATED
+        counts, so the tiered path never prunes).  Same
+        ``exclude_batch`` replay gate; crash-safe via the
+        :func:`..fsutil.staged_fold_swap` marker protocol."""
+        if self.path is None:
+            raise ValueError("compact requires a saved model (use save())")
+        from ..fsutil import tiered_compact_tables
+
+        spark = self.grams.sparkSession
+        outcome = tiered_compact_tables(
+            spark, self.path,
+            [
+                ("grams", "ctx string, tok string, cnt long, batch int", (),
+                 lambda df: df.groupBy("ctx", "tok").agg(
+                     F.sum("cnt").alias("cnt"))),
+                ("contexts", "ctx string, total long, batch int", (),
+                 lambda df: df.groupBy("ctx").agg(
+                     F.sum("total").alias("total"))),
+                ("vocab", "tok string, batch int", (),
+                 lambda df: df.distinct()),
+            ],
+            exclude_batch=exclude_batch, max_levels=max_levels,
+        )
+        if outcome == "full_needed":
+            return self.compact(exclude_batch=exclude_batch)
         return NgramLM.load(spark, self.path)
 
     # -- scoring -----------------------------------------------------------

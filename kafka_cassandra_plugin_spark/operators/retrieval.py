@@ -280,9 +280,12 @@ class Bm25Index:
         partitions (pruned at the scan) — what a foreachBatch caller
         passes so a REPLAYED batch searches the index as of its
         predecessors, not as of its own failed first attempt.  Load
-        cost: one 1-row meta read, no model-wide jobs."""
-        from ..fsutil import path_exists
+        cost: one 1-row meta read, no model-wide jobs.  Any
+        interrupted compaction swap is healed on entry
+        (:func:`..fsutil.recover_fold_swap`)."""
+        from ..fsutil import path_exists, recover_tables
 
+        recover_tables(spark, path, ("postings", "docfreq", "stats"))
         if not path_exists(spark, f"{path}/meta"):
             raise ValueError(
                 f"no Bm25Index meta table under {path!r}: either the "
@@ -365,28 +368,67 @@ class Bm25Index:
         same discipline as :meth:`.bloom.BloomIndex.compact`."""
         if self.path is None:
             raise ValueError("compact requires a saved index (use save())")
-        from ..fsutil import delete_dir, path_exists, rename_or_raise
+        from ..fsutil import staged_fold_swap
 
         spark = self.postings.sparkSession
         consolidated = Bm25Index.load(spark, self.path,
                                       exclude_batch=exclude_batch)
         consolidated.bucket_partitions = self.bucket_partitions
+        keeps = [] if exclude_batch is None else [int(exclude_batch)]
         for table, df in consolidated._tables():
-            src = f"{self.path}/{table}"
-            tmp = f"{self.path}/{table}__compacting"
-            w = df.write.mode("overwrite")
-            if table != "stats":
-                w = w.partitionBy("tbucket")
-            w.parquet(f"{tmp}/batch={self.COMPACT_BATCH}")
-            if exclude_batch is not None and path_exists(
-                spark, self._tdir(table, exclude_batch)
-            ):
-                rename_or_raise(
-                    spark, self._tdir(table, exclude_batch),
-                    f"{tmp}/batch={int(exclude_batch)}",
-                )
-            delete_dir(spark, src)
-            rename_or_raise(spark, tmp, src)
+
+            def _write(dest: str, df=df, table=table) -> None:
+                w = df.write.mode("overwrite")
+                if table != "stats":
+                    w = w.partitionBy("tbucket")
+                w.parquet(dest)
+
+            staged_fold_swap(spark, f"{self.path}/{table}",
+                             self.COMPACT_BATCH, _write, keeps)
+        return Bm25Index.load(spark, self.path)
+
+    def compact_tiered(self, exclude_batch: int | None = None,
+                       max_levels: int = 8) -> "Bm25Index":
+        """Tiered (LSM-style) compact: fold only the batches appended
+        SINCE the last fold into one new negative level per table —
+        O(recent) write cost instead of :meth:`compact`'s O(history)
+        rewrite of all accumulated postings.  Lossless because
+        postings concatenate, df sums, and stats sum distributively
+        over document-disjoint batches and :meth:`load` re-aggregates
+        across partitions, so levels read exactly like batches; falls
+        back to the FULL :meth:`compact` once ``max_levels`` levels
+        have accreted (the major compaction that bounds read-side file
+        counts per tbucket).  Same ``exclude_batch`` replay gate;
+        crash-safe via the :func:`..fsutil.staged_fold_swap` marker
+        protocol."""
+        if self.path is None:
+            raise ValueError("compact requires a saved index (use save())")
+        from ..fsutil import tiered_compact_tables
+
+        spark = self.postings.sparkSession
+        term_t = "long" if self.hash_fn == "xxhash64" else "string"
+        outcome = tiered_compact_tables(
+            spark, self.path,
+            [
+                ("postings",
+                 f"term {term_t}, doc_id long, tf long, dl int, "
+                 "tbucket int, batch int",
+                 ("tbucket",), None),
+                ("docfreq",
+                 f"term {term_t}, df long, tbucket int, batch int",
+                 ("tbucket",),
+                 lambda df: df.groupBy("term", "tbucket").agg(
+                     F.sum("df").alias("df"))),
+                ("stats", "n_docs long, total_dl long, batch int", (),
+                 lambda df: df.agg(
+                     F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+                     F.coalesce(F.sum("total_dl"),
+                                F.lit(0)).alias("total_dl"))),
+            ],
+            exclude_batch=exclude_batch, max_levels=max_levels,
+        )
+        if outcome == "full_needed":
+            return self.compact(exclude_batch=exclude_batch)
         return Bm25Index.load(spark, self.path)
 
     # -- composition -----------------------------------------------------------

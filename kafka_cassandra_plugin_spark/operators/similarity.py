@@ -377,9 +377,14 @@ def cosine_foldexact_pandas(a, b) -> Column:
             dots += xa[:, d] * ya[:, d]
             na += xa[:, d] * xa[:, d]
             nb += ya[:, d] * ya[:, d]
-        # mirror cosine()'s guard EXACTLY: (sqrt(na) > 0) & (sqrt(nb) > 0),
-        # not (denom > 0) - two subnormal norms whose product underflows
-        # to 0 must yield d/0.0 (inf), as the interpreted form does
+        # mirror cosine()'s guard SHAPE: (sqrt(na) > 0) & (sqrt(nb) > 0),
+        # not (denom > 0).  When two subnormal norms' product underflows
+        # to 0 this yields d/0.0 = inf - matching the DuckDB oracle's
+        # UNGUARDED division (_COS_SQL), which is what the hash-match
+        # checks; the interpreted cosine() itself would return NULL
+        # there (Spark non-ANSI double/0 is NULL, violating its own
+        # "never NaN/null" note).  The divergence needs norms < ~1e-162
+        # on both sides - unreachable with real embeddings
         sna, snb = np.sqrt(na), np.sqrt(nb)
         ok = (sna > 0) & (snb > 0)
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -649,23 +654,23 @@ class IvfIndex:
         if self.path is None:
             raise ValueError("compact() needs a disk-backed index "
                              "(save() it first)")
-        from ..fsutil import _fs_and_path, delete_dir, rename_or_raise
+        from ..fsutil import _fs_and_path, staged_replace
 
         spark = self.assigned.sparkSession
         src = f"{self.path}/assigned"
         fs, hsrc, _ = _fs_and_path(spark, src)
         total_bytes = fs.getContentSummary(hsrc).getLength()
         nfiles = max(1, -(-total_bytes // (target_mb << 20)))
-        tmp = f"{self.path}/__compacting_assigned"
-        (
-            self.assigned.dropDuplicates(["neighbor_id"])
-            .repartition(int(nfiles), "list_id")
-            .write.mode("overwrite")
-            .partitionBy("list_id")
-            .parquet(tmp)
+        staged_replace(
+            spark, src,
+            lambda tmp: (
+                self.assigned.dropDuplicates(["neighbor_id"])
+                .repartition(int(nfiles), "list_id")
+                .write.mode("overwrite")
+                .partitionBy("list_id")
+                .parquet(tmp)
+            ),
         )
-        delete_dir(spark, src)
-        rename_or_raise(spark, tmp, src)
         return IvfIndex.load(spark, self.path)
 
     def save(self, path: str) -> "IvfIndex":
@@ -680,6 +685,10 @@ class IvfIndex:
 
     @classmethod
     def load(cls, spark, path: str) -> "IvfIndex":
+        from ..fsutil import recover_tables
+
+        # heal an interrupted compact() swap before resolving file lists
+        recover_tables(spark, path, ("assigned",))
         assigned = spark.read.parquet(f"{path}/assigned").select(
             "neighbor_id", "c_vec", F.col("list_id").cast("int").alias("list_id")
         )

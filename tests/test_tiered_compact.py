@@ -1,0 +1,448 @@
+"""Tiered compaction + crash-safe swap protocol, across every
+disk-backed store.
+
+Gates (the standard index-mutation battery, applied to the tiered
+path): tiered fold is LOSSLESS vs the consolidated view; levels stack
+and read exactly like batches; ``exclude_batch`` is carried through
+verbatim (replay stays hideable); ``max_levels`` falls back to the
+full compact; replay-after-fold overwrites, never double-counts.
+
+Plus the fault-injection battery the round-11 verdict demanded: the
+swap is interrupted at EVERY filesystem mutation point (exhaustively
+for FingerprintIndex, at the two nastiest labeled points for every
+other store - after keeps are renamed into the sibling but before the
+commit marker, and after the commit marker but before the final swap)
+and the retry must restore a byte-equivalent consolidated view with a
+readable layout.  The round-11 demonstrated bug - a retry's blind
+``delete_dir(tmp)`` erasing all renamed-in levels, and a shared
+``new_level`` nesting ``sizes/batch=-1/batch=-1`` - is exactly the
+pre-commit crash point covered here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_cassandra_plugin_spark import fsutil
+from kafka_cassandra_plugin_spark.fsutil import list_batch_ids
+from kafka_cassandra_plugin_spark.operators.bloom import BloomIndex
+from kafka_cassandra_plugin_spark.operators.bpe import WordHistogram
+from kafka_cassandra_plugin_spark.operators.commonness import CommonnessIndex
+from kafka_cassandra_plugin_spark.operators.fingerprint_index import (
+    FingerprintIndex,
+)
+from kafka_cassandra_plugin_spark.operators.lm import NgramLM
+from kafka_cassandra_plugin_spark.operators.retrieval import Bm25Index
+
+VOCAB = ["ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen"]
+
+
+def _text(doc_id: int, n: int = 12) -> str:
+    return " ".join(
+        VOCAB[int(hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()[:4], 16)
+              % len(VOCAB)]
+        for i in range(n)
+    )
+
+
+def _batch_docs(spark, batch_id: int, n_docs: int = 6):
+    rows = [(batch_id * 100 + d, _text(batch_id * 100 + d))
+            for d in range(n_docs)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class Store:
+    """Adapter: one per disk-backed store, so every gate runs the same
+    way against all of them."""
+
+    def __init__(self, name, tables, init, append, tiered, full, view):
+        self.name = name
+        self.tables = tables
+        self.init = init            # (spark, path) -> None
+        self.append = append        # (spark, path, docs, batch_id) -> None
+        self.tiered = tiered        # (spark, path, exclude, max_levels)
+        self.full = full            # (spark, path, exclude) -> None
+        self.view = view            # (spark, path, exclude) -> comparable
+
+    def __repr__(self):
+        return self.name
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+STORES = [
+    Store(
+        "commonness", ("counts",),
+        lambda s, p: CommonnessIndex.init(s, p),
+        lambda s, p, d, b: CommonnessIndex.load(s, p).append_batch(
+            d, b, reload=False),
+        lambda s, p, e, m: CommonnessIndex.load(s, p).compact_tiered(
+            exclude_batch=e, max_levels=m),
+        lambda s, p, e: CommonnessIndex.load(s, p).compact(exclude_batch=e),
+        lambda s, p, e=None: _rows(
+            CommonnessIndex.load(s, p, exclude_batch=e).table()),
+    ),
+    Store(
+        "bloom", ("words",),
+        lambda s, p: BloomIndex.init(s, p, expected_items=1000, fpp=0.01),
+        lambda s, p, d, b: BloomIndex.load(s, p).append_batch(d, b),
+        lambda s, p, e, m: BloomIndex.load(s, p).compact_tiered(
+            exclude_batch=e, max_levels=m),
+        lambda s, p, e: BloomIndex.load(s, p).compact(exclude_batch=e),
+        lambda s, p, e=None: _rows(BloomIndex.load(s, p, exclude_batch=e)
+                                   .words),
+    ),
+    Store(
+        "ngram_lm", ("grams", "contexts", "vocab"),
+        lambda s, p: NgramLM.init(s, p, n=2),
+        lambda s, p, d, b: NgramLM.load(s, p).append_batch(
+            d, b, reload=False),
+        lambda s, p, e, m: NgramLM.load(s, p).compact_tiered(
+            exclude_batch=e, max_levels=m),
+        lambda s, p, e: NgramLM.load(s, p).compact(exclude_batch=e),
+        lambda s, p, e=None: (
+            lambda lm: (_rows(lm.grams), _rows(lm.contexts),
+                        _rows(lm._vocab))
+        )(NgramLM.load(s, p, exclude_batch=e)),
+    ),
+    Store(
+        "word_histogram", ("counts",),
+        lambda s, p: WordHistogram.init(s, p),
+        lambda s, p, d, b: WordHistogram.load(s, p).append_batch(
+            d, b, reload=False),
+        lambda s, p, e, m: WordHistogram.load(s, p).compact_tiered(
+            exclude_batch=e, max_levels=m),
+        lambda s, p, e: WordHistogram.load(s, p).compact(exclude_batch=e),
+        lambda s, p, e=None: _rows(
+            WordHistogram.load(s, p, exclude_batch=e).histogram()),
+    ),
+    Store(
+        "bm25", ("postings", "docfreq", "stats"),
+        lambda s, p: Bm25Index.init(s, p, bucket_partitions=8),
+        lambda s, p, d, b: Bm25Index.load(s, p).append_batch(
+            d, b, reload=False),
+        lambda s, p, e, m: Bm25Index.load(s, p).compact_tiered(
+            exclude_batch=e, max_levels=m),
+        lambda s, p, e: Bm25Index.load(s, p).compact(exclude_batch=e),
+        lambda s, p, e=None: (
+            lambda ix: (_rows(ix.postings), _rows(ix.docfreq),
+                        _rows(ix.stats.select("n_docs", "total_dl")))
+        )(Bm25Index.load(s, p, exclude_batch=e)),
+    ),
+    Store(
+        "fingerprint", ("fps", "sizes"),
+        lambda s, p: FingerprintIndex.init(s, p, k=3, w=4,
+                                           bucket_partitions=8),
+        lambda s, p, d, b: FingerprintIndex.load(s, p).append_batch(
+            d, b, reload=False),
+        lambda s, p, e, m: FingerprintIndex.load(s, p).compact_tiered(
+            exclude_batch=e, max_levels=m),
+        lambda s, p, e: FingerprintIndex.load(s, p).compact(
+            exclude_batch=e),
+        lambda s, p, e=None: (
+            lambda ix: (_rows(ix.fps.select("doc_id", "fp")),
+                        _rows(ix.sizes))
+        )(FingerprintIndex.load(s, p, exclude_batch=e)),
+    ),
+]
+
+IDS = [st.name for st in STORES]
+
+
+@pytest.mark.parametrize("store", STORES, ids=IDS)
+class TestTieredLossless:
+    def test_fold_levels_stack_lossless(self, spark, store, tmp_path):
+        """Two tiered folds: each replaces the young batches with one
+        new negative level; the consolidated view never changes and
+        the file layout is [levels...] only."""
+        path = str(tmp_path / store.name)
+        store.init(spark, path)  # init writes an (empty) batch=-1 level
+        for b in (0, 1, 2):
+            store.append(spark, path, _batch_docs(spark, b), b)
+        before = store.view(spark, path)
+        store.tiered(spark, path, None, 8)
+        for t in store.tables:
+            assert list_batch_ids(spark, f"{path}/{t}") == [-2, -1], t
+        assert store.view(spark, path) == before
+        for b in (3, 4):
+            store.append(spark, path, _batch_docs(spark, b), b)
+        after_appends = store.view(spark, path)
+        store.tiered(spark, path, None, 8)
+        for t in store.tables:
+            assert list_batch_ids(spark, f"{path}/{t}") == [-3, -2, -1], t
+        assert store.view(spark, path) == after_appends
+
+    def test_exclude_batch_carried_verbatim(self, spark, store, tmp_path):
+        """The in-flight batch rides through the fold as a rename; the
+        as-of (exclude) view equals a control that never saw it."""
+        path = str(tmp_path / store.name)
+        ctl = str(tmp_path / f"{store.name}_ctl")
+        store.init(spark, path)
+        store.init(spark, ctl)
+        for b in (0, 1):
+            store.append(spark, path, _batch_docs(spark, b), b)
+            store.append(spark, ctl, _batch_docs(spark, b), b)
+        store.append(spark, path, _batch_docs(spark, 2), 2)  # in-flight
+        store.tiered(spark, path, 2, 8)
+        for t in store.tables:
+            assert list_batch_ids(spark, f"{path}/{t}") == [-2, -1, 2], t
+        assert store.view(spark, path, 2) == store.view(spark, ctl)
+        # and the full view still includes the in-flight batch
+        store.append(spark, ctl, _batch_docs(spark, 2), 2)
+        assert store.view(spark, path) == store.view(spark, ctl)
+
+    def test_max_levels_falls_back_to_full(self, spark, store, tmp_path):
+        path = str(tmp_path / store.name)
+        store.init(spark, path)  # level -1 (init's empty fold partition)
+        store.append(spark, path, _batch_docs(spark, 0), 0)
+        store.tiered(spark, path, None, 2)  # 1 level < 2 -> fold to -2
+        for t in store.tables:
+            assert list_batch_ids(spark, f"{path}/{t}") == [-2, -1], t
+        store.append(spark, path, _batch_docs(spark, 1), 1)
+        before = store.view(spark, path)
+        store.tiered(spark, path, None, 2)  # at cap -> FULL compact
+        for t in store.tables:
+            assert list_batch_ids(spark, f"{path}/{t}") == [-1], t
+        assert store.view(spark, path) == before
+
+    def test_replay_after_fold_overwrites(self, spark, store, tmp_path):
+        """A replayed append AFTER folding lands in its own (fresh)
+        batch partition: levels are negative, so the replay can never
+        collide with or double into folded history."""
+        path = str(tmp_path / store.name)
+        store.init(spark, path)
+        store.append(spark, path, _batch_docs(spark, 0), 0)
+        store.append(spark, path, _batch_docs(spark, 1), 1)
+        store.tiered(spark, path, 1, 8)  # batch 1 in-flight
+        before = store.view(spark, path)
+        store.append(spark, path, _batch_docs(spark, 1), 1)  # replay
+        assert store.view(spark, path) == before
+
+    def test_noop_without_young_batches(self, spark, store, tmp_path):
+        path = str(tmp_path / store.name)
+        store.init(spark, path)
+        store.append(spark, path, _batch_docs(spark, 0), 0)
+        store.tiered(spark, path, None, 8)
+        before = store.view(spark, path)
+        ids_before = {t: list_batch_ids(spark, f"{path}/{t}")
+                      for t in store.tables}
+        store.tiered(spark, path, None, 8)  # nothing young -> noop
+        assert store.view(spark, path) == before
+        for t in store.tables:
+            assert list_batch_ids(spark, f"{path}/{t}") == ids_before[t]
+
+
+# -- fault injection ---------------------------------------------------------
+#
+# The injector wraps fsutil's four mutation primitives; a hook sees
+# (op, path) BEFORE the operation runs and may raise, simulating a
+# crash at that point.  staged_fold_swap/tiered_compact_tables resolve
+# these names from fsutil's module globals at call time, so patching
+# the module attributes intercepts every internal call.
+
+MUTATORS = ("delete_dir", "rename_or_raise", "touch", "delete_file")
+
+
+class _Injector:
+    def __init__(self, monkeypatch, hook):
+        self.calls = []
+        originals = {m: getattr(fsutil, m) for m in MUTATORS}
+
+        def make(op):
+            def wrapped(spark, *args, **kwargs):
+                self.calls.append((op, args[0] if args else None))
+                hook(op, args[0] if args else None)
+                return originals[op](spark, *args, **kwargs)
+            return wrapped
+
+        for m in MUTATORS:
+            monkeypatch.setattr(fsutil, m, make(m))
+
+
+class Boom(RuntimeError):
+    pass
+
+
+def _prepare(spark, store, path):
+    """An index with one existing level, one foldable young batch and
+    one in-flight batch - the state whose tiered fold exercises every
+    branch of the swap (fold write + level rename + exclude rename)."""
+    store.init(spark, path)
+    store.append(spark, path, _batch_docs(spark, 0), 0)
+    store.append(spark, path, _batch_docs(spark, 1), 1)
+    store.tiered(spark, path, None, 8)   # -> level -1
+    store.append(spark, path, _batch_docs(spark, 2), 2)   # young
+    store.append(spark, path, _batch_docs(spark, 3), 3)   # in-flight
+
+
+def _expected(spark, store, tmp_path):
+    """Reference views from a crash-free run on a control copy."""
+    ctl = str(tmp_path / f"{store.name}_expected")
+    _prepare(spark, store, ctl)
+    store.tiered(spark, ctl, 3, 8)
+    return (store.view(spark, ctl), store.view(spark, ctl, 3))
+
+
+def _verify_healed(spark, store, path, expected):
+    full_view, excl_view = expected
+    assert store.view(spark, path) == full_view
+    assert store.view(spark, path, 3) == excl_view
+    for t in store.tables:
+        ids = list_batch_ids(spark, f"{path}/{t}")
+        assert 3 in ids and all(i < 0 for i in ids if i != 3), (t, ids)
+
+
+class TestFaultInjectionExhaustive:
+    """FingerprintIndex (2 tables, hive sub-partitioning): crash at
+    EVERY mutation point of the tiered swap, retry, verify lossless.
+    This is precisely the class of bug round 11 shipped: the
+    pre-commit points leave renamed-in levels in the sibling, and the
+    old code's retry deleted them."""
+
+    def test_crash_everywhere_then_retry_heals(self, spark, tmp_path,
+                                               monkeypatch):
+        store = next(s for s in STORES if s.name == "fingerprint")
+        expected = _expected(spark, store, tmp_path)
+        golden = str(tmp_path / "golden")
+        _prepare(spark, store, golden)
+
+        # dry run on a copy to count mutation points
+        probe = str(tmp_path / "probe")
+        shutil.copytree(golden, probe)
+        with monkeypatch.context() as mp:
+            inj = _Injector(mp, lambda op, p: None)
+            store.tiered(spark, probe, 3, 8)
+        n_ops = len(inj.calls)
+        assert n_ops >= 12  # 2 tables x (clean+fold+renames+markers+swap)
+
+        for crash_at in range(1, n_ops + 1):
+            path = str(tmp_path / f"run{crash_at}")
+            shutil.copytree(golden, path)
+            state = {"n": 0}
+
+            def hook(op, p, crash_at=crash_at, state=state):
+                state["n"] += 1
+                if state["n"] == crash_at:
+                    raise Boom(f"injected at op {crash_at}: {op} {p}")
+
+            with monkeypatch.context() as mp:
+                _Injector(mp, hook)
+                with pytest.raises(Boom):
+                    store.tiered(spark, path, 3, 8)
+            # retry with no faults must fully heal
+            store.tiered(spark, path, 3, 8)
+            _verify_healed(spark, store, path, expected)
+
+
+@pytest.mark.parametrize("store", STORES, ids=IDS)
+class TestFaultInjectionTargeted:
+    """Every store: the two nastiest crash windows - (a) keeps renamed
+    into the sibling, commit marker NOT yet written (the round-11
+    data-loss repro), (b) committed but the live dir swap unfinished -
+    then a faultless retry must heal."""
+
+    def _crash_then_retry(self, spark, store, tmp_path, monkeypatch, hook):
+        path = str(tmp_path / f"{store.name}_t")
+        _prepare(spark, store, path)
+        expected = _expected(spark, store, tmp_path)
+        with monkeypatch.context() as mp:
+            _Injector(mp, hook)
+            with pytest.raises(Boom):
+                store.tiered(spark, path, 3, 8)
+        store.tiered(spark, path, 3, 8)
+        _verify_healed(spark, store, path, expected)
+
+    def test_crash_before_commit_marker(self, spark, store, tmp_path,
+                                        monkeypatch):
+        def hook(op, p):
+            if op == "touch" and p and p.endswith(fsutil.COMMIT_MARKER):
+                raise Boom("pre-commit crash")
+
+        self._crash_then_retry(spark, store, tmp_path, monkeypatch, hook)
+
+    def test_crash_after_commit_marker(self, spark, store, tmp_path,
+                                       monkeypatch):
+        state = {"committed": False}
+
+        def hook(op, p):
+            if op == "touch" and p and p.endswith(fsutil.COMMIT_MARKER):
+                state["committed"] = True
+            elif op == "delete_dir" and state["committed"]:
+                raise Boom("post-commit crash")
+
+        self._crash_then_retry(spark, store, tmp_path, monkeypatch, hook)
+
+    def test_load_self_heals_committed_swap(self, spark, store, tmp_path,
+                                            monkeypatch):
+        """A post-commit crash leaves the COMPLETE next state in the
+        sibling; a plain load (no compaction) must roll it forward."""
+        path = str(tmp_path / f"{store.name}_h")
+        _prepare(spark, store, path)
+        before_full = store.view(spark, path)
+        state = {"committed": False}
+
+        def hook(op, p):
+            if op == "touch" and p and p.endswith(fsutil.COMMIT_MARKER):
+                state["committed"] = True
+            elif op == "delete_dir" and state["committed"]:
+                raise Boom("post-commit crash")
+
+        with monkeypatch.context() as mp:
+            _Injector(mp, hook)
+            with pytest.raises(Boom):
+                store.tiered(spark, path, None, 8)
+        assert store.view(spark, path) == before_full  # load healed it
+
+
+class TestSwapPrimitives:
+    def test_rename_refuses_existing_destination(self, spark, tmp_path):
+        """Hadoop's local rename onto an existing dir NESTS the source
+        (the round-11 sizes/batch=-1/batch=-1 corruption); the checked
+        rename must refuse instead."""
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        df = spark.range(3)
+        df.write.parquet(a)
+        df.write.parquet(b)
+        with pytest.raises(IOError, match="destination already exists"):
+            fsutil.rename_or_raise(spark, a, b)
+        # both intact, no nesting
+        assert spark.read.parquet(a).count() == 3
+        assert spark.read.parquet(b).count() == 3
+
+    def test_staged_replace_rolls_forward(self, spark, tmp_path,
+                                          monkeypatch):
+        """MinHashIndex-style full-replacement swap: a post-commit
+        crash (live dir deleted, sibling complete) self-heals at the
+        next load."""
+        from kafka_cassandra_plugin_spark.operators.dedup_index import (
+            MinHashIndex,
+        )
+
+        path = str(tmp_path / "mh")
+        docs = _batch_docs(spark, 0, 8)
+        MinHashIndex.build(docs, n=3, num_hashes=8, bands=4).save(path)
+        idx = MinHashIndex.load(spark, path)
+        idx.add_batch(_batch_docs(spark, 1, 8))
+        before = sorted(map(tuple, MinHashIndex.load(spark, path)
+                            .bands.collect()))
+        state = {"committed": False}
+
+        def hook(op, p):
+            if op == "touch" and p and p.endswith(fsutil.COMMIT_MARKER):
+                state["committed"] = True
+            elif op == "delete_dir" and state["committed"]:
+                raise Boom("post-commit crash")
+
+        with monkeypatch.context() as mp:
+            _Injector(mp, hook)
+            with pytest.raises(Boom):
+                MinHashIndex.load(spark, path).compact()
+        healed = sorted(map(tuple, MinHashIndex.load(spark, path)
+                            .bands.collect()))
+        assert healed == before
