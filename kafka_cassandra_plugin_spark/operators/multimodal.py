@@ -113,7 +113,8 @@ def _codec_features(payload: bytes | None,
             rgb = np.repeat(px[:, :, :1], 3, axis=2)
         else:  # RGB / RGBA
             rgb = px[:, :, :3]
-        f = rgb.reshape(-1, 3).astype(np.float64) / 255.0
+        maxv = 65535.0 if px.dtype == np.uint16 else 255.0
+        f = rgb.reshape(-1, 3).astype(np.float64) / maxv
         luma = f @ np.array([0.299, 0.587, 0.114])
         hist = np.histogram(luma, bins=8, range=(0.0, 1.0))[0]
         out = [

@@ -27,8 +27,20 @@ in slices (kill + rerun continues).  Results print as one JSON line
 and are recorded in BASELINE.md as a measurement campaign, not a
 per-round gate (the scale_smoke.py policy).
 
+Round-12 addition: ``mode=tiered`` runs the SAME campaign with
+:meth:`compact_tiered` at each cadence instead of the full rewrite -
+the answer to round 10's one honest growth term (full-compact wall
+111 -> 176 s across the campaign, O(accumulated history)).  Tiered
+folds write only the young batches appended since the last fold, so
+their wall must stay FLAT across the campaign; ``max_levels=4`` makes
+the LAST cadence accrete past the level cap and fall back to the full
+merge, so one run shows both the flat tiered wall and the amortized
+major-compaction cost.  State lives in ``index_growth_tiered/`` so
+the two campaigns never share a workdir.
+
 Usage: python scripts/index_growth_probe.py \
-           [sf_dir=.scale/sf1] [n_appends=50] [batch_docs=100000]
+           [sf_dir=.scale/sf1] [n_appends=50] [batch_docs=100000] \
+           [mode=full|tiered]
 """
 
 from __future__ import annotations
@@ -105,7 +117,12 @@ def main() -> None:
         repo, ".scale", "sf1")
     n_appends = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     batch_docs = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
-    work = os.path.join(repo, ".scale", "index_growth")
+    mode = sys.argv[4] if len(sys.argv) > 4 else "full"
+    if mode not in ("full", "tiered"):
+        raise SystemExit(f"mode must be full|tiered, got {mode!r}")
+    work = os.path.join(
+        repo, ".scale",
+        "index_growth" if mode == "full" else "index_growth_tiered")
     state_path = os.path.join(work, "state.json")
     os.makedirs(work, exist_ok=True)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "").strip() or "32"
@@ -194,9 +211,27 @@ def main() -> None:
         bm = bm.append_batch(batch, i)
         row["bm25_s"] = round(time.perf_counter() - t0, 2)
         if (i + 1) % COMPACT_EVERY == 0:
-            t0 = time.perf_counter()
-            ci, fpi, bm = ci.compact(), fpi.compact(), bm.compact()
-            row["compact_s"] = round(time.perf_counter() - t0, 2)
+            if mode == "tiered":
+                # max_levels=4: cadences 1-4 fold young-only (wall must
+                # stay flat), the 5th accretes past the cap and falls
+                # back to the full merge - one campaign shows both
+                # terms of the LSM story
+                t0 = time.perf_counter()
+                ci = ci.compact_tiered(max_levels=4)
+                row["ci_compact_s"] = round(time.perf_counter() - t0, 2)
+                t0 = time.perf_counter()
+                fpi = fpi.compact_tiered(max_levels=4)
+                row["fpi_compact_s"] = round(time.perf_counter() - t0, 2)
+                t0 = time.perf_counter()
+                bm = bm.compact_tiered(max_levels=4)
+                row["bm25_compact_s"] = round(time.perf_counter() - t0, 2)
+                row["compact_s"] = round(
+                    row["ci_compact_s"] + row["fpi_compact_s"]
+                    + row["bm25_compact_s"], 2)
+            else:
+                t0 = time.perf_counter()
+                ci, fpi, bm = ci.compact(), fpi.compact(), bm.compact()
+                row["compact_s"] = round(time.perf_counter() - t0, 2)
         state["appends"].append(row)
         state["next"] = i + 1
         with open(state_path, "w") as f:

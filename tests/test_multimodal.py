@@ -189,7 +189,10 @@ class TestPngCodec:
         with pytest.raises(ValueError):
             mc.decode_png(good[: len(good) // 2])
 
-    def test_interlace_and_16bit_decline_clearly(self):
+    def test_malformed_streams_rejected(self):
+        """An IHDR that promises a layout the IDAT bytes don't carry
+        must fail loudly (these were NotImplementedError declines
+        before round 12 closed the format gaps)."""
         px = np.zeros((2, 2, 3), dtype=np.uint8)
         base = mc.encode_png(px)
 
@@ -199,10 +202,14 @@ class TestPngCodec:
             end = at + 12 + 13
             return base[:at] + _chunk(b"IHDR", ihdr) + base[end:]
 
-        with pytest.raises(NotImplementedError, match="interlace|Adam7"):
+        with pytest.raises(ValueError):  # Adam7 layout, flat-stream bytes
             mc.decode_png(rebuild_ihdr(8, 1))
-        with pytest.raises(NotImplementedError, match="depth|Pillow"):
+        with pytest.raises(ValueError):  # 16-bit layout, 8-bit payload
             mc.decode_png(rebuild_ihdr(16, 0))
+        with pytest.raises(ValueError, match="interlace"):
+            mc.decode_png(rebuild_ihdr(8, 2))
+        with pytest.raises(ValueError, match="illegal"):
+            mc.decode_png(rebuild_ihdr(4, 0))  # RGB at depth 4
 
     def test_sniff(self):
         png = mc.encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
@@ -211,6 +218,273 @@ class TestPngCodec:
         assert mc.sniff_kind(wav) == "wav"
         assert mc.sniff_kind(b"garbage!") is None
         assert mc.sniff_kind(None) is None
+
+
+# Adam7 pass lattice typed straight from RFC 2083 §2.6 (independently
+# of the decoder's table) so the fixtures are spec-derived
+_ADAM7_SPEC = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+               (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _build_adam7_png(pixels: np.ndarray, depth: int = 8) -> bytes:
+    """Hand-assemble an Adam7-interlaced PNG (filter 0 on every pass
+    row): each pass extracts its (start, step) lattice sub-image and
+    is emitted as an independently filtered stream, per the spec."""
+    h, w, c = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = bytearray()
+    for xs, ys, xstep, ystep in _ADAM7_SPEC:
+        sub = pixels[ys::ystep, xs::xstep]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            raw.append(0)
+            raw += (sub[y].astype(">u2").tobytes() if depth == 16
+                    else sub[y].tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1)
+    return (mc.PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+
+
+def _pack_bits_row(vals, depth: int) -> bytes:
+    """Pack sub-byte samples MSB-first with zero row padding (RFC 2083
+    §2.3) — independent of the decoder's unpack."""
+    bits = []
+    for v in vals:
+        bits.extend((int(v) >> i) & 1 for i in range(depth - 1, -1, -1))
+    while len(bits) % 8:
+        bits.append(0)
+    return bytes(
+        sum(b << (7 - i) for i, b in enumerate(bits[k:k + 8]))
+        for k in range(0, len(bits), 8)
+    )
+
+
+def _build_subbyte_png(indices: np.ndarray, depth: int, color: int,
+                       plte: bytes | None = None,
+                       trns: bytes | None = None) -> bytes:
+    """Grey (color 0) or palette (color 3) PNG at depth 1/2/4/8 with
+    filter-0 rows; optional PLTE/tRNS chunks in spec order."""
+    h, w = indices.shape
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw += (_pack_bits_row(indices[y], depth) if depth < 8
+                else bytes(int(v) for v in indices[y]))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    out = mc.PNG_SIG + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    if trns is not None:
+        out += _chunk(b"tRNS", trns)
+    return (out + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+
+
+class TestPng16Bit:
+    @pytest.mark.parametrize("channels", [1, 2, 3, 4])
+    def test_roundtrip(self, channels):
+        rng = np.random.RandomState(16 + channels)
+        px = rng.randint(0, 65536, size=(6, 5, channels), dtype=np.uint16)
+        back = mc.decode_png(mc.encode_png(px))
+        assert back.dtype == np.uint16
+        assert np.array_equal(back, px)
+
+    def test_sub_filter_hand_computed(self):
+        """Grey-16 row [256, 257] under the Sub filter: filtering is
+        BYTE-wise with the left neighbor bpp=2 back, so the filtered
+        bytes are 01 00 (left=0) then 01-01=00, 01-00=01."""
+        raw = b"\x01" + bytes([0x01, 0x00, 0x00, 0x01])
+        ihdr = struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0)
+        data = (mc.PNG_SIG + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", zlib.compress(raw))
+                + _chunk(b"IEND", b""))
+        assert np.array_equal(mc.decode_png(data),
+                              np.array([[[256], [257]]], dtype=np.uint16))
+
+    def test_all_five_filters_rgb16(self):
+        """Spec-derived filtered fixtures at bpp = 3 channels x 2
+        bytes: the decoder must defilter on BYTES before assembling
+        big-endian sample pairs."""
+        rng = np.random.RandomState(61)
+        px = rng.randint(0, 65536, size=(5, 4, 3), dtype=np.uint16)
+        h, w, c = px.shape
+        raw = bytearray()
+        prev = bytes(w * c * 2)
+        for y, f in zip(range(h), [0, 1, 2, 3, 4]):
+            recon = px[y].astype(">u2").tobytes()
+            raw.append(f)
+            raw += _spec_filter(f, recon, prev, c * 2)
+            prev = recon
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+        data = (mc.PNG_SIG + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + _chunk(b"IEND", b""))
+        assert np.array_equal(mc.decode_png(data), px)
+
+    def test_colorkey_trns_grey16(self):
+        px = np.array([[[7], [65535]], [[7], [0]]], dtype=np.uint16)
+        base = mc.encode_png(px)
+        # splice a tRNS chunk (key = 7) between IHDR and IDAT
+        at = base.index(b"IDAT") - 4
+        data = base[:at] + _chunk(b"tRNS", struct.pack(">H", 7)) + base[at:]
+        out = mc.decode_png(data)
+        assert out.dtype == np.uint16 and out.shape == (2, 2, 2)
+        assert np.array_equal(out[:, :, 0], px[:, :, 0])
+        assert np.array_equal(out[:, :, 1],
+                              [[0, 65535], [0, 65535]])
+
+    def test_resize_preserves_uint16(self):
+        px = np.full((8, 8, 3), 60000, dtype=np.uint16)
+        for method in ("nearest", "area"):
+            out = mc.resize_image(px, 4, 4, method=method)
+            assert out.dtype == np.uint16
+            assert np.array_equal(out, np.full((4, 4, 3), 60000,
+                                               dtype=np.uint16))
+
+    def test_features_normalized_by_dtype_max(self):
+        """A constant half-scale image must yield the same mean
+        feature at 8 and 16 bits — the kernel divides by the dtype
+        max, not a hardwired 255."""
+        px8 = np.full((4, 4, 3), 128, dtype=np.uint8)
+        px16 = np.full((4, 4, 3), 32896, dtype=np.uint16)  # 128*257
+        f8 = M._codec_features(mc.encode_png(px8))
+        f16 = M._codec_features(mc.encode_png(px16))
+        assert f8 is not None and f16 is not None
+        assert abs(f8[0] - 128 / 255) < 1e-12
+        assert abs(f16[0] - f8[0]) < 1e-12
+
+
+class TestPngPalette:
+    def test_palette_8bit_lookup(self):
+        plte = bytes([10, 20, 30, 40, 50, 60, 200, 0, 100])
+        idx = np.array([[0, 1], [2, 1]], dtype=np.uint8)
+        out = mc.decode_png(_build_subbyte_png(idx, 8, 3, plte=plte))
+        expect = np.array(
+            [[[10, 20, 30], [40, 50, 60]],
+             [[200, 0, 100], [40, 50, 60]]], dtype=np.uint8)
+        assert np.array_equal(out, expect)
+
+    def test_palette_2bit_with_trns_alpha(self):
+        plte = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,  9, 9, 9])
+        idx = np.array([[0, 1, 2, 3, 1]], dtype=np.uint8)
+        data = _build_subbyte_png(idx, 2, 3, plte=plte,
+                                  trns=bytes([255, 128]))
+        out = mc.decode_png(data)
+        assert out.shape == (1, 5, 4)
+        assert np.array_equal(
+            out[0, :, 3], [255, 128, 255, 255, 128])  # short tRNS -> 255
+        assert np.array_equal(out[0, 2, :3], [0, 0, 255])
+
+    def test_palette_1bit_and_4bit(self):
+        plte = bytes(range(48))  # 16 entries
+        idx4 = np.array([[0, 15, 7, 8, 1]], dtype=np.uint8)
+        out4 = mc.decode_png(_build_subbyte_png(idx4, 4, 3, plte=plte))
+        assert np.array_equal(out4[0, 1], [45, 46, 47])
+        idx1 = np.array([[1, 0, 1, 1, 0, 0, 1, 0, 1]], dtype=np.uint8)
+        out1 = mc.decode_png(_build_subbyte_png(idx1, 1, 3,
+                                                plte=plte[:6]))
+        assert np.array_equal(out1[0, :, 0], idx1[0] * 3)
+
+    def test_missing_plte_and_bad_index(self):
+        idx = np.array([[0, 3]], dtype=np.uint8)
+        with pytest.raises(ValueError, match="PLTE"):
+            mc.decode_png(_build_subbyte_png(idx, 8, 3, plte=None))
+        with pytest.raises(ValueError, match="out of range"):
+            mc.decode_png(_build_subbyte_png(idx, 8, 3,
+                                             plte=bytes(9)))  # 3 entries
+
+
+class TestPngSubByteGrey:
+    def test_1bit_scaled_to_full_range(self):
+        g = np.array([[1, 0, 1, 0, 1, 0, 1, 0, 1, 0]], dtype=np.uint8)
+        out = mc.decode_png(_build_subbyte_png(g, 1, 0))
+        assert out.shape == (1, 10, 1)
+        assert np.array_equal(out[0, :, 0], g[0] * 255)
+
+    def test_2bit_and_4bit_scaling(self):
+        g2 = np.array([[0, 1, 2, 3]], dtype=np.uint8)
+        out2 = mc.decode_png(_build_subbyte_png(g2, 2, 0))
+        assert np.array_equal(out2[0, :, 0], [0, 85, 170, 255])
+        g4 = np.array([[0, 5, 15], [7, 8, 1]], dtype=np.uint8)
+        out4 = mc.decode_png(_build_subbyte_png(g4, 4, 0))
+        assert np.array_equal(out4[:, :, 0], g4 * 17)
+
+    def test_colorkey_trns_subbyte_uses_native_key(self):
+        """The tRNS key compares against the NATIVE 2-bit sample (2),
+        not the scaled 8-bit value (170)."""
+        g = np.array([[0, 2, 3, 2]], dtype=np.uint8)
+        data = _build_subbyte_png(g, 2, 0, trns=struct.pack(">H", 2))
+        out = mc.decode_png(data)
+        assert out.shape == (1, 4, 2)
+        assert np.array_equal(out[0, :, 0], [0, 170, 255, 170])
+        assert np.array_equal(out[0, :, 1], [255, 0, 255, 0])
+
+    def test_colorkey_trns_rgb8(self):
+        px = np.array([[[1, 2, 3], [9, 9, 9]]], dtype=np.uint8)
+        base = mc.encode_png(px)
+        at = base.index(b"IDAT") - 4
+        data = (base[:at]
+                + _chunk(b"tRNS", struct.pack(">HHH", 1, 2, 3))
+                + base[at:])
+        out = mc.decode_png(data)
+        assert out.shape == (1, 2, 4)
+        assert np.array_equal(out[0, :, 3], [0, 255])
+
+
+class TestPngAdam7:
+    def test_canonical_pass_map(self):
+        """The textbook 8x8 Adam7 grid: every pixel of pass p carries
+        value p, so the decoded image IS the spec's pass-number
+        diagram (RFC 2083 §2.6)."""
+        expect = np.array([
+            [1, 6, 4, 6, 2, 6, 4, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [5, 6, 5, 6, 5, 6, 5, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [3, 6, 4, 6, 3, 6, 4, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [5, 6, 5, 6, 5, 6, 5, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7]], dtype=np.uint8)[:, :, None]
+        out = mc.decode_png(_build_adam7_png(expect))
+        assert np.array_equal(out, expect)
+
+    @pytest.mark.parametrize("shape", [(13, 9, 3), (5, 3, 1), (3, 5, 4),
+                                       (1, 1, 3), (2, 2, 2)])
+    def test_random_content_odd_dims(self, shape):
+        """Non-multiple-of-8 dims exercise partial and EMPTY passes
+        (e.g. height 3 has no pass-3 rows)."""
+        rng = np.random.RandomState(sum(shape))
+        px = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(mc.decode_png(_build_adam7_png(px)), px)
+
+    def test_adam7_16bit(self):
+        rng = np.random.RandomState(77)
+        px = rng.randint(0, 65536, size=(5, 6, 3), dtype=np.uint16)
+        out = mc.decode_png(_build_adam7_png(px, depth=16))
+        assert out.dtype == np.uint16
+        assert np.array_equal(out, px)
+
+    def test_trailing_bytes_rejected(self):
+        """A junk byte after the last pass must fail loudly, not be
+        silently ignored (it means the pass accounting is wrong)."""
+        px = np.zeros((4, 4, 1), dtype=np.uint8)
+        raw = bytearray()
+        for xs, ys, xstep, ystep in _ADAM7_SPEC:
+            sub = px[ys::ystep, xs::xstep]
+            if sub.size == 0:
+                continue
+            for y in range(sub.shape[0]):
+                raw.append(0)
+                raw += sub[y].tobytes()
+        raw.append(0)  # the junk byte
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+        data = (mc.PNG_SIG + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + _chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="consumed"):
+            mc.decode_png(data)
 
 
 class TestWavCodec:
