@@ -1040,6 +1040,29 @@ def _depth_ops(sf_dir):
         )
         return _state["bm25_idx"].topk(queries, k=10)
 
+    def bm25_maxdf(spark):
+        # round-12: the GOVERNED serving shape (verdict #4) - same
+        # index and query probe set as bm25_topk, with the
+        # max_df_ratio stopword governor active (drops query terms
+        # whose df exceeds 30% of the corpus BEFORE the postings join,
+        # the knob that bounds the candidate stream when a query
+        # contains corpus-stopword terms).  Recorded as its own
+        # anchored row so the governed path regression-gates every
+        # round: the synthetic corpus's 31-word natural vocabulary
+        # makes every non-marker term a stopword by df, so this row
+        # exercises the governor's pruning, not a no-op branch.
+        bm25(spark)  # ensure the shared index is built + persisted
+        toks = F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            lambda t: t != F.lit(""),
+        )
+        d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+        queries = d.filter(F.col("doc_id") % 97 == 3).select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(toks, 1, 6), " ").alias("text"),
+        )
+        return _state["bm25_idx"].topk(queries, k=10, max_df_ratio=0.3)
+
     def dsir(spark):
         from kafka_cassandra_plugin_spark.operators.selection import (
             dsir_select,
@@ -1314,7 +1337,8 @@ def _depth_ops(sf_dir):
             "dedup_semantic": semantic, "chunk_documents": chunk,
             "bloom_filter_new": bloom_probe, "lm_perplexity": lm_ppl,
             "dedup_substring": substring_spans, "dedup_lines": line_dedup,
-            "bm25_topk": bm25, "dsir_select": dsir,
+            "bm25_topk": bm25, "bm25_topk[maxdf]": bm25_maxdf,
+            "dsir_select": dsir,
             "quality_classifier": quality_clf, "langid": lang_identify,
             "fingerprint_winnow": fingerprint,
             "bpe_encode": bpe_encode, "gopher_quality": gopher,

@@ -236,11 +236,15 @@ class MinHashIndex:
         return survivors.join(F.broadcast(corpus_dupes), id_col, "left_anti")
 
     def add_batch(self, accepted: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id") -> "MinHashIndex":
+                  id_col: str = "doc_id",
+                  reload: bool = True) -> "MinHashIndex | None":
         """Index the accepted rows and append them to the stored index
         (disk-backed handles only): tomorrow's batches then dedup against
         corpus + today.  Appends are new parquet files in the existing
-        partition layout - no rewrite of the corpus-scale tables."""
+        partition layout - no rewrite of the corpus-scale tables.
+        ``reload=False`` is write-only (returns None): for sink callers
+        that load fresh at the next batch anyway, it skips the reload's
+        meta job - the Bm25Index/NgramLM ``append_batch`` convention."""
         if self.path is None:
             raise ValueError("add_batch requires a saved index (use save())")
         exploded = exploded_shingles(
@@ -252,6 +256,8 @@ class MinHashIndex:
         exploded.groupBy("id").agg(
             F.collect_set("sh").alias("sh")
         ).write.mode("append").parquet(f"{self.path}/shingles")
+        if not reload:
+            return None
         return MinHashIndex.load(self.bands.sparkSession, self.path)
 
     def compact(self, target_file_mb: int = 256) -> "MinHashIndex":

@@ -318,8 +318,23 @@ def curate_annotated(
     gated = ann.filter(F.col("__gate").isNull())
     join_rejects = []
 
-    # stage 2b': LM perplexity band (join-based quality gate - model
-    # tables broadcast, reject set batch-bounded)
+    # Stages 2b/2b'''/2c/2d (LM band, learned quality, benchmark
+    # contamination, cross-run Bloom) are all ROW-LOCAL verdicts
+    # against STATIC references: a row's verdict never depends on
+    # which other rows an earlier join gate removed.  So all four
+    # reject sets are computed from the SAME gated input and combined
+    # in ONE wave, instead of the pre-round-12 form that anti-joined
+    # `gated` between stages: that chain put 4 sequential broadcast
+    # waves on the plan's critical path, and at micro-batch scale the
+    # per-wave fixed job cost (not row work) was the dominant term of
+    # the CurationSink's ~14 s batch floor.  The rejected SET is
+    # identical (row-local verdicts over a superset can only re-find
+    # the same rows), and reason ATTRIBUTION keeps the original stage
+    # priority via min_by(__prio) below, so funnel counts are
+    # bit-identical to the sequential form.
+
+    # stage 2b': LM perplexity band (model tables broadcast, reject
+    # set batch-bounded)
     if lm is not None and (max_ppl is not None or min_ppl > 0.0):
         hi = float("inf") if max_ppl is None else max_ppl
         good = lm.perplexity_gate(
@@ -330,11 +345,10 @@ def curate_annotated(
         join_rejects.append(bad.select(
             F.col(id_col).alias("__rid"),
             F.lit("ppl_out_of_band").alias("__reason"),
+            F.lit(0).alias("__prio"),
         ))
-        gated = gated.join(F.broadcast(bad), id_col, "left_anti")
 
-    # stage 2b''': learned quality gate (broadcast weight join; reject
-    # set batch-bounded)
+    # stage 2b''': learned quality gate (broadcast weight join)
     if clf is not None:
         scored = clf.score(gated.select(id_col, text_col), text_col, id_col)
         bad = scored.filter(
@@ -343,8 +357,8 @@ def curate_annotated(
         join_rejects.append(bad.select(
             F.col(id_col).alias("__rid"),
             F.lit("clf_low_quality").alias("__reason"),
+            F.lit(1).alias("__prio"),
         ))
-        gated = gated.join(F.broadcast(bad), id_col, "left_anti")
 
     # stage 2c: benchmark contamination (exact n-gram collision against
     # the broadcast benchmark gram set; batch-side map-only)
@@ -361,8 +375,8 @@ def curate_annotated(
         join_rejects.append(dirty.select(
             F.col(id_col).alias("__rid"),
             F.lit("contaminated").alias("__reason"),
+            F.lit(2).alias("__prio"),
         ))
-        gated = gated.join(F.broadcast(dirty), id_col, "left_anti")
 
     # stage 2d: cross-run exact dedup against the accepted-corpus Bloom
     # filter (content-hash membership; no previously-accepted duplicate
@@ -379,8 +393,26 @@ def curate_annotated(
         join_rejects.append(seen_ids.select(
             F.col(id_col).alias("__rid"),
             F.lit("seen_before").alias("__reason"),
+            F.lit(3).alias("__prio"),
         ))
-        gated = gated.join(F.broadcast(seen_ids), id_col, "left_anti")
+
+    if join_rejects:
+        jr = join_rejects[0]
+        for extra in join_rejects[1:]:
+            jr = jr.unionByName(extra)
+        # one eager materialization of the combined (batch-bounded) id
+        # set: reused by BOTH the survivor anti-join and the final
+        # attribution join, so no gate is ever computed twice
+        jr = (
+            jr.groupBy("__rid")
+            .agg(F.min_by("__reason", "__prio").alias("__reason"))
+            .localCheckpoint()
+        )
+        gated = gated.join(
+            F.broadcast(jr.select(F.col("__rid").alias(id_col))),
+            id_col, "left_anti",
+        )
+        join_rejects = [jr]
 
     # stage 3: exact dedup among gated rows (min-id survivor)
     rn = F.row_number().over(

@@ -181,7 +181,8 @@ class PqCodebook:
     def adc_shortlist(self, codes: DataFrame, queries: DataFrame,
                       r: int = 100, id_col: str = "vec_id",
                       vec_col: str = "embedding",
-                      chunks: int = 16) -> DataFrame:
+                      chunks: int = 16,
+                      rank_rounding: int | None = None) -> DataFrame:
         """Top-``r`` candidates per query from codes alone: broadcast the
         (small) query set against the codes stream, then score each
         group with the query's LUT built once.
@@ -197,7 +198,15 @@ class PqCodebook:
         query sees at all with IVF probes (:func:`ivf_pq_topk`), the
         composition meant for corpora beyond a full-scan budget.
         ``chunks=1`` restores the single-group path (what
-        :func:`ivf_pq_topk` uses - its groups are already bounded)."""
+        :func:`ivf_pq_topk` uses - its groups are already bounded).
+
+        ``rank_rounding`` (oracle protocol, default off): take the
+        top-``r`` cut on ``round(adc_score, rank_rounding)`` with
+        neighbor_id tie-break instead of the raw double - the BM25
+        oracle's convention, which makes the shortlist MEMBERSHIP
+        reproducible across engines whose floating sums differ in the
+        last ulps (numpy einsum here, SQL list folds in DuckDB).  The
+        reported ``adc_score`` stays raw either way."""
         q = queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         )
@@ -205,14 +214,18 @@ class PqCodebook:
             F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
         )
         if chunks <= 1:
-            return self._adc_topr(paired, r)
+            return self._adc_topr(paired, r, rank_rounding=rank_rounding)
         paired = paired.withColumn(
             "__chunk",
             F.pmod(F.xxhash64(F.col("neighbor_id").cast("string")), F.lit(chunks)),
         )
-        per_chunk = self._adc_topr(paired, r, group_cols=("query_id", "__chunk"))
+        per_chunk = self._adc_topr(paired, r,
+                                   group_cols=("query_id", "__chunk"),
+                                   rank_rounding=rank_rounding)
+        key = (F.round(F.col("adc_score"), rank_rounding)
+               if rank_rounding is not None else F.col("adc_score"))
         w = Window.partitionBy("query_id").orderBy(
-            F.col("adc_score").desc(), F.col("neighbor_id")
+            key.desc(), F.col("neighbor_id")
         )
         return (
             per_chunk.withColumn("__rn", F.row_number().over(w))
@@ -221,12 +234,15 @@ class PqCodebook:
         )
 
     def _adc_topr(self, paired: DataFrame, r: int,
-                  group_cols: tuple[str, ...] = ("query_id",)) -> DataFrame:
+                  group_cols: tuple[str, ...] = ("query_id",),
+                  rank_rounding: int | None = None) -> DataFrame:
         """Top-``r`` per query over a (query_id, q_vec, neighbor_id,
         codes) candidate stream: one LUT per query group, m lookups +
-        sum per candidate, deterministic (score desc, id asc) cut.
-        Output id types mirror the input's (string/int/... ids all
-        work, like the relational search paths)."""
+        sum per candidate, deterministic (score desc, id asc) cut -
+        on the rounded score when ``rank_rounding`` is set (see
+        :meth:`adc_shortlist`).  Output id types mirror the input's
+        (string/int/... ids all work, like the relational search
+        paths)."""
         cents = self.centroids
         m, dim = self.m, self.dim
         qt = paired.schema["query_id"].dataType.simpleString()
@@ -248,9 +264,11 @@ class PqCodebook:
                     "adc_score": scores,
                 }
             )
-            return out.sort_values(
-                ["adc_score", "neighbor_id"], ascending=[False, True]
-            ).head(r)
+            key = (out["adc_score"].round(rank_rounding)
+                   if rank_rounding is not None else out["adc_score"])
+            return out.assign(__key=key).sort_values(
+                ["__key", "neighbor_id"], ascending=[False, True]
+            ).head(r).drop(columns="__key")
 
         return paired.groupBy(*group_cols).applyInPandas(score, out_schema)
 

@@ -1723,6 +1723,135 @@ def sim_ivf_oracle(spark, sf_dir, con, nlist: int = 16, seed: int = 42,
     return df, sql
 
 
+PQ_TOPK_SQL = r"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding FROM embeddings WHERE {qpred}
+    ),
+    qn AS (
+      SELECT query_id,
+             list_transform(embedding,
+                            x -> cast(x AS double)
+                                 / sqrt(list_reduce(
+                                     list_transform(embedding,
+                                                    y -> cast(y AS double) * y),
+                                     (a, b) -> a + b))) AS nv
+      FROM q
+    ),
+    lut AS (
+      SELECT qn.query_id, cb.subspace, cb.code,
+             list_reduce(
+               list_transform(range(1, {subdim} + 1),
+                              i -> qn.nv[cb.subspace * {subdim} + i]
+                                   * cb.centroid[i]),
+               (a, b) -> a + b) AS ip
+      FROM qn CROSS JOIN pq_codebook cb
+    ),
+    ce AS (
+      SELECT c.vec_id AS neighbor_id, s.subspace,
+             c.codes[s.subspace + 1] AS code
+      FROM pq_codes c
+      CROSS JOIN (SELECT unnest(range(0, {m})) AS subspace) s
+    ),
+    adc AS (
+      SELECT l.query_id, ce.neighbor_id, sum(l.ip) AS adc_score
+      FROM ce JOIN lut l ON l.subspace = ce.subspace AND l.code = ce.code
+      WHERE ce.neighbor_id <> l.query_id
+      GROUP BY l.query_id, ce.neighbor_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(adc_score, 6) DESC,
+                                         neighbor_id) AS srn
+      FROM adc
+    ),
+    scored AS (
+      SELECT s.query_id, s.neighbor_id, {cos} AS score
+      FROM short s
+      JOIN (SELECT vec_id, embedding AS qv FROM embeddings) qe
+        ON qe.vec_id = s.query_id
+      JOIN (SELECT vec_id, embedding AS cv FROM embeddings) e
+        ON e.vec_id = s.neighbor_id
+      WHERE s.srn <= {r}
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score, rank
+    FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+""".replace("{cos}", _COS_SQL)
+
+
+def sim_pq_oracle(spark, sf_dir, con, m: int = 8, n_codes: int = 64,
+                  shortlist: int = 100, k: int = 10, seed: int = 42):
+    """The D5 (PQ/ADC shortlist-then-rerank) oracle pair: ``(spark_df,
+    sql)`` after registering the learned codebook (``pq_codebook``) and
+    the corpus codes (``pq_codes``) as DuckDB literal tables - round-12
+    verdict #5, converting the last recall-only ANN tier to
+    value-verified.
+
+    Responsibility split, same as :func:`sim_ivf_oracle`: the Lloyd
+    codebook fit and the encode argmin are NOT SQL-expressible
+    (iterative fit; BLAS ordering) - they stay recall-gated
+    (tests/test_quantization.py) - but everything downstream IS: DuckDB
+    independently re-derives the per-query LUT (normalized-query
+    subvector x centroid inner products from the literal codebook), the
+    ADC score of every candidate (m lookups + sum, self-excluded), the
+    top-``shortlist`` cut, the exact fold-cosine re-rank over the raw
+    embeddings, and the deterministic top-k.  A LUT indexing bug, a
+    dropped candidate, a chunked-merge fault in
+    :meth:`~..operators.quantization.PqCodebook.adc_shortlist` or a
+    tie-break drift all hash-mismatch.
+
+    Two flake classes are closed by construction: the corpus codes are
+    materialized ONCE and fed to both engines (encode reruns could
+    tie-break argmin differently), and the shortlist cut ranks on
+    ``round(adc_score, 6)`` in BOTH engines (the BM25 oracle's
+    protocol) because numpy's pairwise sums and DuckDB's fold sums
+    differ in the last ulps.  The final reported score is the exact
+    interpreted cosine, bit-identical across engines by the
+    sim_topk_bruteforce precedent."""
+    from ..operators.quantization import PqCodebook, _exact_rerank
+
+    qpred = "vec_id % 10 = 0"
+    e = Catalog(spark, sf_dir).embeddings
+    dim = len(e.select("embedding").first()[0])
+    queries = e.filter(F.expr(qpred))
+    cb = PqCodebook.fit(e, dim, m=m, k=n_codes, seed=seed)
+    import pandas as pd
+
+    con.register("pq_codebook", pd.DataFrame({
+        "subspace": [j for j in range(cb.m) for _ in range(cb.k)],
+        "code": [c for _ in range(cb.m) for c in range(cb.k)],
+        "centroid": [[float(x) for x in cb.centroids[j, c]]
+                     for j in range(cb.m) for c in range(cb.k)],
+    }))
+    codes_pd = cb.encode(e).toPandas()
+    codes_pd["codes"] = codes_pd["codes"].apply(
+        lambda a: [int(x) for x in a])
+    con.register("pq_codes", codes_pd.rename(columns={"id": "vec_id"}))
+    codes_df = spark.createDataFrame(codes_pd)
+    short = cb.adc_shortlist(codes_df, queries, r=shortlist,
+                             rank_rounding=6)
+    c = e.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").alias("c_vec"))
+    qn = queries.select(F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("q_vec"))
+    df = _exact_rerank(short, c, qn, k).orderBy("query_id", "rank")
+    sql = (
+        PQ_TOPK_SQL.replace("{qpred}", qpred)
+        .replace("{subdim}", str(dim // m))
+        .replace("{m}", str(int(m)))
+        .replace("{r}", str(int(shortlist)))
+        .replace("{k}", str(int(k)))
+    )
+    return df, sql
+
+
 def chunk_docs(spark, sf_dir):
     """Token-window document chunking (SURVEY §2.5 D17): 40-token
     windows with 8 tokens of overlap (stride 32) over documents — the

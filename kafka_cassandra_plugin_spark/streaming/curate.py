@@ -439,9 +439,11 @@ class CurationSink:
             .partitionBy("lang", "split")
             .parquet(f"{self.out_path}/ingest_batch={batch_id}")
         )
-        index = index.add_batch(
+        # write-only: the sink loads fresh at the next batch anyway,
+        # so the reload's meta job is pure per-batch overhead
+        index.add_batch(
             accepted.select(self.id_col, self.text_col),
-            text_col=self.text_col, id_col=self.id_col,
+            text_col=self.text_col, id_col=self.id_col, reload=False,
         )
         if bloom is not None:
             # O(batch) overwrite of THIS batch's word partition -
@@ -502,7 +504,8 @@ class CurationSink:
             )
         self._adds += 1
         if self.compact_every and self._adds % self.compact_every == 0:
-            index.compact(self.compact_target_mb)
+            MinHashIndex.load(spark, self.index_path).compact(
+                self.compact_target_mb)
             self.compact_accepted(spark, before_batch=batch_id)
         counts = {
             row["stage"]: row["rows"]

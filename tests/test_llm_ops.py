@@ -173,6 +173,31 @@ class TestIvfTopkOracle:
         assert n == 10 * n_queries > 0
 
 
+class TestPqTopkOracle:
+    """D5's pytest DuckDB oracle (round-12 verdict #5): everything
+    downstream of the recall-gated codebook fit + encode - the
+    per-query LUT, ADC scoring of every candidate, the shortlist cut,
+    the exact-cosine re-rank and the deterministic top-k - is
+    VALUE-verified at sf0.01 on exported codebook/codes literal
+    tables (the sim_ivf_oracle precedent).  The PQ tier was the last
+    ANN path gated on recall alone."""
+
+    def test_oracle_match_sf001(self, spark, duck, oracle_sf_dir):
+        from kafka_cassandra_plugin_spark import oracle
+        from kafka_cassandra_plugin_spark.queries.llm_ops import (
+            sim_pq_oracle,
+        )
+
+        df, sql = sim_pq_oracle(spark, oracle_sf_dir, duck)
+        n = oracle.compare(df, duck, sql, name="sim_pq_adc")
+        n_queries = duck.execute(
+            "SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0"
+        ).fetchone()[0]
+        # the shortlist (100) always holds >= k=10 candidates on this
+        # corpus, so the row count is exact
+        assert n == 10 * n_queries > 0
+
+
 class TestIvfIndexPersistence:
     """IvfIndex.save/load: the disk-backed index is parquet partitioned
     by list_id, probes statically prune to the probed partitions, and a
