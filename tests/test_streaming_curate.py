@@ -461,6 +461,86 @@ class TestSeenBloomMaintenance:
         )
         assert got == want
 
+    def test_tiered_compaction_same_results(self, spark, corpus, docs,
+                                            tmp_path):
+        """compact_mode='tiered' (round-12: the sink-wired LSM fold)
+        must be decision-identical to the full-rewrite mode: same
+        accepted rows, same funnel totals, and the folded stores still
+        probe correctly (re-ingested accepted content rejected as
+        seen_before AFTER tiered folds of the bloom words)."""
+        b1, b2 = make_batches(docs)
+        runs = {}
+        for mode in ("full", "tiered"):
+            sink = fresh_sink(
+                spark, corpus, tmp_path / mode,
+                seen_bloom_path=str(tmp_path / mode / "bloom"),
+                bloom_expected_items=10_000,
+                commonness_path=str(tmp_path / mode / "cmn"),
+                compact_every=2, compact_mode=mode,
+                compact_max_levels=2,
+            )
+            sink(b1, 0)
+            sink(b2, 1)
+            # re-send batch-1 accepted content under fresh ids: the
+            # probe now reads the TIERED level layout (one fold ran
+            # before batch 1's exclusion window)
+            resend = b1.limit(4).select(
+                (F.col("doc_id") + 9_100_000).alias("doc_id"), "text"
+            )
+            sink(resend, 2)
+            sink(b2.limit(2).select(
+                (F.col("doc_id") + 9_200_000).alias("doc_id"), "text"
+            ), 3)  # _adds=4: a second fold cadence (level 2 at cap)
+            runs[mode] = (
+                sorted((r.doc_id, r.text) for r in accepted_dataset(
+                    spark, sink.out_path).collect()),
+                sink.funnel_totals,
+            )
+        assert runs["tiered"] == runs["full"]
+        # and the tiered run actually rejected the re-sent content
+        assert runs["tiered"][1].get("seen_before", 0) > 0
+
+    def test_replay_after_failed_attempt_with_tiered_compaction(
+        self, spark, corpus, docs, tmp_path, monkeypatch
+    ):
+        """The exactly-once edge of
+        test_replay_after_failed_attempt_with_compaction, under the
+        TIERED fold: the replay's pre-batch compact_tiered must carry
+        the uncommitted ``words/batch=1`` through the swap verbatim
+        (exclude_batch), never fold it into a level - otherwise the
+        replay rejects its own rows as seen_before."""
+        from kafka_cassandra_plugin_spark.streaming import curate as C
+
+        b1, b2 = make_batches(docs)
+
+        control = self._sink(spark, corpus, tmp_path / "ctl",
+                             compact_every=2)
+        control(b1, 0)
+        control(b2, 1)
+        want = sorted(
+            (r.doc_id, r.text)
+            for r in accepted_dataset(spark, control.out_path).collect()
+        )
+
+        sink = self._sink(spark, corpus, tmp_path / "run",
+                          compact_every=2, compact_mode="tiered")
+        sink(b1, 0)
+        real_funnel = C.curation_funnel
+        monkeypatch.setattr(
+            C, "curation_funnel",
+            lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("boom")),
+        )
+        with pytest.raises(RuntimeError, match="boom"):
+            sink(b2, 1)
+        monkeypatch.setattr(C, "curation_funnel", real_funnel)
+        assert sink._adds % 2 == 0  # the replay WILL trigger the fold
+        sink(b2, 1)  # foreachBatch replay
+        got = sorted(
+            (r.doc_id, r.text)
+            for r in accepted_dataset(spark, sink.out_path).collect()
+        )
+        assert got == want
+
     def test_lm_band_gates_ingest_and_accumulates(
         self, spark, corpus, tmp_path
     ):
