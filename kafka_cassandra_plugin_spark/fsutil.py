@@ -321,21 +321,23 @@ def tiered_compact_tables(spark: SparkSession, path: str, tables,
     from pyspark.sql import functions as F
 
     excl = None if exclude_batch is None else int(exclude_batch)
-    states: list[tuple[list[int], list[int]]] = []
+    states: list[tuple[list[int], list[int], bool]] = []
     for name, _schema, _pcols, _fold in tables:
         tpath = f"{path}/{name}"
         recover_fold_swap(spark, tpath)
         ids = list_batch_ids(spark, tpath)
         youngs = [i for i in ids if i >= 0 and i != excl]
         levels = [i for i in ids if i < 0]
-        states.append((youngs, levels))
-    if any(len(levels) >= int(max_levels) for _, levels in states):
+        # record the excluded batch's presence NOW (one listing per
+        # table) instead of re-globbing at swap time
+        states.append((youngs, levels, excl is not None and excl in ids))
+    if any(len(levels) >= int(max_levels) for _, levels, _ in states):
         return "full_needed"
-    if all(not youngs for youngs, _ in states):
+    if all(not youngs for youngs, _, _ in states):
         return "noop"
-    for (name, schema, partition_cols, fold), (youngs, levels) in zip(
-        tables, states
-    ):
+    for (name, schema, partition_cols, fold), (
+        youngs, levels, excl_present
+    ) in zip(tables, states):
         if not youngs:
             continue
         tpath = f"{path}/{name}"
@@ -356,7 +358,7 @@ def tiered_compact_tables(spark: SparkSession, path: str, tables,
             w.parquet(dest)
 
         keeps = list(levels)
-        if excl is not None and excl in list_batch_ids(spark, tpath):
+        if excl_present:
             keeps.append(excl)
         staged_fold_swap(spark, tpath, new_level, _write, keeps)
     return "tiered"

@@ -206,7 +206,13 @@ class PqCodebook:
         oracle's convention, which makes the shortlist MEMBERSHIP
         reproducible across engines whose floating sums differ in the
         last ulps (numpy einsum here, SQL list folds in DuckDB).  The
-        reported ``adc_score`` stays raw either way."""
+        reported ``adc_score`` stays raw either way.  Both Spark-side
+        cuts (per-chunk and merge) use numpy's half-even rounding;
+        DuckDB's round() is half-away-from-zero, so the cross-engine
+        key can differ only for a sum whose double is the exact
+        nearest representation of a half-decimal at the rounding digit
+        - the same measure-zero class the BM25 oracle's round(score,6)
+        protocol accepts."""
         q = queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         )
@@ -222,8 +228,23 @@ class PqCodebook:
         per_chunk = self._adc_topr(paired, r,
                                    group_cols=("query_id", "__chunk"),
                                    rank_rounding=rank_rounding)
-        key = (F.round(F.col("adc_score"), rank_rounding)
-               if rank_rounding is not None else F.col("adc_score"))
+        if rank_rounding is not None:
+            # the merge cut MUST use the same rounding implementation
+            # as the per-chunk pandas cut (numpy half-even on the
+            # binary double) - mixing it with F.round (HALF_UP on the
+            # decimal repr) could admit a boundary candidate in one
+            # stage and cut it in the other, making the chunked
+            # shortlist diverge from chunks=1 at exact half-decimal
+            # boundaries
+            nd = int(rank_rounding)
+
+            @F.pandas_udf("double")
+            def _np_round(s: pd.Series) -> pd.Series:
+                return s.round(nd)
+
+            key = _np_round(F.col("adc_score"))
+        else:
+            key = F.col("adc_score")
         w = Window.partitionBy("query_id").orderBy(
             key.desc(), F.col("neighbor_id")
         )

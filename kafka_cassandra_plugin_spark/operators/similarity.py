@@ -654,17 +654,26 @@ class IvfIndex:
         if self.path is None:
             raise ValueError("compact() needs a disk-backed index "
                              "(save() it first)")
-        from ..fsutil import _fs_and_path, staged_replace
+        from ..fsutil import _fs_and_path, recover_fold_swap, staged_replace
 
         spark = self.assigned.sparkSession
         src = f"{self.path}/assigned"
+        # heal any interrupted prior swap BEFORE statting or reading:
+        # a retry on the same handle after a mid-swap failure would
+        # otherwise stat a deleted dir (raw FileNotFound) or execute a
+        # lazy plan whose file index points at pre-swap files.  After
+        # recovery, re-read the table fresh rather than trusting
+        # self.assigned's captured listing - the other stores' compact
+        # paths reload the same way.
+        recover_fold_swap(spark, src)
+        assigned = spark.read.schema(self.assigned.schema).parquet(src)
         fs, hsrc, _ = _fs_and_path(spark, src)
         total_bytes = fs.getContentSummary(hsrc).getLength()
         nfiles = max(1, -(-total_bytes // (target_mb << 20)))
         staged_replace(
             spark, src,
             lambda tmp: (
-                self.assigned.dropDuplicates(["neighbor_id"])
+                assigned.dropDuplicates(["neighbor_id"])
                 .repartition(int(nfiles), "list_id")
                 .write.mode("overwrite")
                 .partitionBy("list_id")

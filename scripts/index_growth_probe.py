@@ -32,11 +32,16 @@ Round-12 addition: ``mode=tiered`` runs the SAME campaign with
 the answer to round 10's one honest growth term (full-compact wall
 111 -> 176 s across the campaign, O(accumulated history)).  Tiered
 folds write only the young batches appended since the last fold, so
-their wall must stay FLAT across the campaign; ``max_levels=4`` makes
-the LAST cadence accrete past the level cap and fall back to the full
-merge, so one run shows both the flat tiered wall and the amortized
-major-compaction cost.  State lives in ``index_growth_tiered/`` so
-the two campaigns never share a workdir.
+their wall must stay FLAT across the campaign.  ``max_levels=4``
+triggers the full-merge fallback at the FOURTH of the five cadences:
+``init`` writes the stores' ``batch=-1`` history partition, which
+counts as a level, so levels run 1 -> 2 -> 3 -> 4 across cadences 1-3
+and cadence 4 sees the cap (the measured wall spike there IS the
+amortized major compaction, matching the round-10 full-rewrite cost);
+cadence 5 folds tiered again on the merged base.  One run therefore
+shows both the flat tiered wall and the once-per-``max_levels``
+O(history) merge.  State lives in ``index_growth_tiered/`` so the
+two campaigns never share a workdir.
 
 Usage: python scripts/index_growth_probe.py \
            [sf_dir=.scale/sf1] [n_appends=50] [batch_docs=100000] \
@@ -212,10 +217,11 @@ def main() -> None:
         row["bm25_s"] = round(time.perf_counter() - t0, 2)
         if (i + 1) % COMPACT_EVERY == 0:
             if mode == "tiered":
-                # max_levels=4: cadences 1-4 fold young-only (wall must
-                # stay flat), the 5th accretes past the cap and falls
-                # back to the full merge - one campaign shows both
-                # terms of the LSM story
+                # max_levels=4: init's batch=-1 counts as level 1, so
+                # cadences 1-3 fold young-only (flat wall), cadence 4
+                # hits the cap and pays the full merge, cadence 5 is
+                # tiered again - one campaign shows both terms of the
+                # LSM story (see module doc)
                 t0 = time.perf_counter()
                 ci = ci.compact_tiered(max_levels=4)
                 row["ci_compact_s"] = round(time.perf_counter() - t0, 2)
