@@ -120,6 +120,10 @@ EXPLICIT_ANCHORS = {
     # fingerprint_overlap persist fix (the 8.38 first-run artifact
     # reading predates the fix and must not anchor).
     "fingerprint_winnow": 5.2,
+    # round-12 governed BM25 serving row (verdict #4): isolated
+    # best-of-3 1.125 on this calib-0.216 VM = ~0.9 on the anchor host
+    # class (BASELINE.md round-12 note).
+    "bm25_topk[maxdf]": 0.9,
 }
 
 # Don't flag sub-half-second excursions: a 0.2 s row reading 0.45 s is

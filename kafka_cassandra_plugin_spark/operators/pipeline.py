@@ -424,11 +424,16 @@ def curate_annotated(
     )
     surv = gated.filter(F.col("__rn") == 1).drop("__rn", "__gate")
 
-    # stage 4: intra-batch near-dup clusters keep their min-id member
+    # stage 4: intra-batch near-dup clusters keep their min-id member.
+    # kept is checkpointed: its lineage (shingle explode -> minhash ->
+    # band self-join -> verify) would otherwise be re-executed by each
+    # of its three consumers (near_rej, the corpus match, the final
+    # attribution join) - one eager batch-sized materialization beats
+    # three sketch recomputations (round-12 floor work)
     pairs = minhash_lsh_dedup_pairs(
         surv, text_col, id_col, threshold=near_dup_threshold, **mh_params
     ).select("id_a", "id_b")
-    kept = survivors_from_pairs(surv, pairs, id_col=id_col)
+    kept = survivors_from_pairs(surv, pairs, id_col=id_col).localCheckpoint()
     near_rej = surv.join(
         kept.select(id_col), id_col, "left_anti"
     ).select(F.col(id_col).alias("__rid"), F.lit("near_dup_batch").alias("__reason"))

@@ -334,12 +334,10 @@ class CurationSink:
                                       max_levels=self.compact_max_levels)
             else:
                 handle.compact(*full_args, exclude_batch=batch_id)
-        index = MinHashIndex.load(spark, self.index_path)
         if self.benchmarks_path is not None and self._bench is None:
             # static eval set: read once, cache across micro-batches -
             # every batch pays one broadcast gram join, never a re-read
             self._bench = spark.read.parquet(self.benchmarks_path).cache()
-        bloom = None
         if self.seen_bloom_path is not None:
             from ..operators.bloom import BloomIndex
 
@@ -361,10 +359,6 @@ class CurationSink:
                 # replay reject its own rows (see BloomIndex.compact)
                 run_compact(BloomIndex.load(spark, self.seen_bloom_path),
                             self.compact_target_mb)
-            # probe the filter as of this batch's PREDECESSORS: a
-            # replayed batch must not see its own first attempt
-            bloom = BloomIndex.load(spark, self.seen_bloom_path,
-                                    exclude_batch=batch_id)
         lm_kwargs = {}
         lm = None
         if self.lm_path is not None:
@@ -379,14 +373,6 @@ class CurationSink:
                 # same pre-batch + exclude-in-flight discipline as the
                 # bloom compaction above
                 run_compact(NgramLM.load(spark, self.lm_path))
-            # score against the model as of this batch's PREDECESSORS
-            # (a replayed batch must not see its own failed attempt's
-            # counts).  An empty just-init'd model scores every
-            # scorable doc ppl == 1 (V=1 uniform): seed the model
-            # before trusting the band, or set min_ppl <= 1 while it
-            # warms up.
-            lm = NgramLM.load(spark, self.lm_path, exclude_batch=batch_id)
-            lm_kwargs["lm"] = lm
         if self.bm25_path is not None:
             from ..operators.retrieval import Bm25Index
 
@@ -457,6 +443,52 @@ class CurationSink:
 
                 self._langid = LangIdModel.load(spark, self.langid_path)
             clf_kwargs["langid"] = self._langid
+        # ---- parallel load phase: the three read-side handles are
+        # independent model-sized jobs (MinHash meta, Bloom meta,
+        # NgramLM meta + V/gram counts); Spark schedules concurrent
+        # jobs from driver threads, so the phase costs max(loads)
+        # instead of their sum - part of the round-12 micro-batch
+        # floor work.  All cadence compactions ran ABOVE, serially,
+        # so no load can race a swap.
+        def _load_index():
+            return MinHashIndex.load(spark, self.index_path)
+
+        def _load_bloom():
+            from ..operators.bloom import BloomIndex
+
+            # probe the filter as of this batch's PREDECESSORS: a
+            # replayed batch must not see its own first attempt
+            return BloomIndex.load(spark, self.seen_bloom_path,
+                                   exclude_batch=batch_id)
+
+        def _load_lm():
+            from ..operators.lm import NgramLM
+
+            # score against the model as of this batch's PREDECESSORS
+            # (a replayed batch must not see its own failed attempt's
+            # counts).  An empty just-init'd model scores every
+            # scorable doc ppl == 1 (V=1 uniform): seed the model
+            # before trusting the band, or set min_ppl <= 1 while it
+            # warms up.
+            return NgramLM.load(spark, self.lm_path,
+                                exclude_batch=batch_id)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        loads = {"index": _load_index}
+        if self.seen_bloom_path is not None:
+            loads["bloom"] = _load_bloom
+        if self.lm_path is not None:
+            loads["lm"] = _load_lm
+        with ThreadPoolExecutor(max_workers=len(loads)) as pool:
+            futs = {k: pool.submit(fn) for k, fn in loads.items()}
+            handles = {k: f.result() for k, f in futs.items()}
+        index = handles["index"]
+        bloom = handles.get("bloom")
+        lm = handles.get("lm")
+        if lm is not None:
+            lm_kwargs["lm"] = lm
+
         annotated = curate_annotated(
             batch_df, index=index,
             text_col=self.text_col, id_col=self.id_col,
@@ -474,40 +506,45 @@ class CurationSink:
             .partitionBy("lang", "split")
             .parquet(f"{self.out_path}/ingest_batch={batch_id}")
         )
-        # write-only: the sink loads fresh at the next batch anyway,
-        # so the reload's meta job is pure per-batch overhead
-        index.add_batch(
-            accepted.select(self.id_col, self.text_col),
-            text_col=self.text_col, id_col=self.id_col, reload=False,
-        )
-        if bloom is not None:
-            # O(batch) overwrite of THIS batch's word partition -
-            # exactly-once under replay, like the output dir above
+        # ---- parallel append phase: every store append is an
+        # independent O(batch) job over the CHECKPOINTED annotated
+        # frame, each writing to its own path with the overwrite-per-
+        # batch exactly-once discipline - so they (and the funnel
+        # accounting read) run concurrently on driver threads and the
+        # phase costs max(appends) instead of their sum.  All appends
+        # are write-only (reload=False): the next batch loads fresh
+        # with its own exclude_batch anyway.  Failure semantics are
+        # unchanged from the sequential form: any subset may have
+        # landed when the batch fails, and the replay overwrites every
+        # store's own partition.
+        def _add_index():
+            index.add_batch(
+                accepted.select(self.id_col, self.text_col),
+                text_col=self.text_col, id_col=self.id_col, reload=False,
+            )
+
+        def _add_bloom():
             bloom.append_content(accepted, batch_id, self.text_col)
-        if lm is not None and self.lm_accumulate:
+
+        def _add_lm():
             # grow the reference LM with this batch's ACCEPTED docs -
-            # O(batch) count partitions, overwrite-per-batch, so the
-            # model converges on the curated distribution without ever
-            # refitting over the corpus
-            # write-only: the sink discards the reloaded model (next
-            # batch loads fresh with its own exclude_batch anyway), and
-            # the default reload costs two model-wide count jobs
+            # the model converges on the curated distribution without
+            # ever refitting over the corpus
             lm.append_batch(
                 accepted.select(self.id_col, self.text_col),
                 batch_id, self.text_col, reload=False,
             )
-        if self.bm25_path is not None:
+
+        def _add_bm25():
             from ..operators.retrieval import Bm25Index
 
-            # O(batch) overwrite of THIS batch's postings/docfreq/stats
-            # partitions - exactly-once under replay, like the output
-            # dir above; write-only (the next batch loads fresh)
             Bm25Index.load(spark, self.bm25_path).append_batch(
                 accepted.select(self.id_col, self.text_col), batch_id,
                 text_col=self.text_col, id_col=self.id_col,
                 reload=False,
             )
-        if self.fingerprint_path is not None:
+
+        def _add_fingerprint():
             from ..operators.fingerprint_index import FingerprintIndex
 
             FingerprintIndex.load(
@@ -517,35 +554,59 @@ class CurationSink:
                 text_col=self.text_col, id_col=self.id_col,
                 reload=False,
             )
-        if self.bpe_hist_path is not None:
+
+        def _add_bpe_hist():
             from ..operators.bpe import WordHistogram
 
-            # O(batch) overwrite of THIS batch's counts partition -
-            # exactly-once under replay; write-only (nothing reads the
-            # histogram inside the sink)
             WordHistogram.load(spark, self.bpe_hist_path).append_batch(
                 accepted.select(self.text_col), batch_id,
                 text_col=self.text_col, reload=False,
             )
-        if self.commonness_path is not None:
+
+        def _add_commonness():
             from ..operators.commonness import CommonnessIndex
 
-            # O(batch) overwrite of THIS batch's counts partition -
-            # exactly-once under replay; write-only inside the sink
-            # (weighting happens at export/train time via weights())
             CommonnessIndex.load(spark, self.commonness_path).append_batch(
                 accepted.select(self.text_col), batch_id,
                 text_col=self.text_col, reload=False,
             )
-        self._adds += 1
-        if self.compact_every and self._adds % self.compact_every == 0:
-            MinHashIndex.load(spark, self.index_path).compact(
-                self.compact_target_mb)
-            self.compact_accepted(spark, before_batch=batch_id)
-        counts = {
-            row["stage"]: row["rows"]
-            for row in curation_funnel(annotated).collect()
-        }
+
+        def _funnel_counts():
+            return {
+                row["stage"]: row["rows"]
+                for row in curation_funnel(annotated).collect()
+            }
+
+        appends = [_add_index]
+        if bloom is not None:
+            appends.append(_add_bloom)
+        if lm is not None and self.lm_accumulate:
+            appends.append(_add_lm)
+        if self.bm25_path is not None:
+            appends.append(_add_bm25)
+        if self.fingerprint_path is not None:
+            appends.append(_add_fingerprint)
+        if self.bpe_hist_path is not None:
+            appends.append(_add_bpe_hist)
+        if self.commonness_path is not None:
+            appends.append(_add_commonness)
+        with ThreadPoolExecutor(max_workers=len(appends) + 1) as pool:
+            futs = [pool.submit(fn) for fn in appends]
+            counts_fut = pool.submit(_funnel_counts)
+            for f in futs:
+                f.result()  # re-raise the first append failure
+            # the appends are durable at this point: bump the cadence
+            # counter and run the cadence compaction BEFORE draining
+            # the accounting future - the pre-round-12 ordering, which
+            # the replay tests pin (a failure in the accounting step
+            # must still leave _adds bumped and the compaction run, so
+            # the replay exercises the exclude-in-flight discipline)
+            self._adds += 1
+            if self.compact_every and self._adds % self.compact_every == 0:
+                MinHashIndex.load(spark, self.index_path).compact(
+                    self.compact_target_mb)
+                self.compact_accepted(spark, before_batch=batch_id)
+            counts = counts_fut.result()
         self.funnel_by_batch[batch_id] = counts
         if self.ledger:
             # durable accounting: one overwrite-dir per batch, same
