@@ -234,6 +234,35 @@ class TestIvfIndexPersistence:
                  if d.startswith("list_id=")]
         assert len(parts) == 16
 
+    def test_compact_retry_after_midswap_crash(self, emb,
+                                               tmp_path_factory):
+        """Round-12 self-review fix: a compact() retry on the SAME
+        handle after a crash in the post-commit window (replacement
+        written + committed, live dir deleted, final rename lost) must
+        self-heal - roll the committed sibling forward BEFORE statting
+        or reading - instead of throwing a raw FileNotFound or
+        executing the handle's stale pre-swap file listing."""
+        from kafka_cassandra_plugin_spark import fsutil
+
+        path = str(tmp_path_factory.mktemp("ivf") / "idx")
+        loaded = S.IvfIndex.build(emb, nlist=16, seed=42).save(path)
+        q = emb.filter(F.col("vec_id") % 10 == 0)
+        want = [r.asDict() for r in loaded.topk(q, k=10, nprobe=10)
+                .orderBy("query_id", "rank").collect()]
+        spark = emb.sparkSession
+        src = f"{path}/assigned"
+        tmp = f"{src}{fsutil.COMPACTING_SUFFIX}"
+        # reproduce the crash state by hand: replacement fully written
+        # and committed, live dir already deleted, rename never ran
+        (spark.read.parquet(src).dropDuplicates(["neighbor_id"])
+            .write.mode("overwrite").partitionBy("list_id").parquet(tmp))
+        fsutil.touch(spark, f"{tmp}/{fsutil.COMMIT_MARKER}")
+        fsutil.delete_dir(spark, src)
+        healed = loaded.compact()  # the same stale handle retries
+        got = [r.asDict() for r in healed.topk(q, k=10, nprobe=10)
+               .orderBy("query_id", "rank").collect()]
+        assert got == want and len(got) > 0
+
     def test_probe_scans_only_probed_partitions(self, emb, built,
                                                 tmp_path_factory):
         path = str(tmp_path_factory.mktemp("ivf") / "idx")

@@ -96,6 +96,26 @@ class TestSearchQuality:
         codes.unpersist()
         assert one == many and len(one) > 0
 
+    def test_chunked_identical_under_rank_rounding(self, emb, queries,
+                                                   codebook):
+        """The oracle protocol's rounded cut (round-12): with
+        rank_rounding set, the chunked path must still equal chunks=1
+        EXACTLY - both Spark-side cuts share one numpy half-even
+        rounding implementation, so a chunk-boundary candidate can
+        never be admitted by one stage and cut by the other (the
+        mixed F.round/np.round divergence the self-review flagged)."""
+        codes = codebook.encode(emb).cache()
+        one = {(r.query_id, r.neighbor_id, round(r.adc_score, 9))
+               for r in codebook.adc_shortlist(
+                   codes, queries, r=25, chunks=1,
+                   rank_rounding=6).collect()}
+        many = {(r.query_id, r.neighbor_id, round(r.adc_score, 9))
+                for r in codebook.adc_shortlist(
+                    codes, queries, r=25, chunks=16,
+                    rank_rounding=6).collect()}
+        codes.unpersist()
+        assert one == many and len(one) > 0
+
 
 class TestIvfPqComposition:
     K = 10
