@@ -95,7 +95,12 @@ EXPLICIT_ANCHORS = {
     "dedup_embedding_cosine": 2.6,
     "sim_topk_bruteforce": 1.22,
     "sim_lsh_ann": 2.65,
-    "sim_ivf_ann": 1.8,
+    # round-13 plan change with cause (BASELINE.md): the declared slot
+    # moved to ivf_topk_portable (sample quantizer, hash-matched vs
+    # DuckDB); the learned-KMeans path keeps the old 1.8 anchor under
+    # its new extras name.
+    "sim_ivf_ann": 1.6,
+    "sim_ivf_ann_kmeans": 1.8,
     "text_stats": 1.64,
     "cdc_value_changes": 1.02,
     "leader_timeline_replay": 0.97,
@@ -771,6 +776,17 @@ def _depth_ops(sf_dir):
 
         return sim_lsh_ann(spark, sf_dir)
 
+    def ivf_kmeans(spark):
+        # the at-scale IVF (learned spherical-KMeans quantizer): its
+        # declared slot went to the hash-matched sample-quantizer twin
+        # in round 13 (the sim_lsh_ann precedent) - per-round reading
+        # continues here under the old 1.8 anchor
+        from kafka_cassandra_plugin_spark.queries.llm_ops import (
+            sim_ivf_ann_kmeans,
+        )
+
+        return sim_ivf_ann_kmeans(spark, sf_dir)
+
     def decontaminate(spark):
         # corpus vs a benchmark set with planted contamination (copies
         # of corpus docs, first word dropped) - the D6 scale shape:
@@ -1331,6 +1347,7 @@ def _depth_ops(sf_dir):
 
     return {"curation_funnel": curation_funnel, "sim_ivf_pq": ivf_pq,
             "sim_lsh_ann": lsh_adaptive,
+            "sim_ivf_ann_kmeans": ivf_kmeans,
             "decontaminate": decontaminate,
             "shard_export[staging]": shard_export_staging,
             "mix_sources": mix, "stratified_sample": stratified,

@@ -305,7 +305,8 @@ class BloomIndex:
         )
         return BloomIndex.load(spark, self.path)
 
-    def compact_tiered(self, exclude_batch: int | None = None,
+    def compact_tiered(self, target_file_mb: int = 256,
+                       exclude_batch: int | None = None,
                        max_levels: int = 8) -> "BloomIndex":
         """Tiered (LSM-style) compact: fold only the batches appended
         SINCE the last fold into one new negative level — O(recent)
@@ -313,8 +314,10 @@ class BloomIndex:
         Lossless because bitsets OR distributively and :meth:`load`
         re-aggregates across partitions, so levels read exactly like
         batches; falls back to the FULL :meth:`compact` once
-        ``max_levels`` levels have accreted.  Same ``exclude_batch``
-        replay gate; crash-safe via the
+        ``max_levels`` levels have accreted (``target_file_mb``
+        forwards to that fallback - it has no effect on the tiered
+        fold itself, whose level is one aggregate write).  Same
+        ``exclude_batch`` replay gate; crash-safe via the
         :func:`..fsutil.staged_fold_swap` marker protocol."""
         if self.path is None:
             raise ValueError("compact requires a saved filter (use save())")
@@ -329,7 +332,7 @@ class BloomIndex:
             exclude_batch=exclude_batch, max_levels=max_levels,
         )
         if outcome == "full_needed":
-            return self.compact(exclude_batch=exclude_batch)
+            return self.compact(target_file_mb, exclude_batch=exclude_batch)
         return BloomIndex.load(spark, self.path)
 
     # -- composition -------------------------------------------------------

@@ -438,19 +438,24 @@ def minhash_lsh_dedup_pairs(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", n: int = 3,
                             num_hashes: int = 64, bands: int = 16,
                             threshold: float = 0.8,
-                            hash_fn: str = "xxhash64") -> DataFrame:
+                            hash_fn: str = "xxhash64",
+                            exploded: DataFrame | None = None) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded candidate
     pairs -> exact-jaccard verification of candidates only (estimated via
     signature agreement, then exact on the shingle sets).  Returns
     verified pairs with their exact jaccard.  ``hash_fn='md5'`` switches
     the whole pipeline to the engine-portable hash family (oracle-exact:
     identical candidates, hence identical verified pairs, in any SQL
-    engine); xxhash64 stays the at-scale default."""
+    engine); xxhash64 stays the at-scale default.  ``exploded``: a
+    precomputed DISTINCT (id, sh) frame for ``df`` at this ``n``
+    (ideally checkpointed) - the curation funnel passes one substrate
+    so the batch is shingled once across its dedup stages."""
     rows_per_band = num_hashes // bands
     # one substrate for BOTH signatures and the exact-jaccard verify:
     # localCheckpoint stops the explode+window lineage replaying per
     # consumer (same diamond-DAG rationale as ngram_jaccard_pairs)
-    exploded = exploded_shingles(df, text_col, id_col, n).localCheckpoint()
+    if exploded is None:
+        exploded = exploded_shingles(df, text_col, id_col, n).localCheckpoint()
     sigs = _signatures_from_exploded(exploded, num_hashes, hash_fn)
     cands = lsh_candidate_pairs(
         sigs, bands, rows_per_band,
@@ -804,6 +809,44 @@ def component_labels(nodes: DataFrame, pairs: DataFrame,
     return labels
 
 
+def union_find_drops(edges) -> set:
+    """Driver-side survivor resolution for a SMALL edge list: connected
+    components via union-find, returning the ids to DROP (every
+    component member except its minimum - the keep='min' convention).
+    Pure python, O(E α(E)); the fast path for micro-batch pair sets
+    where the distributed label-propagation loop's per-round job cost
+    (not its row work) dominates.  ``edges``: iterable of (u, v)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edges:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min so every root IS its component's minimum
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    return {x for x in parent if find(x) != x}
+
+
+# Edge-list size under which survivors_from_pairs resolves components
+# on the driver instead of spawning the iterative distributed labeler:
+# 100k pairs is a few MB of ids - trivially collectable - while the
+# distributed loop costs >= 4 fixed jobs even for one pair.  A batch
+# exceeding the cap falls back to the scale path automatically.
+MAX_DRIVER_PAIRS = 100_000
+
+
 def survivors_from_pairs(df: DataFrame, pairs: DataFrame,
                          id_col: str = "doc_id",
                          id_a: str = "id_a", id_b: str = "id_b",
@@ -826,15 +869,41 @@ def survivors_from_pairs(df: DataFrame, pairs: DataFrame,
     the right choice when the pair graph may contain long chains
     (mirror-of-mirror crawls, chained edits) rather than shallow
     cliques.
+
+    Fast path (round-13 floor work): when the pair set is small
+    (<= :data:`MAX_DRIVER_PAIRS`, checked with a capped collect), the
+    components resolve on the DRIVER via :func:`union_find_drops` and
+    the result is one broadcast anti-join - identical survivors, and
+    the distributed labeler's per-round fixed job cost (>= 4 jobs even
+    for one pair) disappears from micro-batch pipelines.  Pair sets
+    above the cap take the distributed path unchanged, so the operator
+    stays 100 TB-safe.
     """
+    # one eager materialization of the pair DAG, shared by the capped
+    # probe AND (on fallback) the distributed labeler - the LSH
+    # machinery upstream never executes twice
+    probe = pairs.select(
+        F.col(id_a).alias(id_a), F.col(id_b).alias(id_b)
+    ).localCheckpoint()
+    head = probe.limit(MAX_DRIVER_PAIRS + 1).collect()
+    if len(head) <= MAX_DRIVER_PAIRS:
+        drops = union_find_drops((r[id_a], r[id_b]) for r in head)
+        if not drops:
+            return df
+        spark = df.sparkSession
+        drop_df = spark.createDataFrame(
+            [(d,) for d in sorted(drops)],
+            df.select(F.col(id_col)).schema,
+        )
+        return df.join(F.broadcast(drop_df), id_col, "left_anti")
     if labeler == "star":
         from .graph import component_labels_star
 
         labels = component_labels_star(
-            df, pairs, id_col, id_a, id_b, max_rounds=max(max_rounds, 30)
+            df, probe, id_col, id_a, id_b, max_rounds=max(max_rounds, 30)
         )
     else:
-        labels = component_labels(df, pairs, id_col, id_a, id_b, max_rounds)
+        labels = component_labels(df, probe, id_col, id_a, id_b, max_rounds)
     keep = labels.filter(F.col("node") == F.col("label")).select(
         F.col("node").alias(id_col)
     )

@@ -288,6 +288,12 @@ def decode_png(data: bytes, verify_crc: bool = True) -> np.ndarray:
         alpha[:len(a)] = a
         return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
     alpha = None
+    if trns is not None and color in (4, 6):
+        # RFC 2083 §4.2.1: tRNS is prohibited for alpha-bearing color
+        # types - fail loudly like the other malformed-chunk cases
+        raise ValueError(
+            f"tRNS chunk not allowed with color type {color} "
+            "(alpha channel already present, RFC 2083 §4.2.1)")
     if trns is not None and color in (0, 2):
         # colour-key transparency: key samples are 2-byte big-endian
         # at ANY depth (§4.2.1); compare against NATIVE sample values

@@ -331,7 +331,12 @@ def curate_annotated(
     # identical (row-local verdicts over a superset can only re-find
     # the same rows), and reason ATTRIBUTION keeps the original stage
     # priority via min_by(__prio) below, so funnel counts are
-    # bit-identical to the sequential form.
+    # bit-identical to the sequential form.  Cost assumption: each
+    # gate now scores rows an earlier gate would have removed, so the
+    # one-wave win presumes gate reject rates stay small relative to
+    # the batch - a pipeline whose LM band rejects most rows pays the
+    # clf/contamination/Bloom probes over them anyway (still row-local
+    # map work, never a corpus term).
 
     # stage 2b': LM perplexity band (model tables broadcast, reject
     # set batch-bounded)
@@ -424,28 +429,73 @@ def curate_annotated(
     )
     surv = gated.filter(F.col("__rn") == 1).drop("__rn", "__gate")
 
+    # stages 4+5 share ONE shingle substrate: surv is exploded and
+    # checkpointed once, and the intra-batch LSH, the corpus probe,
+    # and the exact-verify sides all read it - pre-round-13 the same
+    # documents were shingle-exploded (and the explode checkpointed)
+    # up to three times per micro-batch, and at micro-batch scale the
+    # repeated fixed job cost was a measured term of the CurationSink
+    # floor
+    from .dedup import MAX_DRIVER_PAIRS, exploded_shingles, union_find_drops
+
+    exploded_surv = exploded_shingles(
+        surv, text_col, id_col, mh_params.get("n", 3)
+    ).localCheckpoint()
+
     # stage 4: intra-batch near-dup clusters keep their min-id member.
-    # kept is checkpointed: its lineage (shingle explode -> minhash ->
-    # band self-join -> verify) would otherwise be re-executed by each
-    # of its three consumers (near_rej, the corpus match, the final
-    # attribution join) - one eager batch-sized materialization beats
-    # three sketch recomputations (round-12 floor work)
+    # Survivor resolution fast path (mirrors survivors_from_pairs):
+    # micro-batch pair sets resolve on the driver via union-find, so
+    # near_rej is a LITERAL id set and kept a broadcast anti-join -
+    # no distributed label-propagation rounds, no kept checkpoint.
+    # Pair sets above the cap fall back to the distributed labeler.
     pairs = minhash_lsh_dedup_pairs(
-        surv, text_col, id_col, threshold=near_dup_threshold, **mh_params
-    ).select("id_a", "id_b")
-    kept = survivors_from_pairs(surv, pairs, id_col=id_col).localCheckpoint()
-    near_rej = surv.join(
-        kept.select(id_col), id_col, "left_anti"
-    ).select(F.col(id_col).alias("__rid"), F.lit("near_dup_batch").alias("__reason"))
+        surv, text_col, id_col, threshold=near_dup_threshold,
+        exploded=exploded_surv, **mh_params
+    ).select("id_a", "id_b").localCheckpoint()
+    id_schema = surv.select(F.col(id_col)).schema
+    spark = surv.sparkSession
+    head = pairs.limit(MAX_DRIVER_PAIRS + 1).collect()
+    if len(head) <= MAX_DRIVER_PAIRS:
+        drops = sorted(union_find_drops((r.id_a, r.id_b) for r in head))
+        drop_df = spark.createDataFrame([(d,) for d in drops], id_schema)
+        kept = (
+            surv.join(F.broadcast(drop_df), id_col, "left_anti")
+            if drops else surv
+        )
+        kept_ids = drop_df.withColumnsRenamed({id_col: "id"})
+        exploded_kept = (
+            exploded_surv.join(F.broadcast(kept_ids), "id", "left_anti")
+            if drops else exploded_surv
+        )
+        near_rej = spark.createDataFrame(
+            [(d, "near_dup_batch") for d in drops],
+            surv.select(
+                F.col(id_col).alias("__rid"),
+                F.lit("x").alias("__reason"),
+            ).schema,
+        )
+    else:
+        kept = survivors_from_pairs(
+            surv, pairs, id_col=id_col
+        ).localCheckpoint()
+        exploded_kept = exploded_surv.join(
+            kept.select(F.col(id_col).alias("id")), "id", "left_semi"
+        )
+        near_rej = surv.join(
+            kept.select(id_col), id_col, "left_anti"
+        ).select(F.col(id_col).alias("__rid"),
+                 F.lit("near_dup_batch").alias("__reason"))
 
     rejects = exact_rej.unionByName(near_rej)
     for jr in join_rejects:
         rejects = rejects.unionByName(jr)
 
-    # stage 5: near-dups of the indexed corpus
+    # stage 5: near-dups of the indexed corpus (probing the shared
+    # substrate filtered to kept ids - no re-shingle)
     if index is not None:
         corpus_rej = (
-            index.match_batch(kept, text_col, id_col, near_dup_threshold)
+            index.match_batch(kept, text_col, id_col, near_dup_threshold,
+                              exploded=exploded_kept)
             .select(F.col("new_id").alias("__rid"))
             .distinct()
             .withColumn("__reason", F.lit("near_dup_corpus"))

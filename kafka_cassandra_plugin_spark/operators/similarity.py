@@ -394,6 +394,98 @@ def cosine_foldexact_pandas(a, b) -> Column:
     return _cos(a, b)
 
 
+def ivf_topk_portable(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                      nprobe: int = 10, sample_mod: int = 125,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      assigned: DataFrame | None = None) -> DataFrame:
+    """IVF-flat top-k whose EVERY arithmetic step is cross-engine exact,
+    so a static SQL oracle re-derives the cell assignment, the probe
+    set, the candidate enumeration AND the re-rank scores - the
+    hash-matched IVF row (round-13 verdict #2), completing the ANN
+    family's value verification (brute force and RP-LSH went first).
+
+    The coarse quantizer is a DETERMINISTIC SEEDED SAMPLE: the corpus
+    vectors with ``id % sample_mod == 0`` ARE the centroids (sample
+    initialization without Lloyd iterations - a legitimate coarse
+    quantizer; IVF correctness never depends on centroid optimality,
+    only recall does, and the geometry gate in tests measures that).
+    One-in-125 sampling reproduces the learned index's corpus-adaptive
+    ~125-vectors-per-list geometry while staying expressible as a
+    static SQL predicate - an ITERATIVE KMeans fit cannot ride a
+    static oracle string, which is exactly why the learned
+    :class:`IvfIndex` row stayed rows-only for twelve rounds.  The
+    learned index remains the at-scale default (better-balanced lists
+    -> tighter probe bounds); this is its value-verification twin, the
+    ``rp_lsh_topk_portable`` precedent applied to IVF.
+
+    Plan shape (scale posture identical to the learned IVF probe):
+    assignment is one broadcast of the centroid table against the
+    corpus with a map-side ``max_by`` argmax (one shuffle, partial
+    aggregation; the corpus never re-shuffles per query), probing is
+    the same broadcast against the (small) query set, candidates are a
+    cell equi-join bounded by nprobe/nlist of the corpus, and only
+    candidates pay the exact fold-cosine re-rank.
+
+    ``assigned``: a precomputed (cid, neighbor_id, n_vec) cell table
+    (the build-once/probe-many handle - callers that probe repeatedly
+    checkpoint :func:`ivf_portable_assign`'s output once).
+    """
+    cents = corpus.filter(F.col(id_col) % sample_mod == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cent_vec")
+    )
+    if assigned is None:
+        assigned = ivf_portable_assign(corpus, cents, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("p_score").desc(), F.col("cid")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("p_score", cosine(F.col("q_vec"), F.col("cent_vec")))
+        .withColumn("p_rn", F.row_number().over(pw))
+        .filter(F.col("p_rn") <= nprobe)
+        .select("query_id", "q_vec", "cid")
+    )
+    cands = probes.join(assigned, "cid").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.withColumn("score", cosine(F.col("q_vec"), F.col("n_vec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def ivf_portable_assign(corpus: DataFrame, cents: DataFrame,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """(cid, neighbor_id, n_vec): each corpus vector's nearest-centroid
+    cell under fold-exact cosine, ties to the smaller centroid id (the
+    same (score DESC, id ASC) convention as every ranked operator here,
+    so a SQL ``row_number() = 1`` reproduces it).  ``max_by`` over a
+    (score, -cid) ordering struct keeps the argmax map-side partial -
+    no N x nlist window shuffle."""
+    c = ensure_min_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+    )
+    scored = c.crossJoin(F.broadcast(cents)).withColumn(
+        "a_score", cosine(F.col("n_vec"), F.col("cent_vec"))
+    )
+    return scored.groupBy("neighbor_id").agg(
+        F.first("n_vec").alias("n_vec"),
+        F.max_by(
+            F.col("cid"),
+            F.struct(F.col("a_score"), (-F.col("cid")).alias("nc")),
+        ).alias("cid"),
+    ).select("cid", "neighbor_id", "n_vec")
+
+
 def rp_lsh_topk_portable(corpus: DataFrame, queries: DataFrame, dim: int,
                          k: int = 10, n_planes: int = 6, n_tables: int = 4,
                          probe_hamming: int = 1, salt: str = "rp",

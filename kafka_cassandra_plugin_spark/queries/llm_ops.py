@@ -774,6 +774,7 @@ def sim_lsh_ann_portable(spark, sf_dir):
 
 
 _IVF_INDEXES: dict[tuple, "S.IvfIndex"] = {}
+_IVF_PORTABLE_ASSIGN: dict[tuple, "DataFrame"] = {}
 _CORPUS_ROWS: dict[tuple, int] = {}
 
 
@@ -814,26 +815,101 @@ def _corpus_rows(spark, sf_dir: str) -> int:
     return n
 
 
+def _cos_sql(a: str, b: str) -> str:
+    """The fold-ordered cosine of :data:`_COS_SQL` over arbitrary
+    column names (the IVF oracle scores three different vector pairs:
+    corpus x centroid, query x centroid, query x candidate)."""
+    return _COS_SQL.replace("qv", a).replace("cv", b)
+
+
+_IVF_PORTABLE_SQL = f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS sv FROM embeddings
+                  WHERE vec_id % 125 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS pv FROM embeddings
+          WHERE vec_id % 10 = 0),
+    assign AS (
+      SELECT neighbor_id, nv, cid FROM (
+        SELECT c.neighbor_id, c.nv, cent.cid,
+               row_number() OVER (PARTITION BY c.neighbor_id
+                                  ORDER BY {_cos_sql('nv', 'sv')} DESC,
+                                           cent.cid) AS arn
+        FROM c CROSS JOIN cent) WHERE arn = 1
+    ),
+    probes AS (
+      SELECT query_id, pv, cid FROM (
+        SELECT q.query_id, q.pv, cent.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_cos_sql('pv', 'sv')} DESC,
+                                           cent.cid) AS prn
+        FROM q CROSS JOIN cent) WHERE prn <= 10
+    ),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             {_cos_sql('pv', 'nv')} AS score
+      FROM probes p JOIN assign a USING (cid)
+      WHERE p.query_id != a.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score, rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """
+
+
 @register(
     "sim_ivf_ann",
-    sql=None,
+    sql=_IVF_PORTABLE_SQL,
     tags=("G61",),
-    doc="IvfIndex.topk: seeded spherical-KMeans coarse quantizer "
-    "(L2-normalized fit/assignment so the Euclidean metric is monotone "
-    "in cosine), probe 10 lists ranked by the same metric, exact "
-    "re-rank within probed lists. List count is corpus-adaptive "
-    "(adaptive_nlist: ~125 vectors per list; 16 lists at the 2k-vector "
-    "test corpus, unchanged vs the fixed-geometry anchors). The index "
-    "is built once per corpus and memoized (build-once/probe-many is "
-    "the IVF architecture; at scale the assigned lists are a stored, "
-    "list-partitioned table - IvfIndex.save/load). Rows-only in the "
-    "driver gate (KMeans is iterative; literal tables cannot ride a "
-    "static oracle string), but pytest-oracled at sf0.01: candidate "
-    "enumeration + fold-exact cosine re-rank + ranking hash-match "
-    "DuckDB on exported probe/cell tables (TestIvfTopkOracle), and "
-    "recall@10 0.94 with gate >= 0.85.",
+    doc="ivf_topk_portable: the hash-matched IVF row (round-13 verdict "
+    "#2 - previously rows-only). IVF-flat whose coarse quantizer is the "
+    "deterministic 1-in-125 corpus sample (the learned index's "
+    "~125-vectors-per-list adaptive geometry as a static SQL predicate; "
+    "an iterative KMeans fit cannot ride a static oracle string), "
+    "nprobe=10, fold-exact cosine everywhere - the DuckDB oracle "
+    "re-derives the cell assignment, the probe set, the candidate "
+    "enumeration and every re-rank score bit-for-bit. Cell assignment "
+    "is memoized per corpus snapshot (build-once/probe-many, the "
+    "_IVF_INDEXES precedent). The LEARNED spherical-KMeans IvfIndex "
+    "stays the at-scale default (better-balanced lists): benched every "
+    "round as extra_queries['sim_ivf_ann_kmeans'], recall-gated and "
+    "pytest-value-oracled (TestIvfTopkOracle).",
 )
 def sim_ivf_ann(spark, sf_dir):
+    e = Catalog(spark, sf_dir).embeddings
+    queries = e.filter(F.col("vec_id") % 10 == 0)
+    key = _emb_cache_key(sf_dir)
+    assigned = _IVF_PORTABLE_ASSIGN.get(key)
+    if assigned is None:
+        cents = e.filter(F.col("vec_id") % 125 == 0).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cent_vec"),
+        )
+        assigned = S.ivf_portable_assign(e, cents).localCheckpoint()
+        _IVF_PORTABLE_ASSIGN[key] = assigned
+    return S.ivf_topk_portable(
+        e, queries, k=10, nprobe=10, sample_mod=125, assigned=assigned
+    ).orderBy("query_id", "rank")
+
+
+def sim_ivf_ann_kmeans(spark, sf_dir):
+    """IvfIndex.topk (the AT-SCALE default): seeded spherical-KMeans
+    coarse quantizer (L2-normalized fit/assignment so the Euclidean
+    metric is monotone in cosine), probe 10 lists ranked by the same
+    metric, exact re-rank within probed lists.  List count is
+    corpus-adaptive (adaptive_nlist: ~125 vectors per list).  The index
+    is built once per corpus and memoized (build-once/probe-many; at
+    scale the assigned lists are a stored, list-partitioned table -
+    IvfIndex.save/load).  Not a declared query since round 13 (the
+    portable sample-quantizer twin took the declared slot, the
+    sim_lsh_ann precedent); benched every round as
+    extra_queries['sim_ivf_ann_kmeans'], recall-gated (0.94 @10) and
+    DuckDB-value-oracled in pytest (TestIvfTopkOracle)."""
     e = Catalog(spark, sf_dir).embeddings
     queries = e.filter(F.col("vec_id") % 10 == 0)
     key = _emb_cache_key(sf_dir)

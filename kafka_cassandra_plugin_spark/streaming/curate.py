@@ -23,11 +23,19 @@ Delivery semantics (the part worth being precise about):
   (lang, split) inside), written with overwrite - a replayed micro-batch
   (foreachBatch is at-least-once after a failure) rewrites its own
   directory instead of double-appending.
-- **The index is at-least-once, by design tolerance.** A replayed
-  ``add_batch`` appends duplicate band/shingle rows; duplicate bands
-  only re-propose candidates (deduped), and duplicate shingle sets are
-  identical, so ``match_batch`` ends with a distinct over the verified
-  links - replays cannot change any future batch's funnel outcome.
+- **Every store is exactly-once too (round 13).** The MinHash index
+  joined the other six disk-backed stores' discipline: ``add_batch``
+  OVERWRITES this batch's own ``batch=<id>`` partitions (replays
+  duplicate nothing - pre-round-13 appends grew the index on every
+  replay), and the probe loads with ``exclude_batch=batch_id`` so a
+  replayed micro-batch dedups against the corpus AS OF ITS
+  PREDECESSORS.  The exclusion makes replay determinism STRUCTURAL:
+  previously it rested on the invariant that the appended set equals
+  the accepted set (internally near-dup-free, so a replay's kept rows
+  could only self-match, which the id check excludes) - an argument a
+  partially-failed append or any future id-rewriting stage would
+  silently void.  Pinned by tests/test_streaming_curate.py's
+  replay-with-intra-batch-dups test.
 
 The streaming-vs-batch equivalence test (tests/test_streaming_curate.py)
 pins the contract: feeding micro-batches through the sink in order
@@ -47,6 +55,87 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup_index import MinHashIndex
 from ..operators.pipeline import curate_annotated, curation_funnel
+
+
+class _CachedStore:
+    """Per-store handle cache for the sink's read side (round-13 floor
+    work): the meta row, the healed base file listing, and per-batch
+    partition reads appended since - so a steady-state micro-batch
+    loads its three probe handles with ZERO Spark jobs and zero
+    re-listing.
+
+    The replay discipline is preserved by caching the UNDERLYING
+    tables, never an exclusion view: ``view(name, exclude)`` assembles
+    the as-of-predecessors frame per batch from
+
+    - ``base``: one ``spark.read`` per table taken when the cache was
+      built (file listing frozen - immutable for committed partitions),
+      filtered to drop the excluded id AND every id in ``parts`` (a
+      partition overwritten since the cache was built supersedes the
+      frozen listing's view of it; without that filter a replayed
+      overwrite would leave base pointing at deleted files), then
+    - unioned with the ``parts`` reads (one per batch this sink
+      appended), skipping the excluded id.
+
+    Invalidation: ``refresh_part`` after every append (the overwrite
+    makes the old per-batch read stale); the whole cache entry is
+    dropped before any compaction (the fold reshapes partitions, and a
+    crashed fold must be healed by the rebuild's ``recover_tables``).
+
+    Explicit schemas throughout: an empty partition (accepted-empty
+    batch under partitionBy) has no parquet footer to infer."""
+
+    def __init__(self, spark, path: str, schemas_fn):
+        from ..fsutil import recover_tables
+
+        self.spark = spark
+        self.path = path
+        # meta first (it never participates in a swap): some stores'
+        # table schemas depend on it (the MinHash index's id_type)
+        self.meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        self.schemas = dict(schemas_fn(self.meta))
+        # heal any interrupted compaction swap BEFORE freezing listings
+        recover_tables(spark, path, tuple(self.schemas))
+        self.base = {
+            name: spark.read.schema(f"{schema}, batch int").parquet(
+                f"{path}/{name}")
+            for name, schema in self.schemas.items()
+        }
+        from ..fsutil import list_batch_ids
+
+        # partition ids present when the listing was frozen (one FS
+        # glob per table) - consumers use these to decide whether a
+        # per-batch exclusion can ever have an effect
+        self.base_ids = {
+            name: list_batch_ids(spark, f"{path}/{name}")
+            for name in self.schemas
+        }
+        self.parts: dict[int, dict[str, DataFrame]] = {}
+        # store-specific per-batch scalars (e.g. the NgramLM V /
+        # gram-row counts precomputed for the NEXT batch id - a replay
+        # of an earlier id misses and recounts with its own exclusion)
+        self.stats: dict = {}
+
+    def refresh_part(self, batch_id: int) -> None:
+        self.parts[int(batch_id)] = {
+            name: self.spark.read.schema(schema).parquet(
+                f"{self.path}/{name}/batch={int(batch_id)}")
+            for name, schema in self.schemas.items()
+        }
+
+    def view(self, name: str, exclude: int | None) -> DataFrame:
+        skip = set(self.parts)
+        if exclude is not None:
+            skip.add(int(exclude))
+        v = self.base[name]
+        if skip:
+            v = v.filter(~F.col("batch").isin(sorted(skip)))
+        v = v.drop("batch")
+        for b, tabs in self.parts.items():
+            if exclude is not None and int(b) == int(exclude):
+                continue
+            v = v.unionByName(tabs[name])
+        return v
 
 
 class CurationSink:
@@ -181,12 +270,13 @@ class CurationSink:
     duplicates accepted N times decay exactly as the one-shot
     soft_dedup_weights would on the union corpus.
 
-    ``compact_every``: every N index-growing micro-batches, rewrite the
-    index's band/shingle parquet into ``compact_target_mb`` files
-    (:meth:`MinHashIndex.compact`) AND coalesce the accepted dataset's
-    committed ``ingest_batch=<id>/`` directories into the oldest id
-    (:meth:`compact_accepted`).  add_batch appends files per batch and
-    the sink writes one output dir per batch; at the engine's 500 ms
+    ``compact_every``: every N index-growing micro-batches, fold the
+    index's band/shingle batch partitions (:meth:`MinHashIndex.compact`
+    / ``compact_tiered`` per ``compact_mode``) AND coalesce the
+    accepted dataset's committed ``ingest_batch=<id>/`` directories
+    into the oldest id (:meth:`compact_accepted`).  add_batch writes
+    one partition dir per batch and the sink one output dir; at the
+    engine's 500 ms
     reference trigger cadence an uncompacted ingest accretes ~7k
     files/hour/table and ~7k dirs/hour - the classic streaming
     small-files decay, where directory LISTING becomes the read
@@ -209,9 +299,13 @@ class CurationSink:
     ``compact_max_levels`` levels accrete (each store falls back
     internally).  Same exclude-in-flight replay discipline either way;
     crash-recoverable via the fsutil marker protocol (gated by
-    tests/test_tiered_compact.py).  The MinHashIndex and the accepted
-    dataset keep their full-replacement compactors in both modes
-    (their compaction IS a whole-table rewrite by construction)."""
+    tests/test_tiered_compact.py).  As of round 13 the MinHashIndex
+    folds with the same cadence and mode as the other stores (its
+    batch-partitioned band/shingle tables concatenate distributively,
+    so tiered levels read exactly like batches - and the shingle table
+    is the CORPUS-scale store where O(recent) folding matters most);
+    only the accepted dataset keeps its full-replacement compactor
+    (its fold rewrites the (lang, split) layout by construction)."""
 
     def __init__(self, index_path: str, out_path: str,
                  text_col: str = "text", id_col: str = "doc_id",
@@ -298,6 +392,14 @@ class CurationSink:
         self.funnel_by_batch: dict[int, dict[str, int]] = {}
         self._adds = 0
         self._bench: DataFrame | None = None
+        # read-side handle caches (index / bloom / lm), keyed by store;
+        # see _CachedStore - dropped before any compaction, parts
+        # refreshed after every append
+        self._store_cache: dict[str, _CachedStore] = {}
+        # per-batch phase walls (seconds), appended by __call__ - the
+        # observability hook the floor work measures against; one small
+        # dict per batch, no Spark cost
+        self.phase_log: list[dict] = []
 
     @staticmethod
     def _path_exists(spark, path: str) -> bool:
@@ -315,11 +417,23 @@ class CurationSink:
         return totals
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        _t0 = _time.perf_counter()
+        _ph: dict = {"batch_id": batch_id}
+
+        def _mark(name: str, since: float) -> float:
+            now = _time.perf_counter()
+            _ph[name] = round(now - since, 3)
+            return now
+
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession
+        _t = _mark("guard_s", _t0)
 
-        def run_compact(handle, *full_args) -> None:
+        def run_compact(handle, *full_args, cache_key: str | None = None
+                        ) -> None:
             # the compact_every maintenance fold, in the configured
             # mode: "tiered" folds only the batches appended since the
             # last fold into a new negative level (O(recent) write
@@ -329,8 +443,19 @@ class CurationSink:
             # the whole history every cadence.  Either way the
             # in-flight batch stays hideable (exclude_batch), so the
             # replay-exclusion argument is intact.
+            #
+            # the handle cache drops BEFORE the fold: the fold
+            # reshapes partitions, and if it crashes mid-swap the
+            # rebuild's recover_tables heals it before re-freezing
+            # listings
+            if cache_key is not None:
+                self._store_cache.pop(cache_key, None)
             if self.compact_mode == "tiered":
-                handle.compact_tiered(exclude_batch=batch_id,
+                # full_args (the Bloom handle's compact_target_mb)
+                # forward to the tiered fallback's full merge too -
+                # without this a non-default target was silently
+                # ignored in tiered mode
+                handle.compact_tiered(*full_args, exclude_batch=batch_id,
                                       max_levels=self.compact_max_levels)
             else:
                 handle.compact(*full_args, exclude_batch=batch_id)
@@ -338,6 +463,17 @@ class CurationSink:
             # static eval set: read once, cache across micro-batches -
             # every batch pays one broadcast gram join, never a re-read
             self._bench = spark.read.parquet(self.benchmarks_path).cache()
+        if (self.compact_every and self._adds
+                and self._adds % self.compact_every == 0):
+            # MinHash index + accepted-output folds, in the same
+            # pre-batch + exclude-in-flight position as the other
+            # stores below (pre-round-13 these ran post-append; the
+            # batch-partitioned index layout lets them share the
+            # uniform discipline - a failed attempt's batch=<id>
+            # partitions stay hideable through the fold)
+            run_compact(MinHashIndex.load(spark, self.index_path),
+                        self.compact_target_mb, cache_key="index")
+            self.compact_accepted(spark, before_batch=batch_id)
         if self.seen_bloom_path is not None:
             from ..operators.bloom import BloomIndex
 
@@ -358,7 +494,7 @@ class CurationSink:
                 # history would defeat exclude_batch and make the
                 # replay reject its own rows (see BloomIndex.compact)
                 run_compact(BloomIndex.load(spark, self.seen_bloom_path),
-                            self.compact_target_mb)
+                            self.compact_target_mb, cache_key="bloom")
         lm_kwargs = {}
         lm = None
         if self.lm_path is not None:
@@ -372,7 +508,7 @@ class CurationSink:
                     and self._adds % self.compact_every == 0):
                 # same pre-batch + exclude-in-flight discipline as the
                 # bloom compaction above
-                run_compact(NgramLM.load(spark, self.lm_path))
+                run_compact(NgramLM.load(spark, self.lm_path), cache_key="lm")
         if self.bm25_path is not None:
             from ..operators.retrieval import Bm25Index
 
@@ -443,23 +579,51 @@ class CurationSink:
 
                 self._langid = LangIdModel.load(spark, self.langid_path)
             clf_kwargs["langid"] = self._langid
-        # ---- parallel load phase: the three read-side handles are
-        # independent model-sized jobs (MinHash meta, Bloom meta,
-        # NgramLM meta + V/gram counts); Spark schedules concurrent
-        # jobs from driver threads, so the phase costs max(loads)
-        # instead of their sum - part of the round-12 micro-batch
-        # floor work.  All cadence compactions ran ABOVE, serially,
-        # so no load can race a swap.
+        # ---- cached load phase (round-13): each read-side handle is
+        # assembled from the sink's _CachedStore (meta + frozen base
+        # listing + per-batch partition reads), always AS OF THIS
+        # BATCH'S PREDECESSORS via view(..., exclude=batch_id) - the
+        # replay discipline lives in the per-batch view assembly, never
+        # in a cached exclusion view.  Steady state costs ZERO Spark
+        # jobs here except an NgramLM stats recount on a cache miss
+        # (first batch, post-compaction rebuild, or an out-of-sequence
+        # replay id); the loads still run on driver threads so any
+        # miss recount overlaps.  All cadence compactions ran ABOVE,
+        # serially (each drops its store's cache entry first), so no
+        # cached listing can race a swap.
         def _load_index():
-            return MinHashIndex.load(spark, self.index_path)
+            c = self._store_cache.get("index")
+            if c is None:
+                c = _CachedStore(spark, self.index_path, lambda m: {
+                    "bands": f"id {m['id_type']}, bucket string, band int",
+                    "shingles": f"id {m['id_type']}, sh array<string>",
+                })
+                self._store_cache["index"] = c
+            m = c.meta
+            params = {"n": int(m["n"]),
+                      "num_hashes": int(m["num_hashes"]),
+                      "bands": int(m["bands"]), "hash_fn": m["hash_fn"]}
+            bands = c.view("bands", batch_id).select(
+                "id", F.col("band").cast("int").alias("band"), "bucket")
+            return MinHashIndex(bands, c.view("shingles", batch_id),
+                                params, path=self.index_path)
 
         def _load_bloom():
             from ..operators.bloom import BloomIndex
 
-            # probe the filter as of this batch's PREDECESSORS: a
-            # replayed batch must not see its own first attempt
-            return BloomIndex.load(spark, self.seen_bloom_path,
-                                   exclude_batch=batch_id)
+            c = self._store_cache.get("bloom")
+            if c is None:
+                c = _CachedStore(spark, self.seen_bloom_path,
+                                 lambda m: {"words": "word long, bits long"})
+                self._store_cache["bloom"] = c
+            words = (
+                c.view("words", batch_id)
+                .groupBy("word")
+                .agg(F.expr("bit_or(bits)").alias("bits"))
+            )
+            return BloomIndex(words, int(c.meta["m"]), int(c.meta["k"]),
+                              int(c.meta["seed"]),
+                              path=self.seen_bloom_path)
 
         def _load_lm():
             from ..operators.lm import NgramLM
@@ -470,11 +634,52 @@ class CurationSink:
             # scorable doc ppl == 1 (V=1 uniform): seed the model
             # before trusting the band, or set min_ppl <= 1 while it
             # warms up.
-            return NgramLM.load(spark, self.lm_path,
-                                exclude_batch=batch_id)
+            c = self._store_cache.get("lm")
+            if c is None:
+                c = _CachedStore(spark, self.lm_path, lambda m: {
+                    "grams": "ctx string, tok string, cnt long",
+                    "contexts": "ctx string, total long",
+                    "vocab": "tok string",
+                })
+                self._store_cache["lm"] = c
+            grams = c.view("grams", batch_id).groupBy("ctx", "tok").agg(
+                F.sum("cnt").alias("cnt"))
+            contexts = c.view("contexts", batch_id).groupBy("ctx").agg(
+                F.sum("total").alias("total"))
+            vocab = c.view("vocab", batch_id).distinct()
+            # V and gram_rows must be as-of-predecessors EXACTLY (V is
+            # in the smoothing denominator - a stale count changes ppl
+            # verdicts).  The post-append phase precomputes them for
+            # the next batch id; any other id (replay, restart,
+            # static model) recounts against its own exclusion view.
+            if ((c.stats.get("for_batch") == batch_id
+                 and batch_id not in c.base_ids["grams"])
+                    or c.stats.get("static")):
+                # the precompute ran over view(exclude=None); it is
+                # only valid when excluding THIS id hides nothing the
+                # precompute saw - parts cannot hold this id yet, so
+                # only a frozen-base partition (a restart reusing ids
+                # over an old store) can disqualify it
+                v_size, gram_rows = c.stats["V"], c.stats["gram_rows"]
+            else:
+                v_size, gram_rows = max(vocab.count(), 1), grams.count()
+                if (not self.lm_accumulate
+                        and not any(i >= 0 for i in c.base_ids["grams"])):
+                    # nothing is ever appended AND no positive
+                    # partition exists for an exclusion to hide: the
+                    # counts are constant for the sink's lifetime
+                    c.stats = {"static": True, "V": v_size,
+                               "gram_rows": gram_rows}
+            lm = NgramLM(grams, contexts, int(c.meta["n"]),
+                         float(c.meta["k"]), v_size, gram_rows,
+                         path=self.lm_path,
+                         digit_bucket=bool(c.meta["digit_bucket"]))
+            lm._vocab_df = vocab
+            return lm
 
         from concurrent.futures import ThreadPoolExecutor
 
+        _t = _mark("setup_s", _t)
         loads = {"index": _load_index}
         if self.seen_bloom_path is not None:
             loads["bloom"] = _load_bloom
@@ -488,6 +693,7 @@ class CurationSink:
         lm = handles.get("lm")
         if lm is not None:
             lm_kwargs["lm"] = lm
+        _t = _mark("load_s", _t)
 
         annotated = curate_annotated(
             batch_df, index=index,
@@ -498,6 +704,7 @@ class CurationSink:
             **clf_kwargs,
             **self.curate_kwargs,
         ).localCheckpoint()
+        _t = _mark("funnel_s", _t)
         accepted = annotated.filter(F.col("reject_reason").isNull()).drop(
             "reject_reason"
         )
@@ -506,6 +713,7 @@ class CurationSink:
             .partitionBy("lang", "split")
             .parquet(f"{self.out_path}/ingest_batch={batch_id}")
         )
+        _t = _mark("write_s", _t)
         # ---- parallel append phase: every store append is an
         # independent O(batch) job over the CHECKPOINTED annotated
         # frame, each writing to its own path with the overwrite-per-
@@ -518,9 +726,12 @@ class CurationSink:
         # landed when the batch fails, and the replay overwrites every
         # store's own partition.
         def _add_index():
+            # overwrite-per-batch (round-13 layout): a replay rewrites
+            # its own batch=<id> partitions, duplicating nothing
             index.add_batch(
                 accepted.select(self.id_col, self.text_col),
                 text_col=self.text_col, id_col=self.id_col, reload=False,
+                batch_id=batch_id,
             )
 
         def _add_bloom():
@@ -596,17 +807,44 @@ class CurationSink:
             for f in futs:
                 f.result()  # re-raise the first append failure
             # the appends are durable at this point: bump the cadence
-            # counter and run the cadence compaction BEFORE draining
-            # the accounting future - the pre-round-12 ordering, which
-            # the replay tests pin (a failure in the accounting step
-            # must still leave _adds bumped and the compaction run, so
-            # the replay exercises the exclude-in-flight discipline)
+            # counter BEFORE draining the accounting future (a failure
+            # in the accounting step must still leave _adds bumped so
+            # the replay's pre-batch compactions exercise the
+            # exclude-in-flight discipline).  All cadence folds -
+            # including the MinHash index's, as of round 13 - run in
+            # the pre-batch block at the TOP of __call__.
             self._adds += 1
-            if self.compact_every and self._adds % self.compact_every == 0:
-                MinHashIndex.load(spark, self.index_path).compact(
-                    self.compact_target_mb)
-                self.compact_accepted(spark, before_batch=batch_id)
+            # refresh the cached per-batch partition reads over what
+            # was just (durably) written, and precompute the NgramLM
+            # V/gram-row counts the NEXT batch id will need - two
+            # model-sized jobs that overlap the funnel-accounting
+            # drain instead of sitting on the next batch's load path
+            stats_fut = None
+            idxc = self._store_cache.get("index")
+            if idxc is not None:
+                idxc.refresh_part(batch_id)
+            bloomc = self._store_cache.get("bloom")
+            if bloomc is not None and bloom is not None:
+                bloomc.refresh_part(batch_id)
+            lmc = self._store_cache.get("lm")
+            if lmc is not None and lm is not None and self.lm_accumulate:
+                lmc.refresh_part(batch_id)
+
+                def _precompute_lm_stats(c=lmc):
+                    vocab = c.view("vocab", None).distinct()
+                    grams = c.view("grams", None).groupBy("ctx", "tok").agg(
+                        F.sum("cnt").alias("cnt"))
+                    c.stats = {"for_batch": batch_id + 1,
+                               "V": max(vocab.count(), 1),
+                               "gram_rows": grams.count()}
+
+                stats_fut = pool.submit(_precompute_lm_stats)
             counts = counts_fut.result()
+            if stats_fut is not None:
+                stats_fut.result()
+        _t = _mark("append_s", _t)
+        _ph["total_s"] = round(_time.perf_counter() - _t0, 3)
+        self.phase_log.append(_ph)
         self.funnel_by_batch[batch_id] = counts
         if self.ledger:
             # durable accounting: one overwrite-dir per batch, same

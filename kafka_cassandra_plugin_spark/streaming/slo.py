@@ -335,6 +335,7 @@ def measure_funnel_cadence(
         "gates": ["quality", "ppl_out_of_band", "contaminated",
                   "seen_before", "exact_dup", "near_dup_batch",
                   "near_dup_corpus"],
+        "phases": sink.phase_log,
     }
 
 

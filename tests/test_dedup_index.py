@@ -170,7 +170,10 @@ class TestPersistence:
         import os
         path = str(tmp_path_factory.mktemp("mhidx_layout"))
         index.save(path)
-        parts = {d for d in os.listdir(f"{path}/bands") if d.startswith("band=")}
+        # round-13 layout: batch=<id>/band=<b> - save() consolidates
+        # into the COMPACT_BATCH (-1) partition
+        base = f"{path}/bands/batch=-1"
+        parts = {d for d in os.listdir(base) if d.startswith("band=")}
         assert len(parts) == index.params["bands"]
 
     def test_add_batch_visible_to_next_batch(self, spark, batch, index,
@@ -210,18 +213,28 @@ class TestPersistence:
             loaded = loaded.add_batch(add)
 
         def files_per_band():
-            return {
-                d: len([f for f in os.listdir(f"{path}/bands/{d}")
-                        if f.endswith(".parquet")])
-                for d in os.listdir(f"{path}/bands") if d.startswith("band=")
-            }
+            # (batch_dir, band_dir) -> parquet file count, across all
+            # batch partitions of the round-13 layout
+            out = {}
+            for bd in os.listdir(f"{path}/bands"):
+                if not bd.startswith("batch="):
+                    continue
+                for d in os.listdir(f"{path}/bands/{bd}"):
+                    if d.startswith("band="):
+                        out[(bd, d)] = len(
+                            [f for f in os.listdir(f"{path}/bands/{bd}/{d}")
+                             if f.endswith(".parquet")])
+            return out
 
         before_links = {(r.corpus_id, r.new_id, r.jaccard)
                         for r in loaded.match_batch(batch).collect()}
-        assert max(files_per_band().values()) >= 4
+        # 1 save + 3 appends = 4 batch partitions before compaction
+        assert len({bd for bd, _ in files_per_band()}) == 4
         compacted = loaded.compact()
         after = files_per_band()
-        assert max(after.values()) <= 2 and len(after) == index.params["bands"]
+        assert {bd for bd, _ in after} == {"batch=-1"}
+        assert max(after.values()) <= 2
+        assert len(after) == index.params["bands"]
         after_links = {(r.corpus_id, r.new_id, r.jaccard)
                        for r in compacted.match_batch(batch).collect()}
         assert after_links == before_links and len(after_links) > 0
@@ -229,3 +242,104 @@ class TestPersistence:
     def test_compact_in_memory_refused(self, index):
         with pytest.raises(ValueError):
             index.compact()
+
+
+class TestExactlyOnceLayout:
+    """Round-13 batch-partitioned layout: overwrite-per-batch appends
+    (a replayed add_batch duplicates nothing), as-of-predecessors
+    probes via load(exclude_batch=), from-scratch init, and the tiered
+    compaction path."""
+
+    def _rows(self, df):
+        return sorted(map(tuple, df.collect()))
+
+    def test_replayed_add_batch_duplicates_nothing(self, spark, batch,
+                                                   index, tmp_path):
+        path = str(tmp_path / "idx")
+        loaded = index.save(path)
+        add = batch.filter(F.col("doc_id") >= 2_000_000)
+        loaded.add_batch(add, batch_id=7, reload=False)
+        once = self._rows(MinHashIndex.load(spark, path).bands)
+        # at-least-once replay: same batch id lands again
+        MinHashIndex.load(spark, path).add_batch(add, batch_id=7,
+                                                 reload=False)
+        twice = self._rows(MinHashIndex.load(spark, path).bands)
+        assert twice == once
+        sh = self._rows(
+            MinHashIndex.load(spark, path).shingles.select("id"))
+        assert len(sh) == len(set(sh))
+
+    def test_exclude_batch_hides_partition(self, spark, batch, index,
+                                           tmp_path):
+        path = str(tmp_path / "idx")
+        loaded = index.save(path)
+        add = batch.filter(F.col("doc_id") >= 2_000_000)
+        loaded.add_batch(add, batch_id=3, reload=False)
+        n_add = add.count()
+        full = MinHashIndex.load(spark, path)
+        hidden = MinHashIndex.load(spark, path, exclude_batch=3)
+        assert (full.shingles.count() - hidden.shingles.count()) == n_add
+        # a replayed batch probing with its own id excluded sees the
+        # corpus exactly as its predecessors left it
+        base = self._rows(index.shingles.select("id"))
+        assert self._rows(hidden.shingles.select("id")) == base
+
+    def test_init_empty_then_probe_and_grow(self, spark, batch, tmp_path):
+        path = str(tmp_path / "idx")
+        idx = MinHashIndex.init(spark, path, n=3, num_hashes=16, bands=8)
+        assert idx.params["num_hashes"] == 16
+        # probing an empty index matches nothing and raises nothing
+        assert idx.match_batch(batch).count() == 0
+        add = batch.filter(F.col("doc_id") >= 2_000_000)
+        idx = idx.add_batch(add, batch_id=0)
+        dup = add.select((F.col("doc_id") + 9_000_000).alias("doc_id"),
+                         "text")
+        matched = idx.match_batch(dup)
+        assert matched.count() >= add.count()
+
+    def test_auto_batch_id_assignment(self, spark, batch, index, tmp_path):
+        from kafka_cassandra_plugin_spark.fsutil import list_batch_ids
+
+        path = str(tmp_path / "idx")
+        loaded = index.save(path)
+        add = batch.filter(F.col("doc_id") >= 2_000_000)
+        loaded = loaded.add_batch(add)   # auto: 0
+        loaded.add_batch(add.select((F.col("doc_id") + 1).alias("doc_id"),
+                                    "text"))  # auto: 1
+        ids = list_batch_ids(spark, f"{path}/bands")
+        assert ids == [-1, 0, 1]
+
+    def test_compact_tiered_lossless_and_fallback(self, spark, batch,
+                                                  index, tmp_path):
+        path = str(tmp_path / "idx")
+        loaded = index.save(path)
+        for i in range(3):
+            add = batch.filter(F.col("doc_id") >= 2_000_000).select(
+                (F.col("doc_id") + (i + 1) * 10_000_000).alias("doc_id"),
+                "text")
+            loaded.add_batch(add, batch_id=i, reload=False)
+        before = {(r.corpus_id, r.new_id, r.jaccard)
+                  for r in MinHashIndex.load(spark, path)
+                  .match_batch(batch).collect()}
+        tiered = MinHashIndex.load(spark, path).compact_tiered()
+        after = {(r.corpus_id, r.new_id, r.jaccard)
+                 for r in tiered.match_batch(batch).collect()}
+        assert after == before and len(after) > 0
+        from kafka_cassandra_plugin_spark.fsutil import list_batch_ids
+        ids = list_batch_ids(spark, f"{path}/bands")
+        assert all(i < 0 for i in ids) and len(ids) == 2  # -1 save + level
+        # max_levels=1 already exceeded -> fallback to the full merge
+        MinHashIndex.load(spark, path).add_batch(
+            batch.filter(F.col("doc_id") >= 2_000_000).select(
+                (F.col("doc_id") + 77_000_000).alias("doc_id"), "text"),
+            batch_id=9, reload=False)
+        full = MinHashIndex.load(spark, path).compact_tiered(max_levels=1)
+        ids = list_batch_ids(spark, f"{path}/bands")
+        assert ids == [-1]
+        again = {(r.corpus_id, r.new_id, r.jaccard)
+                 for r in full.match_batch(batch).collect()}
+        # batch 9 added 77M-shifted copies of the novel docs, so the
+        # full merge legitimately adds those links; everything else is
+        # byte-identical to the pre-compaction link set
+        assert {l for l in again if l[0] < 77_000_000} == before
+        assert len(again) > len(before)

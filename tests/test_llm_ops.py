@@ -97,6 +97,17 @@ class TestAnnRecall:
     def test_exact_self_recall(self, exact):
         assert S.recall_at_k(exact, exact, self.K) == 1.0
 
+    def test_portable_ivf_recall(self, emb, exact):
+        # the declared hash-matched IVF row (round 13): 1-in-125 sample
+        # quantizer, nprobe=10 - at the 2k-vector gate corpus that is
+        # 16 cells with 10 probed, so recall tracks the learned
+        # nlist=16 index's 0.94 closely
+        q = emb.filter(F.col("vec_id") % 10 == 0)
+        approx = S.ivf_topk_portable(emb, q, k=self.K, nprobe=10,
+                                     sample_mod=125)
+        r = S.recall_at_k(approx, exact, self.K)
+        assert r >= 0.85, f"portable IVF recall@{self.K} too low: {r}"
+
     def test_portable_lsh_recall(self, emb, exact):
         # the declared hash-matched row (fixed 4x6 geometry, hamming-2
         # probes): measured 0.94 sf0.001 / 0.95 sf0.01 (hamming-1 was

@@ -432,6 +432,18 @@ class TestPngSubByteGrey:
         assert out.shape == (1, 2, 4)
         assert np.array_equal(out[0, :, 3], [0, 255])
 
+    @pytest.mark.parametrize("channels", [2, 4])
+    def test_trns_prohibited_with_alpha_color_types(self, channels):
+        """RFC 2083 §4.2.1 prohibits tRNS on grey-alpha (4) and RGBA
+        (6); the codec fails loudly instead of silently ignoring it."""
+        px = np.full((1, 2, channels), 9, dtype=np.uint8)
+        base = mc.encode_png(px)
+        at = base.index(b"IDAT") - 4
+        data = (base[:at] + _chunk(b"tRNS", struct.pack(">H", 9))
+                + base[at:])
+        with pytest.raises(ValueError, match="tRNS.*not allowed"):
+            mc.decode_png(data)
+
 
 class TestPngAdam7:
     def test_canonical_pass_map(self):

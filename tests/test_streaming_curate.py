@@ -184,21 +184,28 @@ class TestCompactionHook:
         b = {r.doc_id
              for r in accepted_dataset(spark, compacting.out_path).collect()}
         assert a == b and len(a) > 0
-        bands_dir = f"{compacting.index_path}/bands"
-        per_band = [
-            len([f for f in os.listdir(f"{bands_dir}/{d}")
-                 if f.endswith(".parquet")])
-            for d in os.listdir(bands_dir) if d.startswith("band=")
-        ]
-        assert per_band and max(per_band) <= 2
-        # uncompacted control: build + 2 appends -> >=3 files somewhere
-        plain_bands = f"{plain.index_path}/bands"
-        plain_max = max(
-            len([f for f in os.listdir(f"{plain_bands}/{d}")
-                 if f.endswith(".parquet")])
-            for d in os.listdir(plain_bands) if d.startswith("band=")
-        )
-        assert plain_max >= 3
+
+        def files_per_band(root):
+            # parquet files per band ACROSS the round-13 batch
+            # partitions (batch=<id>/band=<b>)
+            out: dict = {}
+            for bd in os.listdir(root):
+                if not bd.startswith("batch="):
+                    continue
+                for d in os.listdir(f"{root}/{bd}"):
+                    if d.startswith("band="):
+                        out[d] = out.get(d, 0) + len(
+                            [f for f in os.listdir(f"{root}/{bd}/{d}")
+                             if f.endswith(".parquet")])
+            return out
+
+        # compact_every=1, pre-batch cadence: the fold before batch 1
+        # consolidated {save, batch 0}; batch 1 stays young -> <= 2
+        # files per band against the uncompacted control's >= 3
+        per_band = files_per_band(f"{compacting.index_path}/bands")
+        assert per_band and max(per_band.values()) <= 2
+        plain_per_band = files_per_band(f"{plain.index_path}/bands")
+        assert max(plain_per_band.values()) >= 3
 
 
 class TestAcceptedCompaction:
@@ -231,15 +238,23 @@ class TestAcceptedCompaction:
 
         assert rows(plain.out_path) == rows(comp.out_path)
         assert len(g.glob(f"{plain.out_path}/ingest_batch=*")) == 3
-        # batches 0 and 1 merged into ingest_batch=0; batch 2 untouched
+        # round-13 pre-batch cadence: after 3 appends the fold is
+        # PENDING (it runs at the next batch's entry, with that batch
+        # excluded), so all 3 dirs still stand
+        comp_dirs = sorted(g.glob(f"{comp.out_path}/ingest_batch=*"))
+        assert [d.rsplit("=", 1)[1] for d in comp_dirs] == ["0", "1", "2"]
+        # replay of the current batch: its entry runs the pending fold
+        # (before_batch=2 -> dirs 0+1 merge into 0; the in-flight dir 2
+        # is excluded and then overwritten by the replay) - data rows
+        # unchanged, dir count bounded
+        comp(b3, 2)
+        assert rows(comp.out_path) == rows(plain.out_path)
         comp_dirs = sorted(g.glob(f"{comp.out_path}/ingest_batch=*"))
         assert [d.rsplit("=", 1)[1] for d in comp_dirs] == ["0", "2"]
         # ingest_batch of merged rows reads as the provenance floor
         merged = accepted_dataset(spark, comp.out_path)
-        assert {r.ingest_batch for r in merged.select("ingest_batch").distinct().collect()} == {0, 2}
-        # replay of the current batch after compaction: still idempotent
-        comp(b3, 2)
-        assert rows(comp.out_path) == rows(plain.out_path)
+        assert {r.ingest_batch for r in
+                merged.select("ingest_batch").distinct().collect()} == {0, 2}
 
     def test_compact_accepted_noop_below_two_dirs(self, spark, corpus, docs,
                                                   tmp_path):
@@ -926,3 +941,72 @@ class TestCommonnessMaintenance:
             r["count"] for r in
             CommonnessIndex.load(spark, ci_path).table().collect())
         assert total == accepted.count()
+
+
+class TestIndexExactlyOnce:
+    """Round-13: the MinHash index follows the overwrite-per-batch +
+    exclude-in-flight discipline of the other six stores."""
+
+    def test_replay_with_intra_batch_dups_identical_and_no_growth(
+            self, spark, corpus, docs, tmp_path):
+        sink = fresh_sink(spark, corpus, tmp_path)
+        b1, _ = make_batches(docs)
+        # plant an intra-batch near-dup cluster: two fresh ids sharing
+        # one text (jaccard 1.0) that appears NOWHERE else in the batch
+        # or corpus - the min id survives, the other is near_dup_batch;
+        # the replay must reproduce both verdicts
+        donor = docs.filter(F.col("doc_id") % 3 == 2).limit(1)
+        seed = donor.select(F.lit(8_000_001).alias("doc_id"), "text")
+        twin = seed.select(F.lit(8_000_002).alias("doc_id"), "text")
+        batch = b1.unionByName(seed).unionByName(twin)
+        sink(batch, 0)
+        first = {r.doc_id for r in
+                 accepted_dataset(spark, sink.out_path).collect()}
+        assert 8_000_001 in first and 8_000_002 not in first
+        counts_first = dict(sink.funnel_by_batch[0])
+        rows_first = MinHashIndex.load(spark, sink.index_path).bands.count()
+        sink(batch, 0)  # at-least-once replay
+        again = {r.doc_id for r in
+                 accepted_dataset(spark, sink.out_path).collect()}
+        assert again == first
+        assert dict(sink.funnel_by_batch[0]) == counts_first
+        # overwrite-per-batch: the replay duplicated NOTHING
+        rows_again = MinHashIndex.load(spark, sink.index_path).bands.count()
+        assert rows_again == rows_first
+
+    def test_index_partitions_keyed_by_batch_id(self, spark, corpus, docs,
+                                                tmp_path):
+        from kafka_cassandra_plugin_spark.fsutil import list_batch_ids
+
+        sink = fresh_sink(spark, corpus, tmp_path)
+        b1, b2 = make_batches(docs)
+        sink(b1, 0)
+        sink(b2, 1)
+        ids = list_batch_ids(spark, f"{sink.index_path}/bands")
+        assert set(ids) == {-1, 0, 1}
+
+    def test_tiered_mode_folds_index_same_results(self, spark, corpus,
+                                                  docs, tmp_path):
+        from kafka_cassandra_plugin_spark.fsutil import list_batch_ids
+
+        b1, b2 = make_batches(docs)
+        half = b2.filter(F.col("doc_id") % 2 == 0)
+        sink = fresh_sink(spark, corpus, tmp_path / "t",
+                          compact_every=2, compact_mode="tiered")
+        sink(b1, 0)
+        sink(half, 1)
+        sink(b2, 2)  # cadence fires pre-batch here (adds == 2)
+        tiered_out = {r.doc_id for r in
+                      accepted_dataset(spark, sink.out_path).collect()}
+        ids = list_batch_ids(spark, f"{sink.index_path}/bands")
+        # batches 0/1 folded into a level; 2 still a young partition
+        assert set(i for i in ids if i >= 0) == {2}
+        assert any(i < 0 for i in ids)
+
+        ref = fresh_sink(spark, corpus, tmp_path / "f")
+        ref(b1, 0)
+        ref(half, 1)
+        ref(b2, 2)
+        ref_out = {r.doc_id for r in
+                   accepted_dataset(spark, ref.out_path).collect()}
+        assert tiered_out == ref_out
