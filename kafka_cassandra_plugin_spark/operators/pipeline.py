@@ -144,6 +144,7 @@ def curate_annotated(
     seen=None,
     split_fractions: dict[str, float] | None = None,
     split_salt: str = "",
+    substrate: dict | None = None,
 ) -> DataFrame:
     """Every batch row, annotated + tagged: ``reject_reason`` (null =
     accepted) and ``split`` (null for rejected rows).  See module doc
@@ -423,7 +424,14 @@ def curate_annotated(
     rn = F.row_number().over(
         Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
     )
-    gated = gated.withColumn("__rn", rn).localCheckpoint()
+    # no checkpoint here (round-13 floor work): the window is
+    # deterministic (partition sha2(text), order id), so its downstream
+    # consumers - exact_rej and surv, all materialized inside the
+    # shared-substrate checkpoint and the final attribution job -
+    # recompute identical row numbers; re-running the window is
+    # O(batch) row work inside jobs that already exist, where a
+    # checkpoint is one more serialized job on the micro-batch floor
+    gated = gated.withColumn("__rn", rn)
     exact_rej = gated.filter(F.col("__rn") > 1).select(
         F.col(id_col).alias("__rid"), F.lit("exact_dup").alias("__reason")
     )
@@ -451,9 +459,14 @@ def curate_annotated(
     pairs = minhash_lsh_dedup_pairs(
         surv, text_col, id_col, threshold=near_dup_threshold,
         exploded=exploded_surv, **mh_params
-    ).select("id_a", "id_b").localCheckpoint()
+    ).select("id_a", "id_b")
     id_schema = surv.select(F.col(id_col)).schema
     spark = surv.sparkSession
+    # collect the capped head directly - no checkpoint first: the fast
+    # path consumes pairs exactly once (this collect), so a checkpoint
+    # would materialize the band-join + verify plan twice per
+    # micro-batch for nothing.  Only the distributed fallback (which
+    # reuses pairs across label-propagation rounds) checkpoints.
     head = pairs.limit(MAX_DRIVER_PAIRS + 1).collect()
     if len(head) <= MAX_DRIVER_PAIRS:
         drops = sorted(union_find_drops((r.id_a, r.id_b) for r in head))
@@ -475,6 +488,9 @@ def curate_annotated(
             ).schema,
         )
     else:
+        # above the driver cap: checkpoint pairs (the labeler iterates
+        # over them), then resolve survivors distributed
+        pairs = pairs.localCheckpoint()
         kept = survivors_from_pairs(
             surv, pairs, id_col=id_col
         ).localCheckpoint()
@@ -489,6 +505,17 @@ def curate_annotated(
     rejects = exact_rej.unionByName(near_rej)
     for jr in join_rejects:
         rejects = rejects.unionByName(jr)
+
+    # substrate out-param (round-13 floor work): expose the shared
+    # shingle frame so a sink caller can pass it to
+    # MinHashIndex.add_batch instead of re-shingling the accepted rows
+    # in its append phase (one fewer explode+checkpoint job per
+    # micro-batch).  (id, sh) rows for KEPT docs at the INDEX's n -
+    # exactly the add_batch contract after the caller semi-joins to
+    # its accepted ids.
+    if substrate is not None:
+        substrate["exploded_kept"] = exploded_kept
+        substrate["n"] = mh_params.get("n", 3)
 
     # stage 5: near-dups of the indexed corpus (probing the shared
     # substrate filtered to kept ids - no re-shingle)

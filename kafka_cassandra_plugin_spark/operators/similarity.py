@@ -397,7 +397,8 @@ def cosine_foldexact_pandas(a, b) -> Column:
 def ivf_topk_portable(corpus: DataFrame, queries: DataFrame, k: int = 10,
                       nprobe: int = 10, sample_mod: int = 125,
                       id_col: str = "vec_id", vec_col: str = "embedding",
-                      assigned: DataFrame | None = None) -> DataFrame:
+                      assigned: DataFrame | None = None,
+                      sample_cap: int | None = None) -> DataFrame:
     """IVF-flat top-k whose EVERY arithmetic step is cross-engine exact,
     so a static SQL oracle re-derives the cell assignment, the probe
     set, the candidate enumeration AND the re-rank scores - the
@@ -429,12 +430,31 @@ def ivf_topk_portable(corpus: DataFrame, queries: DataFrame, k: int = 10,
     ``assigned``: a precomputed (cid, neighbor_id, n_vec) cell table
     (the build-once/probe-many handle - callers that probe repeatedly
     checkpoint :func:`ivf_portable_assign`'s output once).
+
+    ``sample_cap``: also require ``id < sample_cap`` of the sampled
+    centroids - the growth governor (round-13 sf10 campaign).  Without
+    it the quantizer grows with the corpus (nlist = N/sample_mod), so
+    assignment is O(N^2/sample_mod) fold-exact cosine - measured
+    2.2 s -> 246 s for a 10x corpus.  A capped sample pins the
+    quantizer the way a served index pins its trained quantizer to a
+    fit snapshot: assignment becomes O(N * cap/sample_mod) (linear),
+    and only per-list candidate counts grow with the corpus.  Callers
+    choose the cap so the gated-scale results are unchanged (every
+    vec_id < 2000 at sf0.1, so cap=2000 is the identity there).
     """
-    cents = corpus.filter(F.col(id_col) % sample_mod == 0).select(
+    cents = corpus.filter(F.col(id_col) % sample_mod == 0)
+    if sample_cap is not None:
+        cents = cents.filter(F.col(id_col) < sample_cap)
+    cents = cents.select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cent_vec")
     )
     if assigned is None:
         assigned = ivf_portable_assign(corpus, cents, id_col, vec_col)
+    # every score site is the ARROW-BATCHED fold-exact cosine (the
+    # rp_lsh_topk_portable precedent: same doubles as the interpreted
+    # cosine() and the DuckDB oracle, vectorized across rows) - the
+    # interpreted-HOF form here cost ~12 s at sf0.1 / 141 s at sf1 for
+    # the identical plan (round-13 campaign)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -443,7 +463,8 @@ def ivf_topk_portable(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
     probes = (
         q.crossJoin(F.broadcast(cents))
-        .withColumn("p_score", cosine(F.col("q_vec"), F.col("cent_vec")))
+        .withColumn("p_score", cosine_foldexact_pandas(
+            F.col("q_vec"), F.col("cent_vec")))
         .withColumn("p_rn", F.row_number().over(pw))
         .filter(F.col("p_rn") <= nprobe)
         .select("query_id", "q_vec", "cid")
@@ -455,7 +476,8 @@ def ivf_topk_portable(corpus: DataFrame, queries: DataFrame, k: int = 10,
         F.col("score").desc(), F.col("neighbor_id")
     )
     return (
-        cands.withColumn("score", cosine(F.col("q_vec"), F.col("n_vec")))
+        cands.withColumn("score", cosine_foldexact_pandas(
+            F.col("q_vec"), F.col("n_vec")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
@@ -474,8 +496,11 @@ def ivf_portable_assign(corpus: DataFrame, cents: DataFrame,
     c = ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
     )
+    # Arrow-batched fold-exact cosine (NOT the interpreted HOF form):
+    # same doubles, vectorized - see ivf_topk_portable's note
     scored = c.crossJoin(F.broadcast(cents)).withColumn(
-        "a_score", cosine(F.col("n_vec"), F.col("cent_vec"))
+        "a_score", cosine_foldexact_pandas(
+            F.col("n_vec"), F.col("cent_vec"))
     )
     return scored.groupBy("neighbor_id").agg(
         F.first("n_vec").alias("n_vec"),

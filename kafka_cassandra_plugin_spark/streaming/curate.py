@@ -85,11 +85,13 @@ class _CachedStore:
     Explicit schemas throughout: an empty partition (accepted-empty
     batch under partitionBy) has no parquet footer to infer."""
 
-    def __init__(self, spark, path: str, schemas_fn):
+    def __init__(self, spark, path: str, schemas_fn,
+                 persist_mb: float = 0.0):
         from ..fsutil import recover_tables
 
         self.spark = spark
         self.path = path
+        self._persisted: list[DataFrame] = []
         # meta first (it never participates in a swap): some stores'
         # table schemas depend on it (the MinHash index's id_type)
         self.meta = spark.read.parquet(f"{path}/meta").collect()[0]
@@ -101,6 +103,26 @@ class _CachedStore:
                 f"{path}/{name}")
             for name, schema in self.schemas.items()
         }
+        # pin small base tables in executor memory (round-13): every
+        # per-batch probe job then reads cached blocks instead of
+        # re-decoding parquet.  Guarded by on-disk size so a
+        # corpus-scale store streams from disk exactly as before -
+        # persist_mb is the sink's "does the index fit?" knob, and
+        # MEMORY_AND_DISK makes a mis-sized guard degrade to spill,
+        # never to an OOM.  Compaction invalidation goes through
+        # close(), which unpersists.
+        if persist_mb > 0:
+            from pyspark import StorageLevel
+
+            from ..fsutil import dir_size_bytes
+
+            total = sum(dir_size_bytes(spark, f"{path}/{name}")
+                        for name in self.schemas)
+            if total <= persist_mb * 2 ** 20:
+                for name in self.base:
+                    self.base[name] = self.base[name].persist(
+                        StorageLevel.MEMORY_AND_DISK)
+                    self._persisted.append(self.base[name])
         from ..fsutil import list_batch_ids
 
         # partition ids present when the listing was frozen (one FS
@@ -115,6 +137,16 @@ class _CachedStore:
         # gram-row counts precomputed for the NEXT batch id - a replay
         # of an earlier id misses and recounts with its own exclusion)
         self.stats: dict = {}
+
+    def close(self) -> None:
+        """Unpersist any pinned base tables - called when the sink
+        drops this cache entry (pre-compaction invalidation)."""
+        for df in self._persisted:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._persisted = []
 
     def refresh_part(self, batch_id: int) -> None:
         self.parts[int(batch_id)] = {
@@ -334,6 +366,7 @@ class CurationSink:
                  commonness_path: str | None = None,
                  commonness_hash_fn: str = "xxhash64",
                  commonness_normalize: bool = True,
+                 persist_base_mb: float = 256.0,
                  **curate_kwargs):
         if lm_path is not None and "lm" in curate_kwargs:
             raise ValueError(
@@ -386,6 +419,9 @@ class CurationSink:
         self.commonness_path = commonness_path
         self.commonness_hash_fn = commonness_hash_fn
         self.commonness_normalize = commonness_normalize
+        # memory budget for pinning each read-side store's base tables
+        # (see _CachedStore: size-guarded, spill-safe); 0 disables
+        self.persist_base_mb = persist_base_mb
         self.curate_kwargs = curate_kwargs
         self._clf = None
         self._langid = None
@@ -449,7 +485,9 @@ class CurationSink:
             # rebuild's recover_tables heals it before re-freezing
             # listings
             if cache_key is not None:
-                self._store_cache.pop(cache_key, None)
+                dropped = self._store_cache.pop(cache_key, None)
+                if dropped is not None:
+                    dropped.close()
             if self.compact_mode == "tiered":
                 # full_args (the Bloom handle's compact_target_mb)
                 # forward to the tiered fallback's full merge too -
@@ -597,7 +635,7 @@ class CurationSink:
                 c = _CachedStore(spark, self.index_path, lambda m: {
                     "bands": f"id {m['id_type']}, bucket string, band int",
                     "shingles": f"id {m['id_type']}, sh array<string>",
-                })
+                }, persist_mb=self.persist_base_mb)
                 self._store_cache["index"] = c
             m = c.meta
             params = {"n": int(m["n"]),
@@ -614,7 +652,8 @@ class CurationSink:
             c = self._store_cache.get("bloom")
             if c is None:
                 c = _CachedStore(spark, self.seen_bloom_path,
-                                 lambda m: {"words": "word long, bits long"})
+                                 lambda m: {"words": "word long, bits long"},
+                                 persist_mb=self.persist_base_mb)
                 self._store_cache["bloom"] = c
             words = (
                 c.view("words", batch_id)
@@ -640,7 +679,7 @@ class CurationSink:
                     "grams": "ctx string, tok string, cnt long",
                     "contexts": "ctx string, total long",
                     "vocab": "tok string",
-                })
+                }, persist_mb=self.persist_base_mb)
                 self._store_cache["lm"] = c
             grams = c.view("grams", batch_id).groupBy("ctx", "tok").agg(
                 F.sum("cnt").alias("cnt"))
@@ -695,11 +734,13 @@ class CurationSink:
             lm_kwargs["lm"] = lm
         _t = _mark("load_s", _t)
 
+        substrate: dict = {}
         annotated = curate_annotated(
             batch_df, index=index,
             text_col=self.text_col, id_col=self.id_col,
             benchmarks=self._bench,
             seen=bloom,
+            substrate=substrate,
             **lm_kwargs,
             **clf_kwargs,
             **self.curate_kwargs,
@@ -725,6 +766,20 @@ class CurationSink:
         # unchanged from the sequential form: any subset may have
         # landed when the batch fails, and the replay overwrites every
         # store's own partition.
+        # the funnel's checkpointed shingle substrate, narrowed to the
+        # accepted ids: add_batch then skips its own explode+checkpoint
+        # job (one fewer serialized job on the micro-batch floor).  The
+        # semi-join is lazy over the already-checkpointed frame, and
+        # the substrate is built at the INDEX's n by construction.
+        exp_kept = substrate.get("exploded_kept")
+        exploded_accepted = (
+            exp_kept.join(
+                accepted.select(F.col(self.id_col).alias("id")),
+                "id", "left_semi",
+            )
+            if exp_kept is not None else None
+        )
+
         def _add_index():
             # overwrite-per-batch (round-13 layout): a replay rewrites
             # its own batch=<id> partitions, duplicating nothing
@@ -732,6 +787,7 @@ class CurationSink:
                 accepted.select(self.id_col, self.text_col),
                 text_col=self.text_col, id_col=self.id_col, reload=False,
                 batch_id=batch_id,
+                exploded=exploded_accepted,
             )
 
         def _add_bloom():

@@ -16,7 +16,12 @@ ORACLE_SF = os.environ.get("KCP_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("kcp-tests", master="local[8]", overrides={"spark.sql.shuffle.partitions": "8"})
+    # KCP_TEST_MASTER lets the same suites run under a multi-JVM master
+    # (e.g. `local-cluster[2,4,2048]`) to catch single-JVM assumptions —
+    # localCheckpoint block locality, Hadoop-FS rename visibility — that
+    # local[8] cannot exercise (round-13 smoke, BASELINE.md).
+    master = os.environ.get("KCP_TEST_MASTER", "local[8]")
+    s = get_spark("kcp-tests", master=master, overrides={"spark.sql.shuffle.partitions": "8"})
     yield s
 
 

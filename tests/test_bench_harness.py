@@ -106,3 +106,37 @@ class TestSf1Priors:
             "queries": {}, "sf1_queries": {"langid": 6.9},
         })
         assert bench._load_sf1_priors(str(tmp_path))["langid"] == 6.9
+
+
+class TestLoadSf10Campaign:
+    """Round-13: the recorded sf10 campaign artifact rides the bench
+    payload (recorded, never re-run per-round)."""
+
+    def test_missing_artifact_is_none(self, tmp_path):
+        assert bench._load_sf10_campaign(str(tmp_path)) is None
+
+    def test_committed_fallback_and_shape(self, tmp_path):
+        camp = {"calib_s": 0.25, "text_mode": "perturb",
+                "sf1": {"q": 1.0}, "sf10": {"q": 9.5},
+                "growth": {"q": 9.5}, "flagged": [],
+                "skipped": {"sf1": [], "sf10": []}}
+        write(tmp_path, "SF10_CAMPAIGN.json", camp)
+        block = bench._load_sf10_campaign(str(tmp_path))
+        assert block["recorded"] is True
+        assert block["campaign_calib_s"] == 0.25
+        assert block["growth"] == {"q": 9.5}
+
+    def test_scale_copy_preferred(self, tmp_path):
+        (tmp_path / ".scale").mkdir()
+        with open(tmp_path / ".scale" / "sf10_campaign.json", "w") as f:
+            json.dump({"calib_s": 0.1}, f)
+        write(tmp_path, "SF10_CAMPAIGN.json", {"calib_s": 0.9})
+        assert bench._load_sf10_campaign(
+            str(tmp_path))["campaign_calib_s"] == 0.1
+
+    def test_unreadable_falls_through(self, tmp_path):
+        (tmp_path / ".scale").mkdir()
+        (tmp_path / ".scale" / "sf10_campaign.json").write_text("{broken")
+        write(tmp_path, "SF10_CAMPAIGN.json", {"calib_s": 0.9})
+        assert bench._load_sf10_campaign(
+            str(tmp_path))["campaign_calib_s"] == 0.9

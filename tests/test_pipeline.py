@@ -605,3 +605,40 @@ class TestPipelineE2E:
         assert staged.select("pack").distinct().count() == packs
         assert staged.filter(
             (F.col("shard") < 0) | (F.col("shard") >= 4)).count() == 0
+
+
+class TestSubstrateOutParam:
+    """Round-13 floor work: curate_annotated's `substrate` out-param
+    exposes the funnel's shared shingle frame so a sink can feed
+    MinHashIndex.add_batch without re-shingling the accepted rows."""
+
+    def test_substrate_matches_fresh_explode(self, spark, batch):
+        from kafka_cassandra_plugin_spark.operators.dedup import (
+            exploded_shingles,
+        )
+
+        idx = MinHashIndex.build(
+            batch.limit(5), n=3, num_hashes=8, bands=4)
+        sub: dict = {}
+        out = PL.curate_annotated(batch, index=idx, substrate=sub)
+        assert sub["n"] == idx.params["n"]
+        kept_ids = {
+            r.doc_id
+            for r in out.filter(
+                F.col("reject_reason").isNull()
+                | (F.col("reject_reason") == "near_dup_corpus")
+            ).select("doc_id").collect()
+        }
+        got = {(r.id, r.sh) for r in sub["exploded_kept"].collect()}
+        want_src = batch.filter(F.col("doc_id").isin(list(kept_ids)))
+        want = {
+            (r.id, r.sh)
+            for r in exploded_shingles(
+                want_src, "text", "doc_id", idx.params["n"]
+            ).collect()
+        }
+        assert got == want
+
+    def test_no_substrate_still_works(self, spark, batch):
+        out = PL.curate_annotated(batch)
+        assert out.count() == batch.count()
