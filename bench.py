@@ -97,9 +97,11 @@ EXPLICIT_ANCHORS = {
     "sim_lsh_ann": 2.65,
     # round-13 plan change with cause (BASELINE.md): the declared slot
     # moved to ivf_topk_portable (sample quantizer, hash-matched vs
-    # DuckDB); the learned-KMeans path keeps the old 1.8 anchor under
-    # its new extras name.
-    "sim_ivf_ann": 1.6,
+    # DuckDB), then same-round to its Arrow-batched fold-exact form
+    # with the vec_id<2000 growth cap (identity at sf0.1; isolated
+    # steady best 2.7 on a calib-0.252 host).  The learned-KMeans path
+    # keeps the old 1.8 anchor under its new extras name.
+    "sim_ivf_ann": 2.2,
     "sim_ivf_ann_kmeans": 1.8,
     "text_stats": 1.64,
     "cdc_value_changes": 1.02,

@@ -77,17 +77,6 @@ def path_exists(spark: SparkSession, path: str) -> bool:
     return fs.exists(hpath)
 
 
-def dir_size_bytes(spark: SparkSession, path: str) -> int:
-    """Recursive content size of ``path`` (0 when absent) via Hadoop
-    ``getContentSummary`` - the sizing input for "pin this store's base
-    tables in executor memory?" decisions (CurationSink's
-    ``persist_base_mb`` guard)."""
-    fs, hpath, _ = _fs_and_path(spark, path)
-    if not fs.exists(hpath):
-        return 0
-    return int(fs.getContentSummary(hpath).getLength())
-
-
 def delete_dir(spark: SparkSession, path: str) -> bool:
     """Recursively delete ``path`` if it exists; True if something was
     deleted.  The pre-write cleanup a consolidated ``save()`` needs so

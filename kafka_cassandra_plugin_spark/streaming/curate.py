@@ -85,13 +85,11 @@ class _CachedStore:
     Explicit schemas throughout: an empty partition (accepted-empty
     batch under partitionBy) has no parquet footer to infer."""
 
-    def __init__(self, spark, path: str, schemas_fn,
-                 persist_mb: float = 0.0):
+    def __init__(self, spark, path: str, schemas_fn):
         from ..fsutil import recover_tables
 
         self.spark = spark
         self.path = path
-        self._persisted: list[DataFrame] = []
         # meta first (it never participates in a swap): some stores'
         # table schemas depend on it (the MinHash index's id_type)
         self.meta = spark.read.parquet(f"{path}/meta").collect()[0]
@@ -103,26 +101,6 @@ class _CachedStore:
                 f"{path}/{name}")
             for name, schema in self.schemas.items()
         }
-        # pin small base tables in executor memory (round-13): every
-        # per-batch probe job then reads cached blocks instead of
-        # re-decoding parquet.  Guarded by on-disk size so a
-        # corpus-scale store streams from disk exactly as before -
-        # persist_mb is the sink's "does the index fit?" knob, and
-        # MEMORY_AND_DISK makes a mis-sized guard degrade to spill,
-        # never to an OOM.  Compaction invalidation goes through
-        # close(), which unpersists.
-        if persist_mb > 0:
-            from pyspark import StorageLevel
-
-            from ..fsutil import dir_size_bytes
-
-            total = sum(dir_size_bytes(spark, f"{path}/{name}")
-                        for name in self.schemas)
-            if total <= persist_mb * 2 ** 20:
-                for name in self.base:
-                    self.base[name] = self.base[name].persist(
-                        StorageLevel.MEMORY_AND_DISK)
-                    self._persisted.append(self.base[name])
         from ..fsutil import list_batch_ids
 
         # partition ids present when the listing was frozen (one FS
@@ -137,16 +115,6 @@ class _CachedStore:
         # gram-row counts precomputed for the NEXT batch id - a replay
         # of an earlier id misses and recounts with its own exclusion)
         self.stats: dict = {}
-
-    def close(self) -> None:
-        """Unpersist any pinned base tables - called when the sink
-        drops this cache entry (pre-compaction invalidation)."""
-        for df in self._persisted:
-            try:
-                df.unpersist()
-            except Exception:
-                pass
-        self._persisted = []
 
     def refresh_part(self, batch_id: int) -> None:
         self.parts[int(batch_id)] = {
@@ -366,7 +334,6 @@ class CurationSink:
                  commonness_path: str | None = None,
                  commonness_hash_fn: str = "xxhash64",
                  commonness_normalize: bool = True,
-                 persist_base_mb: float = 256.0,
                  **curate_kwargs):
         if lm_path is not None and "lm" in curate_kwargs:
             raise ValueError(
@@ -419,9 +386,6 @@ class CurationSink:
         self.commonness_path = commonness_path
         self.commonness_hash_fn = commonness_hash_fn
         self.commonness_normalize = commonness_normalize
-        # memory budget for pinning each read-side store's base tables
-        # (see _CachedStore: size-guarded, spill-safe); 0 disables
-        self.persist_base_mb = persist_base_mb
         self.curate_kwargs = curate_kwargs
         self._clf = None
         self._langid = None
@@ -485,9 +449,7 @@ class CurationSink:
             # rebuild's recover_tables heals it before re-freezing
             # listings
             if cache_key is not None:
-                dropped = self._store_cache.pop(cache_key, None)
-                if dropped is not None:
-                    dropped.close()
+                self._store_cache.pop(cache_key, None)
             if self.compact_mode == "tiered":
                 # full_args (the Bloom handle's compact_target_mb)
                 # forward to the tiered fallback's full merge too -
@@ -635,7 +597,7 @@ class CurationSink:
                 c = _CachedStore(spark, self.index_path, lambda m: {
                     "bands": f"id {m['id_type']}, bucket string, band int",
                     "shingles": f"id {m['id_type']}, sh array<string>",
-                }, persist_mb=self.persist_base_mb)
+                })
                 self._store_cache["index"] = c
             m = c.meta
             params = {"n": int(m["n"]),
@@ -652,8 +614,7 @@ class CurationSink:
             c = self._store_cache.get("bloom")
             if c is None:
                 c = _CachedStore(spark, self.seen_bloom_path,
-                                 lambda m: {"words": "word long, bits long"},
-                                 persist_mb=self.persist_base_mb)
+                                 lambda m: {"words": "word long, bits long"})
                 self._store_cache["bloom"] = c
             words = (
                 c.view("words", batch_id)
@@ -679,7 +640,7 @@ class CurationSink:
                     "grams": "ctx string, tok string, cnt long",
                     "contexts": "ctx string, total long",
                     "vocab": "tok string",
-                }, persist_mb=self.persist_base_mb)
+                })
                 self._store_cache["lm"] = c
             grams = c.view("grams", batch_id).groupBy("ctx", "tok").agg(
                 F.sum("cnt").alias("cnt"))

@@ -21,7 +21,18 @@ def spark():
     # localCheckpoint block locality, Hadoop-FS rename visibility — that
     # local[8] cannot exercise (round-13 smoke, BASELINE.md).
     master = os.environ.get("KCP_TEST_MASTER", "local[8]")
-    s = get_spark("kcp-tests", master=master, overrides={"spark.sql.shuffle.partitions": "8"})
+    overrides = {"spark.sql.shuffle.partitions": "8"}
+    if not master.startswith("local["):
+        # separate executor JVMs spawn their own Python workers, which
+        # do NOT inherit the driver's sys.path insert above — ship the
+        # repo root the way a real deployment ships the package
+        # (pip/--py-files); without this every pandas-UDF row fails
+        # with ModuleNotFoundError (round-13 local-cluster smoke)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        existing = os.environ.get("PYTHONPATH", "")
+        overrides["spark.executorEnv.PYTHONPATH"] = (
+            f"{repo}:{existing}" if existing else repo)
+    s = get_spark("kcp-tests", master=master, overrides=overrides)
     yield s
 
 

@@ -732,7 +732,12 @@ class TestBm25Maintenance:
         accepted = accepted_dataset(spark, sink.out_path).select(
             "doc_id", "text"
         )
-        queries = accepted.limit(6).selectExpr(
+        # orderBy before limit: a bare limit() picks ARBITRARY rows and
+        # re-executes per consumer - under local-cluster the two
+        # _search_set calls raced to different query sets (round-13
+        # multi-JVM smoke); deterministic queries make the identity
+        # assertion mean what it says on every master
+        queries = accepted.orderBy("doc_id").limit(6).selectExpr(
             "doc_id as query_id", "text"
         )
         ingested = Bm25Index.load(spark, bm25_path)
@@ -765,7 +770,12 @@ class TestBm25Maintenance:
         accepted = accepted_dataset(spark, sink.out_path).select(
             "doc_id", "text"
         )
-        queries = accepted.limit(6).selectExpr(
+        # orderBy before limit: a bare limit() picks ARBITRARY rows and
+        # re-executes per consumer - under local-cluster the two
+        # _search_set calls raced to different query sets (round-13
+        # multi-JVM smoke); deterministic queries make the identity
+        # assertion mean what it says on every master
+        queries = accepted.orderBy("doc_id").limit(6).selectExpr(
             "doc_id as query_id", "text"
         )
         ingested = Bm25Index.load(spark, bm25_path)
