@@ -78,8 +78,8 @@ EXTRA = {
     "S10": "ListenerHub foreachBatch; Cassandra LWT sink",
     "S11": "tests/test_streaming.py::TestCheckpointedSink",
     "G55": "also operators/dedup.py minhash/simhash + planted-dup recall tests (tests/test_llm_ops.py)",
-    "G61": "recall gates >= 0.85: tests/test_llm_ops.py::TestAnnRecall (round-3 measured: LSH 1.00, IVF 0.94 @10); round 4: corpus-adaptive geometry (adaptive_n_planes/adaptive_nlist) + vectorized probe kernels; round 10: sim_lsh_ann_portable is HASH-MATCHED vs DuckDB (md5 Rademacher planes + fold-ordered math re-derived by the oracle SQL) while the adaptive rp_lsh_topk stays the at-scale default (bench extra_queries['sim_lsh_ann'] + sf1 smoke); sim_ivf_ann additionally pytest-oracled (TestIvfTopkOracle: candidate enumeration + fold-exact re-rank + ranking hash-match DuckDB on exported probe/cell literal tables)",
-    "G62": "also tests/test_multimodal.py (schema round-trip, Arrow batching, metadata plans); round 10: real decode kernels - pure-stdlib PNG/WAV codecs behind kernel='codec' (deterministic stub remains the oracle kernel)",
+    "G61": "recall gates >= 0.85: tests/test_llm_ops.py::TestAnnRecall (round-3 measured: LSH 1.00, IVF 0.94 @10); round 4: corpus-adaptive geometry (adaptive_n_planes/adaptive_nlist) + vectorized probe kernels; round 10: sim_lsh_ann_portable is HASH-MATCHED vs DuckDB (md5 Rademacher planes + fold-ordered math re-derived by the oracle SQL) while the adaptive rp_lsh_topk stays the at-scale default (bench extra_queries['sim_lsh_ann'] + sf1 smoke); sim_ivf_ann additionally pytest-oracled (TestIvfTopkOracle: candidate enumeration + fold-exact re-rank + ranking hash-match DuckDB on exported probe/cell literal tables); round 13: the DECLARED sim_ivf_ann is the hash-matched ivf_topk_portable (deterministic vec_id<2000 sample quantizer + pinned query batch - identity at gated scales, LINEAR beyond: 1.03x per 10x at sf10 - scored via cosine_foldexact_pandas), while the learned KMeans index stays the at-scale default as extra_queries['sim_ivf_ann_kmeans']",
+    "G62": "also tests/test_multimodal.py (schema round-trip, Arrow batching, metadata plans); round 10: real decode kernels - pure-stdlib PNG/WAV codecs behind kernel='codec' (deterministic stub remains the oracle kernel); round 12: every legal PNG IHDR decodes - palette (PLTE+tRNS), grey 1/2/4-bit, 16-bit (uint16 end to end incl. resize + feature normalization), colour-key transparency, Adam7 interlace; spec-derived fixtures incl. the canonical 8x8 pass-number grid",
 }
 
 # SURVEY §2.5 tier D: depth operators beyond the 50-query declared set
@@ -103,7 +103,12 @@ TIER_D = {
     "D4": ("product quantization (PqCodebook, pq_topk)",
            "operators/quantization.py",
            "encode determinism; codebook round-trip; recall@10 >= 0.85 "
-           "(measured 0.96) (tests/test_quantization.py)"),
+           "(measured 0.96); round 12: DuckDB VALUE oracle "
+           "(tests/test_llm_ops.py::TestPqTopkOracle - codebook + "
+           "once-materialized codes exported as literal tables, DuckDB "
+           "re-derives the per-query LUT, ADC scoring, round-6 "
+           "shortlist cut, exact fold-cosine re-rank and top-k; "
+           "hash-matched at sf0.01) (tests/test_quantization.py)"),
     "D5": ("IVF-PQ composition (ivf_pq_topk); IvfIndex assign/add_batch/"
            "compact (incremental ANN ingest)",
            "operators/quantization.py, similarity.py",
@@ -361,6 +366,20 @@ TIER_D = {
             "and the pair scores; FingerprintIndex probe == in-frame "
             "overlap on the union corpus, accumulate == whole-build, "
             "replay/exclude_batch/compact/save-onto-own-path gates, "
+            "tiered (LSM) compaction on all six disk-backed stores "
+            "(FingerprintIndex/Bm25Index/CommonnessIndex/BloomIndex/"
+            "NgramLM/WordHistogram): compact_tiered folds only young "
+            "batches into a new negative level, full compact at "
+            "max_levels - crash-recoverable via the fsutil 9-step "
+            "marker protocol (staged_fold_swap/recover_fold_swap; "
+            "per-table level ids; rename refuses existing dest), gated "
+            "by tests/test_tiered_compact.py (51 tests: lossless/"
+            "exclude_batch/replay/noop/max-levels per store + "
+            "exhaustive fault injection at every filesystem mutation "
+            "point + load-time self-heal); growth campaign re-run in "
+            "tiered mode (BASELINE.md round-12 note): tiered compact "
+            "wall FLAT (112/106/102 s) where the full rewrite grew "
+            "111->176 s, "
             "fpbucket PartitionFilters + corrupt-file pruning proof, "
             "sink-maintained probe == rebuild under replay; benched as "
             "extra_queries['fingerprint_winnow'] "
