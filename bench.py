@@ -197,11 +197,15 @@ def _best_of(run, k: int = 3) -> float:
 
 
 def _isolated_main(names: list[str]) -> None:
-    """`bench.py --isolated a,b,c`: measure ONLY the named rows, best-of-3
+    """`bench.py --isolated a,b,c`: measure ONLY the named rows, best-of-5
     each, in this fresh JVM; print one JSON dict.  Same session confs and
     warmup as the main pass, so the only variable removed is run-order
     neighborhood (and, on a loaded host, a second chance at a quiet
-    window)."""
+    window).  Best-of-FIVE, not three (round-13 finding): interpreted-HOF
+    rows (F.transform/F.aggregate - lang_breakdown,
+    leader_timeline_replay) reach JIT steady state on run 4-5, so a
+    best-of-3 retry under-warms exactly the rows most likely to be
+    flagged."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "").strip() or "32"
     registry = load_all()
@@ -216,10 +220,11 @@ def _isolated_main(names: list[str]) -> None:
     for name in names:
         if name in registry:
             out[name] = _best_of(
-                lambda: materialize(registry[name].build(spark, sf_dir))
+                lambda: materialize(registry[name].build(spark, sf_dir)), k=5
             )
         elif name in extra_fns:
-            out[name] = _best_of(lambda: materialize(extra_fns[name](spark)))
+            out[name] = _best_of(
+                lambda: materialize(extra_fns[name](spark)), k=5)
     print(json.dumps(out))
     spark.stop()
 
@@ -231,7 +236,7 @@ def _run_isolated_retries(flagged: list[str]) -> dict[str, float]:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--isolated",
              ",".join(flagged)],
-            capture_output=True, text=True, timeout=900,
+            capture_output=True, text=True, timeout=1500,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         for line in reversed(proc.stdout.strip().splitlines()):
@@ -269,9 +274,14 @@ def _steady_state(run, threshold: float = 2.0, max_runs: int = 3) -> float:
 def _load_sf10_campaign(repo_dir: str) -> dict | None:
     """The recorded full-declared-set sf10 campaign, shaped for the
     payload's ``sf10_queries`` block; None when no artifact exists or
-    it is unreadable.  Prefers the live ``.scale/`` copy, falls back to
-    the committed ``SF10_CAMPAIGN.json`` (.scale/ is gitignored and
-    does not survive the driver's between-round cleanup)."""
+    it is unreadable.  Candidates: the live ``.scale/`` copy and the
+    committed ``SF10_CAMPAIGN.json`` (.scale/ is gitignored and does
+    not survive the driver's between-round cleanup) - the one COVERING
+    MORE QUERIES wins, so a partial/older artifact can never shadow a
+    full campaign (round-13 advice; partial ``--only`` runs also write
+    to a separate ``sf10_campaign_partial.json`` now and carry
+    ``only``/``n_queries`` markers, which are surfaced here)."""
+    best, best_n = None, -1
     for cand in (os.path.join(repo_dir, ".scale", "sf10_campaign.json"),
                  os.path.join(repo_dir, "SF10_CAMPAIGN.json")):
         if not os.path.isfile(cand):
@@ -281,17 +291,29 @@ def _load_sf10_campaign(repo_dir: str) -> dict | None:
                 camp = json.load(f)
         except (OSError, ValueError):
             continue
-        return {
-            "recorded": True,
-            "campaign_calib_s": camp.get("calib_s"),
-            "text_mode": camp.get("text_mode"),
-            "sf1": camp.get("sf1"),
-            "sf10": camp.get("sf10"),
-            "growth": camp.get("growth"),
-            "flagged": camp.get("flagged"),
-            "skipped": camp.get("skipped"),
-        }
-    return None
+        n = len(camp.get("sf10") or {})
+        if n > best_n:
+            best, best_n = camp, n
+    if best is None:
+        return None
+    camp = best
+    block = {
+        "recorded": True,
+        "campaign_calib_s": camp.get("calib_s"),
+        "text_mode": camp.get("text_mode"),
+        "n_queries": camp.get("n_queries", best_n),
+        "only": camp.get("only"),
+        "sf1": camp.get("sf1"),
+        "sf10": camp.get("sf10"),
+        "growth": camp.get("growth"),
+        "flagged": camp.get("flagged"),
+        "skipped": camp.get("skipped"),
+    }
+    for k in ("extras_sf1", "extras_sf10", "extras_growth",
+              "extras_flagged", "extras_skipped"):
+        if camp.get(k) is not None:
+            block[k] = camp[k]
+    return block
 
 
 def main() -> None:

@@ -429,7 +429,13 @@ def ivf_topk_portable(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
     ``assigned``: a precomputed (cid, neighbor_id, n_vec) cell table
     (the build-once/probe-many handle - callers that probe repeatedly
-    checkpoint :func:`ivf_portable_assign`'s output once).
+    checkpoint :func:`ivf_portable_assign`'s output once).  It must
+    have been built from IDENTICALLY-capped centroids: an ``assigned``
+    from uncapped cents combined with a capped probe set leaves the
+    over-cap cells unreachable (their member vectors silently
+    unsearchable), so supplying BOTH ``assigned`` and ``sample_cap``
+    runs a one-job consistency check (max cid < cap) and raises on
+    mismatch.
 
     ``sample_cap``: also require ``id < sample_cap`` of the sampled
     centroids - the growth governor (round-13 sf10 campaign).  Without
@@ -450,6 +456,19 @@ def ivf_topk_portable(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
     if assigned is None:
         assigned = ivf_portable_assign(corpus, cents, id_col, vec_col)
+    elif sample_cap is not None:
+        # consistency check (one small job on this rare combination):
+        # a precomputed cell table built from UNCAPPED cents paired
+        # with a capped probe set would leave over-cap cells
+        # unreachable - wrong top-k with no error
+        top = assigned.agg(F.max("cid").alias("m")).collect()[0]["m"]
+        if top is not None and top >= sample_cap:
+            raise ValueError(
+                f"ivf_topk_portable: assigned= contains cell id {top} "
+                f">= sample_cap={sample_cap}; the cell table must be "
+                "built from identically-capped centroids or its cells "
+                "are unreachable by the capped probe set"
+            )
     # every score site is the ARROW-BATCHED fold-exact cosine (the
     # rp_lsh_topk_portable precedent: same doubles as the interpreted
     # cosine() and the DuckDB oracle, vectorized across rows) - the

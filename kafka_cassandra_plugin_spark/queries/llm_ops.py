@@ -838,9 +838,12 @@ def _dot_sql(a: str, b: str) -> str:
     """Fold-ordered dot alone; combined with per-vector norm columns
     it re-derives the SAME doubles as :func:`_cos_sql` (``d / (na *
     nb)`` with na/nb the identical sqrt-fold values) while evaluating
-    each norm once per VECTOR instead of once per pair - the round-13
-    norm factoring that the Spark side mirrors in
-    similarity._cosine_pre."""
+    each norm once per VECTOR instead of once per pair.  The factoring
+    is SQL-ORACLE-ONLY: the Spark side keeps computing per-pair cosine
+    via :func:`..operators.similarity.cosine_foldexact_pandas`, whose
+    ``dots / (sqrt(na) * sqrt(nb))`` doubles are value-identical to
+    this factored form (IEEE-754 product of the same sqrt folds), so
+    the hash-match contract holds without a Spark-side mirror."""
     return f"""
       list_reduce(list_transform(range(1, len({a})+1),
                                  i -> cast({a}[i] AS double) * {b}[i]),

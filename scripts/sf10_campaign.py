@@ -70,6 +70,35 @@ def run_set(spark, registry, names, sf_dir, budget_s, start, label):
     return times, skipped
 
 
+# At-scale-default extras (round-14, verdict #2): a real 100 TB run
+# executes the DEFAULT paths, not just the hash-matchable declared
+# twins - adaptive-geometry LSH, learned-KMeans IVF, the funnel, the
+# governed BM25 serving row, the learned quality/langid gates and DSIR.
+# These come from bench.py's extras registry so the campaign measures
+# exactly the per-round-benched builders.
+DEFAULT_EXTRAS = ("sim_lsh_ann", "sim_ivf_ann_kmeans", "curation_funnel",
+                  "bm25_topk[maxdf]", "quality_classifier", "langid",
+                  "dsir_select")
+
+
+def run_extras(spark, fns, names, budget_s, start, label):
+    times, skipped = {}, []
+    for name in names:
+        if time.perf_counter() - start > budget_s:
+            skipped.append(name)
+            continue
+        bench.release_session_state()
+        t0 = time.perf_counter()
+        try:
+            bench.materialize(fns[name](spark))
+            times[name] = round(time.perf_counter() - t0, 3)
+            print(f"  [{label}] {name}: {times[name]} s", flush=True)
+        except Exception as exc:  # record, don't die mid-campaign
+            times[name] = None
+            print(f"  [{label}] {name}: ERROR {exc}", flush=True)
+    return times, skipped
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf10", default="/root/repo/.scale/sf10")
@@ -77,6 +106,12 @@ def main() -> None:
     ap.add_argument("--budget", type=float, default=7200.0)
     ap.add_argument("--only", default="",
                     help="comma-separated declared-name subset")
+    ap.add_argument("--extras", default=",".join(DEFAULT_EXTRAS),
+                    help="comma-separated bench-extras names to run at "
+                         "both scales ('' = none, 'all' = every extra)")
+    ap.add_argument("--skip-declared", action="store_true",
+                    help="run only the extras block (declared set "
+                         "untouched; artifact goes to the partial path)")
     args = ap.parse_args()
 
     registry = load_all()
@@ -84,6 +119,8 @@ def main() -> None:
     if args.only.strip():
         want = {n for n in args.only.split(",") if n}
         names = [n for n in names if n in want]
+    if args.skip_declared:
+        names = []
 
     spark = get_spark(
         "kcp-sf10-campaign", master="local[32]",
@@ -111,35 +148,85 @@ def main() -> None:
     sf10_times, sf10_skipped = run_set(
         spark, registry, order, args.sf10, args.budget, start, "sf10")
 
-    growth, flagged = {}, []
-    for name in names:
-        t1, t10 = sf1_times.get(name), sf10_times.get(name)
-        if not t1 or not t10:
-            continue
-        ratio = round(t10 / t1, 2)
-        growth[name] = ratio
-        if t1 >= FLOOR_S and ratio > FLAG_RATIO:
-            flagged.append(name)
+    def growth_table(t1s: dict, t10s: dict, keys) -> tuple[dict, list]:
+        growth, flagged = {}, []
+        for name in keys:
+            t1, t10 = t1s.get(name), t10s.get(name)
+            # `is None` (not truthiness): a genuinely sub-ms wall is a
+            # legitimate reading and must land in the table under the
+            # FLOOR_S rule, not vanish (round-13 advice)
+            if t1 is None or t10 is None:
+                continue
+            ratio = round(t10 / max(t1, 1e-3), 2)
+            growth[name] = ratio
+            if t1 >= FLOOR_S and ratio > FLAG_RATIO:
+                flagged.append(name)
+        return growth, flagged
 
+    growth, flagged = growth_table(sf1_times, sf10_times, names)
+
+    # ---- extras block: the at-scale-default paths (adaptive LSH,
+    # learned IVF, funnel, governed BM25, learned gates), same budget
+    # clock and flag rule as the declared set
+    extras_out = {}
+    extras_req = [n for n in args.extras.split(",") if n]
+    if extras_req:
+        x1 = {**bench._xxhash64_variants(args.sf1),
+              **bench._depth_ops(args.sf1)}
+        x10 = {**bench._xxhash64_variants(args.sf10),
+               **bench._depth_ops(args.sf10)}
+        xnames = (sorted(x1) if args.extras.strip() == "all"
+                  else [n for n in extras_req if n in x1])
+        ex1, ex1_skip = run_extras(
+            spark, x1, xnames, args.budget, start, "extras-sf1")
+        xorder = sorted((n for n in xnames if ex1.get(n) is not None),
+                        key=lambda n: ex1[n])
+        xorder += [n for n in xnames if ex1.get(n) is None]
+        ex10, ex10_skip = run_extras(
+            spark, x10, xorder, args.budget, start, "extras-sf10")
+        exg, exf = growth_table(ex1, ex10, xnames)
+        extras_out = {
+            "extras_sf1": ex1, "extras_sf10": ex10,
+            "extras_growth": exg, "extras_flagged": exf,
+            "extras_skipped": {"sf1": ex1_skip, "sf10": ex10_skip},
+        }
+
+    registry_size = len(registry)
+    partial = bool(args.only.strip()) or args.skip_declared
     out = {
         "sf1_dir": args.sf1, "sf10_dir": args.sf10, "calib_s": calib_s,
         "text_mode": "perturb", "floor_s": FLOOR_S,
         "flag_ratio": FLAG_RATIO,
+        # a subset run is marked as such so bench.py's payload block
+        # can never silently shadow a full campaign (round-13 advice)
+        "n_queries": len(names), "registry_size": registry_size,
+        "only": sorted(set(names)) if partial else None,
         "sf1": sf1_times, "sf10": sf10_times, "growth": growth,
         "flagged": flagged,
         "skipped": {"sf1": sf1_skipped, "sf10": sf10_skipped},
-        "sf1_total": round(sum(t for t in sf1_times.values() if t), 3),
-        "sf10_total": round(sum(t for t in sf10_times.values() if t), 3),
+        "sf1_total": round(
+            sum(t for t in sf1_times.values() if t is not None), 3),
+        "sf10_total": round(
+            sum(t for t in sf10_times.values() if t is not None), 3),
+        **extras_out,
     }
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(os.path.dirname(os.path.abspath(args.sf10)),
-                        "sf10_campaign.json")
-    for p in (path, os.path.join(repo, "SF10_CAMPAIGN.json")):
+    scale_dir = os.path.dirname(os.path.abspath(args.sf10))
+    if partial:
+        # never clobber the full-campaign artifacts with a subset
+        paths = [os.path.join(scale_dir, "sf10_campaign_partial.json")]
+    else:
+        paths = [os.path.join(scale_dir, "sf10_campaign.json"),
+                 os.path.join(repo, "SF10_CAMPAIGN.json")]
+    for p in paths:
         with open(p, "w") as f:
             json.dump(out, f, indent=1)
     print(json.dumps({k: out[k] for k in
                       ("calib_s", "sf1_total", "sf10_total", "flagged")}))
-    print(f"artifact: {path}")
+    if extras_out:
+        print(json.dumps({k: extras_out[k] for k in
+                          ("extras_growth", "extras_flagged")}))
+    print(f"artifact: {paths[0]}")
     spark.stop()
 
 
