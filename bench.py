@@ -1001,6 +1001,13 @@ def _depth_ops(sf_dir):
 
         return pii_redaction(spark, sf_dir)
 
+    def domain_gate_op(spark):
+        from kafka_cassandra_plugin_spark.queries.llm_ops import (
+            domain_gate_report,
+        )
+
+        return domain_gate_report(spark, sf_dir)
+
     def decontam_ngram(spark):
         from kafka_cassandra_plugin_spark.operators.contamination import (
             decontaminate_ngrams,
@@ -1418,7 +1425,8 @@ def _depth_ops(sf_dir):
             "repetition_signals": repetition,
             "quality_report": quality_rep,
             "decontaminate_ngram13": decontam_ngram,
-            "pii_redaction": pii, "sample_per_group": per_group,
+            "pii_redaction": pii, "domain_gate": domain_gate_op,
+            "sample_per_group": per_group,
             "dedup_semantic": semantic, "chunk_documents": chunk,
             "bloom_filter_new": bloom_probe, "lm_perplexity": lm_ppl,
             "dedup_substring": substring_spans, "dedup_lines": line_dedup,

@@ -223,7 +223,8 @@ class MinHashIndex:
                     id_col: str = "doc_id",
                     threshold: float = 0.8,
                     max_broadcast_rows: int = 2_000_000,
-                    exploded: DataFrame | None = None) -> DataFrame:
+                    exploded: DataFrame | None = None,
+                    exploded_rows: int | None = None) -> DataFrame:
         """Verified near-dup links (new_id, corpus_id, jaccard) between a
         new batch and the indexed corpus.
 
@@ -250,6 +251,13 @@ class MinHashIndex:
         repeated explode's fixed job cost, not its row work, was the
         measurable term.
 
+        ``exploded_rows``: a caller-known row count (or upper bound)
+        for ``exploded``, skipping the broadcast-fit ``count()`` job
+        here entirely (round-14 floor work; the funnel counts its
+        substrate once while materializing it).  An UPPER bound is
+        safe: it can only demote a broadcastable probe to the
+        shuffle-join fallback, never the reverse.
+
         The stored banding geometry is frozen at build time; probing at
         a ``threshold`` below its S-curve knee silently misses
         candidates no verify stage can recover, so a warning reports
@@ -264,7 +272,9 @@ class MinHashIndex:
             exploded = exploded_shingles(
                 new_docs, text_col, id_col, self.params["n"]
             ).localCheckpoint()
-        batch_fits = exploded.count() <= max_broadcast_rows
+        batch_fits = (
+            exploded.count() if exploded_rows is None else exploded_rows
+        ) <= max_broadcast_rows
         maybe_broadcast = F.broadcast if batch_fits else (lambda df: df)
         new_bands = self._band_table(exploded, self.params).withColumnsRenamed(
             {"id": "new_id"}

@@ -75,14 +75,22 @@ def _stub_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """STUB decode kernel: deterministic pseudo-features from payload
     bytes (sha256 expand -> [0,1) floats).  Replace with a real decoder
     (PIL / torchvision / librosa) in deployments - same signature, same
-    plan."""
+    plan.
+
+    Each round consumes the FULL 32-byte digest (round-14; previously
+    8 bytes/round), so the default ``FEATURE_DIM=16`` needs exactly ONE
+    sha256 of the payload - which a SQL oracle can re-derive from hex
+    output (the declared ``media_decode_features`` row hash-matches on
+    it; DuckDB's sha256 only accepts VARCHAR, so a digest-CHAINED
+    expansion could not be cross-checked).  Dims above 32 still chain
+    sha256 over the previous digest."""
     if payload is None:
         return [0.0] * dim
     out: list[float] = []
     h = payload
     while len(out) < dim:
         h = hashlib.sha256(h).digest()
-        out.extend(b / 255.0 for b in h[:8])
+        out.extend(b / 255.0 for b in h[: dim - len(out)])
     return out[:dim]
 
 

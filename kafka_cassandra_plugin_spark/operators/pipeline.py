@@ -22,6 +22,12 @@ This module is that composition, kept fully declarative:
 Stage order (each stage sees only the previous stages' survivors, so
 reject reasons are disjoint and the funnel partitions the input):
 
+0. ``blocked_domain`` - origin domain on ``blocked_domains`` / outside
+   ``allowed_domains`` (opt-in; the CCNet/RefinedWeb/Dolma URL gate -
+   FIRST, before any content inspection: a blocked site's text never
+   reaches the quality scorers.  Keyed on ``url_col`` when given, else
+   a deterministic synthetic URL from ``source`` - see
+   :mod:`.domains`)
 1. ``low_quality``    - composite heuristic below ``min_quality``
 2. ``wrong_lang``     - language ID outside ``langs`` (when given);
    with ``langid=`` (a fitted :class:`.langid.LangIdModel`) the
@@ -61,8 +67,13 @@ Scale shape: stages 1-2 are pure column arithmetic (map-only); stage 3
 is one shuffle on the content hash; stage 4 is the banded-LSH equi-join
 machinery of :func:`.dedup.minhash_lsh_dedup_pairs`; stage 5 shingles
 only the batch and broadcast-joins it against the stored index.  The
-reject sets are disjoint by construction, so the final assembly is a
-single union + one left join on the id - no per-stage full-table joins.
+reject sets are disjoint by construction.  Assembly (round-14 fusion):
+every ROW-LOCAL verdict - the map gates, the four join gates' combined
+reason, and the exact-dup row number - is a COLUMN of one fused
+materialization (a single localCheckpoint job whose broadcast-exchange
+subtrees carry the gate joins), so only the two near-dup reasons still
+arrive by a final batch-bounded left join.  At micro-batch scale this
+is the difference between six serialized job waves and three.
 
 Reference provenance: the reference plugin is a Cassandra KV/lease layer
 with no document pipeline (`CassandraListenerRegistry.scala:27,52` point
@@ -126,6 +137,9 @@ def curate_annotated(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_quality: float = 0.5,
+    blocked_domains=None,
+    allowed_domains=None,
+    url_col: str | None = None,
     langs: tuple[str, ...] | None = None,
     langid=None,
     min_lang_conf: float | None = None,
@@ -149,6 +163,19 @@ def curate_annotated(
     """Every batch row, annotated + tagged: ``reject_reason`` (null =
     accepted) and ``split`` (null for rejected rows).  See module doc
     for stage order and scale shape.
+
+    ``blocked_domains`` / ``allowed_domains`` (opt-in; each a list of
+    registrable domains OR a single-``domain``-column DataFrame) add
+    the ``blocked_domain`` origin gate FIRST in the chain (stage 0 -
+    the CCNet/RefinedWeb/Dolma posture; see :mod:`.domains`): rows
+    whose registrable domain is on the blocklist, or outside the
+    allowlist when one is given, are rejected before any content
+    inspection.  The domain comes from ``url_col`` when given;
+    without it a deterministic synthetic URL is derived from the
+    batch's ``source`` column (raises when neither exists - a gate
+    keyed on nothing would silently pass everything).  Cost shape:
+    literal lists are pure column arithmetic; DataFrame lists are one
+    broadcast left join each - no corpus shuffle either way.
 
     ``langid`` (opt-in; a fitted :class:`.langid.LangIdModel`)
     replaces the marker-word heuristic as the source of the ``lang``
@@ -289,9 +316,64 @@ def curate_annotated(
             .join(pred, id_col, "left")
             .withColumnRenamed("__lid_lang", "lang")
         )
-    ann = ann.localCheckpoint()
+    # NO checkpoint here (round-14 fusion): the annotations, the map
+    # gates, the join-gate verdicts AND the exact-dup row numbers all
+    # materialize in ONE localCheckpoint below - pre-round-14 the
+    # annotate ckpt and the gate-wave ckpt were two serialized jobs on
+    # the micro-batch floor (BASELINE.md round-13 decomposition)
 
-    gate = F.when(F.col("quality") < min_quality, "low_quality")
+    # stage 0: origin-domain gate (opt-in; rides the fused
+    # materialization as literal column arithmetic and/or a broadcast
+    # left join - see .domains)
+    has_domain_gate = (blocked_domains is not None
+                       or allowed_domains is not None)
+    if has_domain_gate:
+        from .domains import domain_gate, domain_gate_frame, synthetic_url
+
+        if url_col is not None:
+            if url_col not in batch.columns:
+                raise ValueError(
+                    f"curate_annotated(url_col={url_col!r}): the batch "
+                    "has no such column"
+                )
+            url_expr = F.col(url_col)
+        elif "source" in batch.columns:
+            url_expr = synthetic_url("source", id_col)
+        else:
+            raise ValueError(
+                "curate_annotated(blocked_domains=/allowed_domains=) "
+                "needs url_col= or a 'source' column on the batch: a "
+                "domain gate keyed on nothing would silently pass "
+                "everything"
+            )
+        ann = ann.withColumn("__url", url_expr)
+
+        def _split_ref(x):
+            return (None, x) if isinstance(x, DataFrame) else (x, None)
+
+        lit_bl, frm_bl = _split_ref(blocked_domains)
+        lit_al, frm_al = _split_ref(allowed_domains)
+        dom_pass = F.lit(True)
+        if lit_bl is not None or lit_al is not None:
+            dom_pass = dom_pass & domain_gate("__url", lit_bl, lit_al)
+        if frm_bl is not None or frm_al is not None:
+            ann = domain_gate_frame(ann, frm_bl, frm_al, url_col="__url",
+                                    out_col="__dom_pass_f")
+            dom_pass = dom_pass & F.col("__dom_pass_f")
+        ann = ann.withColumn("__dom_pass", dom_pass)
+    elif url_col is not None:
+        raise ValueError(
+            "curate_annotated(url_col=...) needs blocked_domains= "
+            "and/or allowed_domains=: a URL column was named for a "
+            "stage that is switched off, so it would silently gate "
+            "nothing"
+        )
+
+    if has_domain_gate:
+        gate = F.when(~F.col("__dom_pass"), "blocked_domain").when(
+            F.col("quality") < min_quality, "low_quality")
+    else:
+        gate = F.when(F.col("quality") < min_quality, "low_quality")
     if langs is not None:
         gate = gate.when(~F.col("lang").isin(*langs), "wrong_lang")
     if langid is not None and min_lang_conf is not None:
@@ -314,7 +396,11 @@ def curate_annotated(
         from .pii import pii_gate
 
         gate = gate.when(~pii_gate(text_col, max_hits=max_pii), "pii_heavy")
-    ann = ann.withColumn("__gate", gate)
+    # __gate captures the domain verdict, so the temp columns can drop
+    # here (drop is a no-op for absent names)
+    ann = ann.withColumn("__gate", gate).drop(
+        "__url", "__dom_pass", "__dom_pass_f"
+    )
 
     gated = ann.filter(F.col("__gate").isNull())
     join_rejects = []
@@ -338,6 +424,16 @@ def curate_annotated(
     # the batch - a pipeline whose LM band rejects most rows pays the
     # clf/contamination/Bloom probes over them anyway (still row-local
     # map work, never a corpus term).
+    #
+    # Round-14 fusion: the combined reject set no longer checkpoints
+    # on its own - it rides the SINGLE fused materialization below as
+    # a broadcast left join (`__jr`), so the gates' gram explodes and
+    # model joins run as broadcast-exchange subtrees of the one job
+    # instead of a second serialized wave.  The `gated` input is a
+    # LAZY branch of `ann` (the map gates recompute inside each gate's
+    # subtree - pure column arithmetic plus the batch-bounded langid
+    # join, cheap relative to a whole extra job wave at micro-batch
+    # scale, and bounded map/broadcast work at any scale).
 
     # stage 2b': LM perplexity band (model tables broadcast, reject
     # set batch-bounded)
@@ -406,36 +502,44 @@ def curate_annotated(
         jr = join_rejects[0]
         for extra in join_rejects[1:]:
             jr = jr.unionByName(extra)
-        # one eager materialization of the combined (batch-bounded) id
-        # set: reused by BOTH the survivor anti-join and the final
-        # attribution join, so no gate is ever computed twice
         jr = (
             jr.groupBy("__rid")
             .agg(F.min_by("__reason", "__prio").alias("__reason"))
-            .localCheckpoint()
         )
-        gated = gated.join(
-            F.broadcast(jr.select(F.col("__rid").alias(id_col))),
-            id_col, "left_anti",
+        ann = ann.join(
+            F.broadcast(jr.select(F.col("__rid").alias(id_col),
+                                  F.col("__reason").alias("__jr"))),
+            id_col, "left",
         )
-        join_rejects = [jr]
+    else:
+        ann = ann.withColumn("__jr", F.lit(None).cast("string"))
 
-    # stage 3: exact dedup among gated rows (min-id survivor)
+    # stage 3: exact dedup among the rows surviving every row-local
+    # gate (min-id survivor).  `__pre` collapses the map gates and the
+    # join gates into one reason column (map reasons win by coalesce
+    # order, matching the old sequential priority: a map-rejected row
+    # never entered the join gates' input); the window partitions by
+    # (content hash, survivor flag) so rejected rows number among
+    # themselves and the rn==1 survivor per hash is picked among
+    # EXACTLY the rows the pre-fusion form's gated frame held.  The
+    # window shuffle now materializes once inside the fused checkpoint
+    # instead of recomputing per consumer (the round-13 posture, made
+    # free by the fusion).
+    ann = ann.withColumn("__pre", F.coalesce(F.col("__gate"), F.col("__jr")))
     rn = F.row_number().over(
-        Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
+        Window.partitionBy(
+            F.sha2(F.col(text_col), 256), F.col("__pre").isNull()
+        ).orderBy(F.col(id_col))
     )
-    # no checkpoint here (round-13 floor work): the window is
-    # deterministic (partition sha2(text), order id), so its downstream
-    # consumers - exact_rej and surv, all materialized inside the
-    # shared-substrate checkpoint and the final attribution job -
-    # recompute identical row numbers; re-running the window is
-    # O(batch) row work inside jobs that already exist, where a
-    # checkpoint is one more serialized job on the micro-batch floor
-    gated = gated.withColumn("__rn", rn)
-    exact_rej = gated.filter(F.col("__rn") > 1).select(
-        F.col(id_col).alias("__rid"), F.lit("exact_dup").alias("__reason")
-    )
-    surv = gated.filter(F.col("__rn") == 1).drop("__rn", "__gate")
+    # THE fused materialization: annotations + map gates + join-gate
+    # verdicts + exact-dup row numbers in one job (was three serialized
+    # waves pre-round-14: annotate ckpt, gate-wave ckpt, per-consumer
+    # window recompute)
+    ann = ann.withColumn("__rn", rn).localCheckpoint()
+
+    surv = ann.filter(
+        F.col("__pre").isNull() & (F.col("__rn") == 1)
+    ).drop("__gate", "__jr", "__pre", "__rn")
 
     # stages 4+5 share ONE shingle substrate: surv is exploded and
     # checkpointed once, and the intra-batch LSH, the corpus probe,
@@ -446,9 +550,14 @@ def curate_annotated(
     # floor
     from .dedup import MAX_DRIVER_PAIRS, exploded_shingles, union_find_drops
 
+    # lazy checkpoint + count (round-14): the count is the action that
+    # materializes the substrate, so ONE job both caches the exploded
+    # frame and hands match_batch its broadcast-fit bound - the eager
+    # ckpt + match_batch's own count() were two jobs pre-round-14
     exploded_surv = exploded_shingles(
         surv, text_col, id_col, mh_params.get("n", 3)
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    n_exploded = exploded_surv.count()
 
     # stage 4: intra-batch near-dup clusters keep their min-id member.
     # Survivor resolution fast path (mirrors survivors_from_pairs):
@@ -502,9 +611,9 @@ def curate_annotated(
         ).select(F.col(id_col).alias("__rid"),
                  F.lit("near_dup_batch").alias("__reason"))
 
-    rejects = exact_rej.unionByName(near_rej)
-    for jr in join_rejects:
-        rejects = rejects.unionByName(jr)
+    # only the near-dup reasons still arrive by join: the map gates,
+    # the join gates and exact_dup are columns of the fused checkpoint
+    rejects = near_rej
 
     # substrate out-param (round-13 floor work): expose the shared
     # shingle frame so a sink caller can pass it to
@@ -522,7 +631,8 @@ def curate_annotated(
     if index is not None:
         corpus_rej = (
             index.match_batch(kept, text_col, id_col, near_dup_threshold,
-                              exploded=exploded_kept)
+                              exploded=exploded_kept,
+                              exploded_rows=n_exploded)
             .select(F.col("new_id").alias("__rid"))
             .distinct()
             .withColumn("__reason", F.lit("near_dup_corpus"))
@@ -532,9 +642,14 @@ def curate_annotated(
     out = (
         ann.join(rejects, ann[id_col] == rejects["__rid"], "left")
         .withColumn(
-            "reject_reason", F.coalesce(F.col("__gate"), F.col("__reason"))
+            "reject_reason",
+            F.coalesce(
+                F.col("__pre"),
+                F.when(F.col("__rn") > 1, F.lit("exact_dup")),
+                F.col("__reason"),
+            ),
         )
-        .drop("__rid", "__reason", "__gate")
+        .drop("__rid", "__reason", "__gate", "__jr", "__pre", "__rn")
     )
     out = hash_split(out, id_col, fractions=split_fractions, salt=split_salt)
     return out.withColumn(

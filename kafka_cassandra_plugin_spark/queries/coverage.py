@@ -176,21 +176,67 @@ def media_plans(spark, sf_dir):
     return resize.unionByName(frames).orderBy("media_id", "plan", "a")
 
 
+# The stub kernel is sha256(payload) bytes / 255.0 (one digest for
+# FEATURE_DIM=16), and payload = utf-8 of the text - so DuckDB can
+# re-derive every feature from sha256(text)'s hex output.  Byte i of
+# the digest = the i-th hex PAIR, decoded by position arithmetic
+# (DuckDB has no hex-pair-to-int builtin):
+def _hexbyte(i: int) -> str:
+    p = 2 * i + 1
+    return (
+        f"((strpos('0123456789abcdef', substr(h,{p},1))-1)*16"
+        f" + strpos('0123456789abcdef', substr(h,{p + 1},1))-1)"
+    )
+
+
+# fold-ordered mean: the SAME left-associated double additions the
+# Spark side chains below (((0.0+v0)+v1)+... - never a SUM() whose
+# accumulation order the engine may choose)
+_MEDIA_SUM = "0.0"
+for _i in range(16):
+    _MEDIA_SUM = f"({_MEDIA_SUM} + {_hexbyte(_i)}/255.0)"
+
+MEDIA_DECODE_SQL = f"""
+    WITH d AS (SELECT doc_id AS media_id, sha256(text) AS h
+               FROM documents)
+    SELECT media_id,
+           round({_hexbyte(0)}/255.0, 6) AS f0,
+           round({_hexbyte(7)}/255.0, 6) AS f7,
+           round({_hexbyte(8)}/255.0, 6) AS f8,
+           round({_hexbyte(15)}/255.0, 6) AS f15,
+           round({_MEDIA_SUM}/16.0, 6) AS f_mean
+    FROM d
+    ORDER BY media_id
+"""
+
+
 @register(
     "media_decode_features",
-    sql=None,
+    sql=MEDIA_DECODE_SQL,
     tags=("G62", "G50"),
-    doc="decode_features: Arrow-batched mapInPandas over binary payloads "
-    "(deterministic stub kernel here for oracle stability; the REAL "
-    "kernel=codec path - pure-stdlib PNG/WAV decoders in "
-    "operators/media_codecs.py - is pytest-gated on planted real bytes "
-    "in tests/test_multimodal.py and benched as media_codec_features).",
+    doc="decode_features: Arrow-batched mapInPandas over binary payloads. "
+    "Round-14: VALUE-VERIFIED - the stub kernel is one sha256 expansion, "
+    "which DuckDB re-derives from sha256(text) hex (feature bytes by "
+    "hex-pair arithmetic, fold-ordered mean), so the declared row "
+    "hash-matches end-to-end through the real mapInPandas plumbing.  "
+    "Only the REAL byte-decode (kernel=codec - pure-stdlib PNG/WAV "
+    "decoders in operators/media_codecs.py, which no SQL engine runs) "
+    "stays pytest-gated on planted real bytes in tests/test_multimodal.py "
+    "and benched as media_codec_features.",
 )
 def media_decode_features(spark, sf_dir):
     media = M.synth_media_table(Catalog(spark, sf_dir).documents)
     feats = M.decode_features(media, batch_note_col=None)
+    mean = F.lit(0.0)
+    for i in range(1, 17):
+        mean = mean + F.element_at(F.col("features"), i)
     return feats.select(
-        "media_id", F.round(F.element_at("features", 1), 6).alias("f0")
+        "media_id",
+        F.round(F.element_at(F.col("features"), 1), 6).alias("f0"),
+        F.round(F.element_at(F.col("features"), 8), 6).alias("f7"),
+        F.round(F.element_at(F.col("features"), 9), 6).alias("f8"),
+        F.round(F.element_at(F.col("features"), 16), 6).alias("f15"),
+        F.round(mean / 16.0, 6).alias("f_mean"),
     ).orderBy("media_id")
 
 

@@ -3108,3 +3108,68 @@ def tokenizer_fertility_oracle(spark, sf_dir, con):
         F.round("chars_per_token", 6).alias("chars_per_token"),
     ).orderBy("source", "lang")
     return df, TOKENIZER_FERTILITY_SQL
+
+
+DOMAIN_GATE_SQL = r"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://docs.'
+             || lower(regexp_replace(source, '[^A-Za-z0-9-]', '-', 'g'))
+             || '.example/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             lower(regexp_extract(
+               url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)',
+               1)) AS host
+      FROM u),
+    d AS (
+      SELECT doc_id, host,
+             CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+                  ELSE string_split(host, '.')[-2] || '.'
+                       || string_split(host, '.')[-1]
+             END AS domain
+      FROM h)
+    SELECT domain,
+           domain NOT IN ('src3.example', 'src7.example', 'src11.example')
+             AS passes,
+           count(*) AS docs,
+           min(doc_id) AS min_doc
+    FROM d
+    GROUP BY domain, passes
+    ORDER BY domain
+"""
+
+
+def domain_gate_report(spark, sf_dir):
+    """URL/domain blocklist gate (SURVEY §2.5 D36 - the CCNet/
+    RefinedWeb/Dolma origin filter) over documents: a deterministic
+    synthetic URL per document (the corpus carries none), host + naive
+    registrable-domain extraction, a literal three-domain blocklist
+    verdict, and per-domain accounting.  Exercises the full
+    :mod:`..operators.domains` path the funnel's stage-0
+    ``blocked_domain`` gate runs (synthetic_url -> url_host ->
+    registrable_domain -> domain_gate).  Pure map stage + one grouped
+    pass; group count = distinct origins (plan-gated in
+    tests/test_domains.py)."""
+    from ..operators.domains import (
+        domain_gate,
+        registrable_domain,
+        synthetic_url,
+        url_host,
+    )
+
+    blocked = ["src3.example", "src7.example", "src11.example"]
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "source")
+    return (
+        d.withColumn("url", synthetic_url("source", "doc_id"))
+        .withColumn("domain", registrable_domain(url_host("url")))
+        .withColumn("passes", domain_gate("url", blocklist=blocked))
+        .groupBy("domain", "passes")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("domain")
+    )

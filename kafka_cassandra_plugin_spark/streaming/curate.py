@@ -156,6 +156,16 @@ class CurationSink:
     post-hoc sweep over the accepted corpus.  The set is read once and
     cached for the sink's lifetime.
 
+    ``blocklist_path`` / ``allowlist_path``: parquet domain lists
+    (single ``domain`` string column, registrable domains); every
+    micro-batch then runs the funnel's stage-0 ``blocked_domain``
+    origin gate against them (broadcast left joins - see
+    :mod:`..operators.domains`), with ``url_col`` passed through
+    ``curate_kwargs`` when the stream carries a real URL column
+    (without it the gate keys on the deterministic synthetic URL from
+    ``source``).  The lists are read once and cached for the sink's
+    lifetime, the ``benchmarks_path`` posture.
+
     ``ledger=True``: persist each batch's funnel counts under
     ``out_path/_funnel_ledger/ingest_batch=<id>/`` with the same
     overwrite-per-batch exactly-once discipline as the accepted output
@@ -314,6 +324,8 @@ class CurationSink:
                  compact_mode: str = "full",
                  compact_max_levels: int = 8,
                  benchmarks_path: str | None = None,
+                 blocklist_path: str | None = None,
+                 allowlist_path: str | None = None,
                  ledger: bool = False,
                  seen_bloom_path: str | None = None,
                  bloom_expected_items: int = 1_000_000,
@@ -364,6 +376,8 @@ class CurationSink:
         self.compact_mode = compact_mode
         self.compact_max_levels = compact_max_levels
         self.benchmarks_path = benchmarks_path
+        self.blocklist_path = blocklist_path
+        self.allowlist_path = allowlist_path
         self.ledger = ledger
         self.seen_bloom_path = seen_bloom_path
         self.bloom_expected_items = bloom_expected_items
@@ -389,6 +403,8 @@ class CurationSink:
         self.curate_kwargs = curate_kwargs
         self._clf = None
         self._langid = None
+        self._blocklist: DataFrame | None = None
+        self._allowlist: DataFrame | None = None
         self.funnel_by_batch: dict[int, dict[str, int]] = {}
         self._adds = 0
         self._bench: DataFrame | None = None
@@ -463,6 +479,15 @@ class CurationSink:
             # static eval set: read once, cache across micro-batches -
             # every batch pays one broadcast gram join, never a re-read
             self._bench = spark.read.parquet(self.benchmarks_path).cache()
+        if self.blocklist_path is not None and self._blocklist is None:
+            # static domain lists, same read-once posture: every batch
+            # then pays one broadcast left join per list (the funnel's
+            # stage-0 blocked_domain gate - see operators.domains)
+            self._blocklist = spark.read.parquet(
+                self.blocklist_path).cache()
+        if self.allowlist_path is not None and self._allowlist is None:
+            self._allowlist = spark.read.parquet(
+                self.allowlist_path).cache()
         if (self.compact_every and self._adds
                 and self._adds % self.compact_every == 0):
             # MinHash index + accepted-output folds, in the same
@@ -695,6 +720,11 @@ class CurationSink:
             lm_kwargs["lm"] = lm
         _t = _mark("load_s", _t)
 
+        domain_kwargs = {}
+        if self._blocklist is not None:
+            domain_kwargs["blocked_domains"] = self._blocklist
+        if self._allowlist is not None:
+            domain_kwargs["allowed_domains"] = self._allowlist
         substrate: dict = {}
         annotated = curate_annotated(
             batch_df, index=index,
@@ -702,6 +732,7 @@ class CurationSink:
             benchmarks=self._bench,
             seen=bloom,
             substrate=substrate,
+            **domain_kwargs,
             **lm_kwargs,
             **clf_kwargs,
             **self.curate_kwargs,
@@ -710,28 +741,33 @@ class CurationSink:
         accepted = annotated.filter(F.col("reject_reason").isNull()).drop(
             "reject_reason"
         )
-        (
-            accepted.write.mode("overwrite")
-            .partitionBy("lang", "split")
-            .parquet(f"{self.out_path}/ingest_batch={batch_id}")
-        )
-        _t = _mark("write_s", _t)
-        # ---- parallel append phase: every store append is an
-        # independent O(batch) job over the CHECKPOINTED annotated
-        # frame, each writing to its own path with the overwrite-per-
-        # batch exactly-once discipline - so they (and the funnel
-        # accounting read) run concurrently on driver threads and the
-        # phase costs max(appends) instead of their sum.  All appends
+        # ---- parallel append phase: the accepted-output write and
+        # every store append are independent O(batch) jobs over the
+        # CHECKPOINTED annotated frame, each writing to its own path
+        # with the overwrite-per-batch exactly-once discipline - so
+        # they (and the funnel accounting read) run concurrently on
+        # driver threads and the phase costs max(write, appends)
+        # instead of their sum (round-14: the output write joined the
+        # wave; it was a serialized predecessor before).  All appends
         # are write-only (reload=False): the next batch loads fresh
         # with its own exclude_batch anyway.  Failure semantics are
-        # unchanged from the sequential form: any subset may have
-        # landed when the batch fails, and the replay overwrites every
-        # store's own partition.
+        # unchanged from the sequential form: any subset (including
+        # the output dir) may have landed when the batch fails, and
+        # the replay overwrites every store's own partition AND its
+        # own ingest_batch dir - at-least-once delivery never exposes
+        # a half-written batch to the exclusion views.
         # the funnel's checkpointed shingle substrate, narrowed to the
         # accepted ids: add_batch then skips its own explode+checkpoint
         # job (one fewer serialized job on the micro-batch floor).  The
         # semi-join is lazy over the already-checkpointed frame, and
         # the substrate is built at the INDEX's n by construction.
+        def _write_accepted():
+            (
+                accepted.write.mode("overwrite")
+                .partitionBy("lang", "split")
+                .parquet(f"{self.out_path}/ingest_batch={batch_id}")
+            )
+
         exp_kept = substrate.get("exploded_kept")
         exploded_accepted = (
             exp_kept.join(
@@ -805,7 +841,7 @@ class CurationSink:
                 for row in curation_funnel(annotated).collect()
             }
 
-        appends = [_add_index]
+        appends = [_write_accepted, _add_index]
         if bloom is not None:
             appends.append(_add_bloom)
         if lm is not None and self.lm_accumulate:

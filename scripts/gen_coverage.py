@@ -548,6 +548,33 @@ TIER_D = {
             "compact_every folds committed partitions "
             "(tests/test_commonness.py, "
             "test_streaming_curate.py::TestCommonnessMaintenance)"),
+    "D36": ("URL/domain blocklist gate (url_host / "
+            "registrable_domain / synthetic_url / domain_gate / "
+            "domain_gate_frame / domain_profile + "
+            "curate_annotated(blocked_domains=/allowed_domains=/"
+            "url_col=) stage-0 'blocked_domain' + "
+            "CurationSink(blocklist_path=/allowlist_path=) - the "
+            "CCNet/RefinedWeb/Dolma origin filter, the one "
+            "curation stage every published web pipeline runs "
+            "BEFORE content inspection; round-14 verdict #3)",
+            "operators/domains.py, operators/pipeline.py, "
+            "streaming/curate.py",
+            "host/registrable-domain extraction on crafted URLs "
+            "(userinfo, ports, schemes, non-URLs -> ''), the "
+            "documented naive-eTLD limitation pinned; literal "
+            "lists == DataFrame lists; block-wins-over-allow; "
+            "allowlist rejects unattributable rows, pure "
+            "blocklist passes them; literal gate zero-Exchange "
+            "plan gate, frame gate broadcast-only (corpus side "
+            "never shuffles); funnel: stage 0 precedes every "
+            "content gate, disjoint reason, partitions input; "
+            "sink: stored blocklist gates every micro-batch, "
+            "blocked rows leak into NO store, replay-identical; "
+            "DuckDB oracle sf0.01 (pytest 'domain_gate': "
+            "synthetic URL, host+domain extraction AND verdict "
+            "re-derived in SQL) + sf1 (bench re-check as "
+            "extra_queries['domain_gate']) "
+            "(tests/test_domains.py)"),
 }
 
 
@@ -589,12 +616,12 @@ def main() -> None:
     n_oracle = sum(1 for q in reg.values() if q.sql)
     lines.append(
         f"**Totals**: {n_q} declared queries ({n_oracle} oracle-matched, "
-        f"{n_q - n_oracle} rows-only) + 22 pytest-oracled tier-D queries "
+        f"{n_q - n_oracle} rows-only) + 23 pytest-oracled tier-D queries "
         "(`repetition_signals`, `decontam_ngram13`, `decontam_jaccard`, "
         "`quality_report`, `pii_redaction`, `sample_per_group`, "
         "`dedup_semantic`, `dedup_substring`, `dedup_lines`, "
         "`bm25_topk`, `dsir_select`, `quality_classifier`, "
-        "`lm_perplexity`, `langid`, `fingerprint_winnow`, `bpe_token_counts`, `gopher_quality`, `corpus_datasheet`, `ccnet_ppl_buckets`, `soft_dedup`, `contamination_report`, `tokenizer_fertility` — the driver's 50-query verdict "
+        "`lm_perplexity`, `langid`, `fingerprint_winnow`, `bpe_token_counts`, `gopher_quality`, `corpus_datasheet`, `ccnet_ppl_buckets`, `soft_dedup`, `contamination_report`, `tokenizer_fertility`, `domain_gate` — the driver's 50-query verdict "
         "window is full, so their DuckDB oracles run in pytest through "
         "the same harness, and the bench re-checks them at sf1); "
         f"inventory rows uncovered: {missing or 'none'}."
