@@ -159,6 +159,7 @@ def curate_annotated(
     split_fractions: dict[str, float] | None = None,
     split_salt: str = "",
     substrate: dict | None = None,
+    timings: dict | None = None,
 ) -> DataFrame:
     """Every batch row, annotated + tagged: ``reject_reason`` (null =
     accepted) and ``split`` (null for rejected rows).  See module doc
@@ -266,6 +267,12 @@ def curate_annotated(
     the cross-RUN exact-dedup answer at a sketch's cost - the
     alternative is an anti-join against every content hash ever
     accepted.
+
+    ``timings`` (opt-in out-param, the ``substrate`` shape): filled
+    with the wall seconds of this call's three BLOCKING driver points
+    (``fused_ckpt_s``, ``substrate_s``, ``pairs_s``) - the sink merges
+    them into its phase log so floor work can see inside ``funnel_s``
+    without instrumenting Spark.
 
     When ``index`` is given, the intra-batch near-dup stage reuses the
     INDEX's MinHash parameters (n, num_hashes, bands, hash_fn) so stages
@@ -535,7 +542,17 @@ def curate_annotated(
     # verdicts + exact-dup row numbers in one job (was three serialized
     # waves pre-round-14: annotate ckpt, gate-wave ckpt, per-consumer
     # window recompute)
+    import time as _time
+
+    def _mark(name: str, since: float) -> float:
+        now = _time.perf_counter()
+        if timings is not None:
+            timings[name] = round(now - since, 3)
+        return now
+
+    _t = _time.perf_counter()
     ann = ann.withColumn("__rn", rn).localCheckpoint()
+    _t = _mark("fused_ckpt_s", _t)
 
     surv = ann.filter(
         F.col("__pre").isNull() & (F.col("__rn") == 1)
@@ -558,6 +575,35 @@ def curate_annotated(
         surv, text_col, id_col, mh_params.get("n", 3)
     ).localCheckpoint(eager=False)
     n_exploded = exploded_surv.count()
+    _t = _mark("substrate_s", _t)
+
+    # stage 5 kicked off FIRST (round-14): the corpus probe reads only
+    # stage-3 survivors + the shared substrate - it does NOT depend on
+    # the stage-4 pair collect - so it materializes on a driver thread
+    # CONCURRENTLY with the pair collect below (pre-round-14 the probe
+    # lived inside the final attribution job, serialized after the
+    # collect; overlapping the two was the largest remaining term of
+    # the CurationSink floor).  Probing SURV (a superset of stage-4's
+    # kept set) yields the identical reject set: a link's verdict is
+    # row-vs-corpus (never affected by which OTHER batch rows stage 4
+    # drops), and the min_by priority below attributes any overlap to
+    # near_dup_batch exactly as the sequential stage order did.  The
+    # checkpointed result is batch-bounded (distinct new_id).
+    corpus_fut = None
+    pool = None
+    if index is not None:
+        corpus_rej_plan = (
+            index.match_batch(surv, text_col, id_col, near_dup_threshold,
+                              exploded=exploded_surv,
+                              exploded_rows=n_exploded)
+            .select(F.col("new_id").alias("__rid"))
+            .distinct()
+            .withColumn("__reason", F.lit("near_dup_corpus"))
+        )
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        corpus_fut = pool.submit(corpus_rej_plan.localCheckpoint)
 
     # stage 4: intra-batch near-dup clusters keep their min-id member.
     # Survivor resolution fast path (mirrors survivors_from_pairs):
@@ -576,14 +622,19 @@ def curate_annotated(
     # would materialize the band-join + verify plan twice per
     # micro-batch for nothing.  Only the distributed fallback (which
     # reuses pairs across label-propagation rounds) checkpoints.
-    head = pairs.limit(MAX_DRIVER_PAIRS + 1).collect()
+    try:
+        head = pairs.limit(MAX_DRIVER_PAIRS + 1).collect()
+    except Exception:
+        if pool is not None:
+            pool.shutdown(wait=False)
+        raise
+    _t = _mark("pairs_s", _t)
     if len(head) <= MAX_DRIVER_PAIRS:
         drops = sorted(union_find_drops((r.id_a, r.id_b) for r in head))
         drop_df = spark.createDataFrame([(d,) for d in drops], id_schema)
-        kept = (
-            surv.join(F.broadcast(drop_df), id_col, "left_anti")
-            if drops else surv
-        )
+        # (no `kept` frame needed on this path since round-14: the
+        # corpus probe reads surv, and the substrate out-param carries
+        # the kept-id filter itself)
         kept_ids = drop_df.withColumnsRenamed({id_col: "id"})
         exploded_kept = (
             exploded_surv.join(F.broadcast(kept_ids), "id", "left_anti")
@@ -611,10 +662,6 @@ def curate_annotated(
         ).select(F.col(id_col).alias("__rid"),
                  F.lit("near_dup_batch").alias("__reason"))
 
-    # only the near-dup reasons still arrive by join: the map gates,
-    # the join gates and exact_dup are columns of the fused checkpoint
-    rejects = near_rej
-
     # substrate out-param (round-13 floor work): expose the shared
     # shingle frame so a sink caller can pass it to
     # MinHashIndex.add_batch instead of re-shingling the accepted rows
@@ -626,30 +673,38 @@ def curate_annotated(
         substrate["exploded_kept"] = exploded_kept
         substrate["n"] = mh_params.get("n", 3)
 
-    # stage 5: near-dups of the indexed corpus (probing the shared
-    # substrate filtered to kept ids - no re-shingle)
-    if index is not None:
-        corpus_rej = (
-            index.match_batch(kept, text_col, id_col, near_dup_threshold,
-                              exploded=exploded_kept,
-                              exploded_rows=n_exploded)
-            .select(F.col("new_id").alias("__rid"))
-            .distinct()
-            .withColumn("__reason", F.lit("near_dup_corpus"))
-        )
-        rejects = rejects.unionByName(corpus_rej)
+    # stage 5 drain: the probe launched above has been materializing
+    # while the pair collect ran.  Since it probed SURV, an id can
+    # appear in BOTH near-dup sets; attribution keeps the stage order
+    # (near_dup_batch first) via coalesce below - each reject frame is
+    # distinct-by-id by construction, so two broadcast LEFT joins
+    # attach the reasons without a shuffle and can never fan out.
+    corpus_rej = None
+    if corpus_fut is not None:
+        try:
+            corpus_rej = corpus_fut.result()
+        finally:
+            pool.shutdown(wait=False)
 
+    nb = F.broadcast(near_rej.withColumnsRenamed({"__reason": "__nb"}))
+    out = ann.join(nb, ann[id_col] == nb["__rid"], "left").drop("__rid")
+    reason_cols = [F.col("__nb")]
+    if corpus_rej is not None:
+        nc = F.broadcast(
+            corpus_rej.withColumnsRenamed({"__reason": "__nc"}))
+        out = out.join(
+            nc, out[id_col] == nc["__rid"], "left").drop("__rid")
+        reason_cols.append(F.col("__nc"))
     out = (
-        ann.join(rejects, ann[id_col] == rejects["__rid"], "left")
-        .withColumn(
+        out.withColumn(
             "reject_reason",
             F.coalesce(
                 F.col("__pre"),
                 F.when(F.col("__rn") > 1, F.lit("exact_dup")),
-                F.col("__reason"),
+                *reason_cols,
             ),
         )
-        .drop("__rid", "__reason", "__gate", "__jr", "__pre", "__rn")
+        .drop("__nb", "__nc", "__gate", "__jr", "__pre", "__rn")
     )
     out = hash_split(out, id_col, fractions=split_fractions, salt=split_salt)
     return out.withColumn(

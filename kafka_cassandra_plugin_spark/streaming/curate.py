@@ -726,18 +726,31 @@ class CurationSink:
         if self._allowlist is not None:
             domain_kwargs["allowed_domains"] = self._allowlist
         substrate: dict = {}
+        funnel_marks: dict = {}
         annotated = curate_annotated(
             batch_df, index=index,
             text_col=self.text_col, id_col=self.id_col,
             benchmarks=self._bench,
             seen=bloom,
             substrate=substrate,
+            timings=funnel_marks,
             **domain_kwargs,
             **lm_kwargs,
             **clf_kwargs,
             **self.curate_kwargs,
         ).localCheckpoint()
+        # The attribution checkpoint STAYS (round-14 measured dead
+        # end: dropping it let each of the ~8 concurrent append jobs
+        # rebuild the attribution joins - the per-job broadcast builds
+        # and plan re-analysis under scheduler contention moved the
+        # append wave 2.2 -> 4.2 s, swamping the ~1 s the dropped
+        # checkpoint saved.  One cheap materialization that every
+        # consumer scans is the right trade at micro-batch scale.)
         _t = _mark("funnel_s", _t)
+        # the funnel's internal blocking points (what remains of
+        # funnel_s is plan build + the attribution ckpt + the
+        # concurrent-probe drain)
+        _ph.update(funnel_marks)
         accepted = annotated.filter(F.col("reject_reason").isNull()).drop(
             "reject_reason"
         )
