@@ -885,7 +885,11 @@ def _depth_ops(sf_dir):
             nlist = adaptive_nlist(emb.count())
             _state["idx"] = IvfIndex.build(emb, nlist=nlist, seed=42)
             _state["cb"] = Q.PqCodebook.fit(emb, 64, m=8, k=64, seed=42)
-        q = emb.filter(F.col("vec_id") % 10 == 0)
+        # serving batch pinned to the vec_id<2000 snapshot (round-14,
+        # identity at sf0.1 - the declared ANN rows' growth-cap
+        # convention, see sim_lsh_ann)
+        q = emb.filter((F.col("vec_id") % 10 == 0)
+                       & (F.col("vec_id") < 2000))
         return Q.ivf_pq_topk(_state["idx"], _state["cb"], q, k=10,
                              nprobe=10, shortlist=100)
 

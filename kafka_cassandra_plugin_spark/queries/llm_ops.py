@@ -676,9 +676,18 @@ def sim_lsh_ann(spark, sf_dir):
     (adaptive_n_planes: ~32 vectors per expected bucket).  Recall@10 vs
     brute force measured 1.00, gate >= 0.85 in tests.  Not a declared
     query since round 10 (the portable twin took the declared slot);
-    benched every round as extra_queries['sim_lsh_ann']."""
+    benched every round as extra_queries['sim_lsh_ann'].
+
+    Serving batch PINNED to the ``vec_id < 2000`` snapshot (round-14;
+    identity at sf0.1 and below, the round-13 declared-row
+    convention): the round-14 extras campaign ran this row with a
+    corpus-proportional query set (20k queries at sf10) and the
+    multi-probe candidate join spilled the disk full - the same
+    O(N^2/B) growth trap the declared ANN rows were cured of in
+    round 13, closed here the same way."""
     e = Catalog(spark, sf_dir).embeddings
-    queries = e.filter(F.col("vec_id") % 10 == 0)
+    queries = e.filter(
+        (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 2000))
     planes = S.adaptive_n_planes(_corpus_rows(spark, sf_dir))
     return S.rp_lsh_topk(
         e, queries, dim=64, k=10, n_planes=planes
@@ -956,9 +965,15 @@ def sim_ivf_ann_kmeans(spark, sf_dir):
     portable sample-quantizer twin took the declared slot, the
     sim_lsh_ann precedent); benched every round as
     extra_queries['sim_ivf_ann_kmeans'], recall-gated (0.94 @10) and
-    DuckDB-value-oracled in pytest (TestIvfTopkOracle)."""
+    DuckDB-value-oracled in pytest (TestIvfTopkOracle).
+
+    Serving batch PINNED to the ``vec_id < 2000`` snapshot (round-14,
+    the sim_lsh_ann note): identity at sf0.1 and below; beyond it the
+    row measures corpus growth under a FIXED serving workload - the
+    actual production posture."""
     e = Catalog(spark, sf_dir).embeddings
-    queries = e.filter(F.col("vec_id") % 10 == 0)
+    queries = e.filter(
+        (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 2000))
     key = _emb_cache_key(sf_dir)
     idx = _IVF_INDEXES.get(key)
     if idx is None:

@@ -124,7 +124,16 @@ def main() -> None:
 
     spark = get_spark(
         "kcp-sf10-campaign", master="local[32]",
-        overrides={"spark.sql.shuffle.partitions": "64"},
+        overrides={
+            "spark.sql.shuffle.partitions": "64",
+            # one long JVM runs ~115 materializations back to back and
+            # localCheckpoint blocks accrete between the gc ticks; the
+            # session default 8g heap OOM'd the adaptive-LSH sf10 row
+            # (UNABLE_TO_ACQUIRE_MEMORY) on a 125 GB box - give the
+            # campaign real headroom (driver.memory is JVM-start-only,
+            # and this script owns the first session of its process)
+            "spark.driver.memory": "48g",
+        },
     )
     registry["agg_pricing_summary"].build(spark, args.sf1).count()  # warmup
 
