@@ -73,7 +73,11 @@ reason, and the exact-dup row number - is a COLUMN of one fused
 materialization (a single localCheckpoint job whose broadcast-exchange
 subtrees carry the gate joins), so only the two near-dup reasons still
 arrive by a final batch-bounded left join.  At micro-batch scale this
-is the difference between six serialized job waves and three.
+is the difference between six serialized job waves (annotate ckpt,
+gate-wave ckpt, substrate ckpt, pair collect, probe-fit count, final
+attribution) and four - of which the corpus probe overlaps the pair
+collect on a driver thread, so the critical path is effectively
+three waves plus one attribution job.
 
 Reference provenance: the reference plugin is a Cassandra KV/lease layer
 with no document pipeline (`CassandraListenerRegistry.scala:27,52` point

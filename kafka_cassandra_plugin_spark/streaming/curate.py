@@ -13,8 +13,9 @@ MinHashIndex`:
          .trigger(availableNow=True).start())
 
 Per micro-batch: load the index -> run the funnel (quality / lang /
-exact / intra-batch near-dup / corpus near-dup) -> write accepted rows
--> append them to the index so the NEXT micro-batch sees them.
+exact / intra-batch near-dup / corpus near-dup) -> one parallel wave
+writes accepted rows AND appends them to every store, so the NEXT
+micro-batch sees them.
 
 Delivery semantics (the part worth being precise about):
 

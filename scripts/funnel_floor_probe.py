@@ -2,7 +2,9 @@
 
 Runs measure_funnel_cadence (the round-6/12 harness, full gate set) at
 batch-200 and batch-1000 and prints the per-batch phase log the sink
-records (guard / setup / load / funnel / write / append) - the
+records (guard / setup / load / funnel [fused_ckpt / substrate /
+pairs] / append; the accepted write rides the append wave since
+round 14) - the
 feedback loop for the round-13 handle-cache floor work.
 
 Usage: python scripts/funnel_floor_probe.py [batch_rows ...]
