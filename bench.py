@@ -103,6 +103,13 @@ EXPLICIT_ANCHORS = {
     # keeps the old 1.8 anchor under its new extras name.
     "sim_ivf_ann": 2.2,
     "sim_ivf_ann_kmeans": 1.8,
+    # round-14 re-anchor with cause: the row changed identity when it
+    # was promoted to hash-matched (1 output column -> f0/f7/f8/f15 +
+    # fold-ordered mean over all 16 features; the mapInPandas decode
+    # itself is unchanged).  Isolated best-of-5 on a calib-0.50 host:
+    # 1.56; the 0.59 artifact minimum predates the promotion and must
+    # not anchor the 5-column row.
+    "media_decode_features": 1.3,
     "text_stats": 1.64,
     "cdc_value_changes": 1.02,
     "leader_timeline_replay": 0.97,
