@@ -145,17 +145,55 @@ EXPLICIT_ANCHORS = {
 ISOLATION_FLOOR_S = 0.5
 
 
-def load_anchors(repo_dir: str) -> dict[str, float]:
-    """Per-row anchors: EXPLICIT_ANCHORS (BASELINE.md isolated steady
-    states) min-merged with every reading recoverable from prior
-    BENCH_r*.json artifacts.  The driver wraps our stdout - `parsed` is
-    the JSON payload when it fit the recorded tail, else `tail` holds
-    the line's last 2000 chars - so both shapes are mined; for a
-    truncated tail a name:number regex recovers the per-query pairs
-    (a best-observed reading is a conservative steady-state proxy)."""
+def _tail_regions(tail: str) -> list[str]:
+    """Anchor-safe slices of a truncated artifact tail.
+
+    The recorded tail is the LAST 2000 chars of the bench line; for
+    recent rounds that window starts inside the sf10-campaign payload,
+    so a whole-tail name:number regex absorbs GROWTH RATIOS (and sf1/
+    sf10 seconds) as per-query sf0.1 anchors - round-14 verdict #1:
+    dedup_simhash "anchored" at its r13 growth ratio 1.28 and fired a
+    spurious fresh-JVM retry.  Only two tail regions hold genuine sf0.1
+    readings keyed by query name:
+
+    * the ``"queries"`` / ``"extra_queries"`` objects (short artifacts
+      where the main table survived truncation), and
+    * the ``"isolated_retries"`` object, whose ``"isolated"`` values
+      are fresh-JVM best-of-5 sf0.1 seconds - ideal anchor material -
+      re-keyed here to the row name so the flat regex can absorb them.
+
+    Everything else (``sf1_extra``/``sf10``/``growth``/``sf1_oracle``)
+    is a different scale or a dimensionless ratio and is dropped.
+    """
     import re
 
-    meta_keys = {"value", "raw_total", "sf", "n", "rc", "cpus"}
+    regions: list[str] = []
+    for key in ("queries", "extra_queries"):
+        # tolerate a region cut off by the 2000-char truncation at
+        # either end: stop at the closing brace or the tail's end
+        m = re.search(r'"%s":\s*\{([^{}]*)(?:\}|$)' % key, tail)
+        if m:
+            regions.append(m.group(1))
+    for name, iso in re.findall(
+        r'"([A-Za-z0-9_\[\]]+)":\s*\{[^{}]*"isolated":\s*([0-9]+\.[0-9]+)',
+        tail,
+    ):
+        regions.append('"%s": %s' % (name, iso))
+    return regions
+
+
+def load_anchors(repo_dir: str) -> dict[str, float]:
+    """Per-row anchors: EXPLICIT_ANCHORS (BASELINE.md isolated steady
+    states) min-merged with every sf0.1 reading recoverable from prior
+    BENCH_r*.json artifacts.  The driver wraps our stdout - `parsed` is
+    the JSON payload when it fit the recorded tail, else `tail` holds
+    the line's last 2000 chars; a truncated tail is mined ONLY in its
+    anchor-safe regions (see _tail_regions) so campaign growth ratios
+    and sf1/sf10 seconds can never masquerade as sf0.1 anchors."""
+    import re
+
+    meta_keys = {"value", "raw_total", "sf", "n", "rc", "cpus",
+                 "raw", "isolated", "anchor"}
     anchors = dict(EXPLICIT_ANCHORS)
 
     def absorb(name: str, t) -> None:
@@ -174,7 +212,6 @@ def load_anchors(repo_dir: str) -> dict[str, float]:
                 data = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
-        sections = []
         if isinstance(data.get("parsed"), dict):
             src = data["parsed"]
         elif isinstance(data.get("queries"), dict):
@@ -182,15 +219,15 @@ def load_anchors(repo_dir: str) -> dict[str, float]:
         else:
             src = None
         if src is not None:
-            sections = [src.get("queries") or {}, src.get("extra_queries") or {}]
-            for sec in sections:
+            for sec in (src.get("queries") or {}, src.get("extra_queries") or {}):
                 for name, t in sec.items():
                     absorb(name, t)
             continue
-        for name, t in re.findall(
-            r'"([A-Za-z0-9_\[\]]+)":\s*([0-9]+\.[0-9]+)', data.get("tail", "")
-        ):
-            absorb(name, float(t))
+        for region in _tail_regions(data.get("tail", "")):
+            for name, t in re.findall(
+                r'"([A-Za-z0-9_\[\]]+)":\s*([0-9]+\.[0-9]+)', region
+            ):
+                absorb(name, float(t))
     return anchors
 
 

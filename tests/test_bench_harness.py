@@ -61,6 +61,66 @@ class TestLoadAnchors:
         write(tmp_path, "BENCH_r02.json", {"parsed": {"queries": {"q": 0.9}}})
         assert bench.load_anchors(str(tmp_path))["q"] == 0.9
 
+    def test_growth_ratios_never_anchor(self, tmp_path):
+        """Round-14 verdict #1: a truncated tail that starts inside the
+        sf10-campaign payload must NOT donate growth RATIOS (or sf1/sf10
+        seconds) as per-query sf0.1 anchors - dedup_simhash absorbed its
+        r13 growth ratio 1.28 as an 'anchor' and fired a spurious
+        fresh-JVM retry recorded as a 2.35x regression."""
+        tail = ('"sim_lsh_ann_portable": 104.825, "dedup_simhash": 29.2}, '
+                '"growth": {"dedup_simhash": 1.28, "cas_lifecycle": 1.58}, '
+                '"sf1_extra": {"langid": 5.86}}, '
+                '"raw_total": 71.8, "value": 69.29}')
+        write(tmp_path, "BENCH_r01.json", {"parsed": None, "tail": tail})
+        a = bench.load_anchors(str(tmp_path))
+        assert "dedup_simhash" not in a or a["dedup_simhash"] > 2.0
+        assert "langid" not in a
+        # present only if EXPLICIT_ANCHORS carries it - never the sf10
+        # campaign seconds from the tail
+        assert a.get("sim_lsh_ann_portable") != 104.825
+
+    def test_isolated_retries_donate_fresh_jvm_readings(self, tmp_path):
+        """The isolated_retries block's 'isolated' values are genuine
+        fresh-JVM best-of-5 sf0.1 seconds - the one trustworthy region
+        of a recent truncated tail - and must anchor under the row name,
+        while the sibling raw/anchor values must not."""
+        tail = ('"isolated_retries": {"agg_distinct_sets": {"raw": 1.731, '
+                '"isolated": 0.435, "anchor": 0.785}, "dedup_simhash": '
+                '{"raw": 3.09, "isolated": 3.008, "anchor": 1.28}}, '
+                '"raw_total": 68.1, "value": 63.46}')
+        write(tmp_path, "BENCH_r01.json", {"parsed": None, "tail": tail})
+        a = bench.load_anchors(str(tmp_path))
+        assert a["agg_distinct_sets"] == 0.435
+        assert a["dedup_simhash"] == 3.008  # isolated, not the 1.28 anchor
+        assert "raw" not in a and "isolated" not in a and "anchor" not in a
+
+    def test_truncated_queries_region_unclosed_at_end(self, tmp_path):
+        """A queries object cut off by the 2000-char window still mines
+        up to the cut."""
+        tail = '"queries": {"q_eps": 2.5, "q_zeta": 0.8'
+        write(tmp_path, "BENCH_r01.json", {"parsed": None, "tail": tail})
+        a = bench.load_anchors(str(tmp_path))
+        assert a["q_eps"] == 2.5 and a["q_zeta"] == 0.8
+
+    def test_real_round14_artifact_depollutes(self):
+        """Against the committed artifacts: dedup_simhash's anchor must
+        recover its genuine fresh-JVM floor (~2.4-3.0 s band), never the
+        1.28 growth ratio, and no mined anchor may be a dimensionless
+        ratio absorbed from a growth table (spot rows named in the
+        round-14 verdict)."""
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if not os.path.exists(os.path.join(repo, "BENCH_r14.json")):
+            return
+        a = bench.load_anchors(repo)
+        assert a.get("dedup_simhash", 99.0) > 2.0
+        # langid 5.86 / quality_classifier 2.27 were sf10 growth ratios
+        # mined from the campaign region; the rows are pytest-gated (not
+        # sf0.1 bench rows), so after the fix they have NO anchor at all
+        assert "langid" not in a and "quality_classifier" not in a
+        # cas_lifecycle's 1.58 'anchor' was its r13 growth ratio; its
+        # genuine artifact floor is 1.655 (r02 queries region)
+        assert a.get("cas_lifecycle", 0) != 1.58
+
     def test_reanchored_rows_ignore_stale_artifact_minima(self, tmp_path):
         """The r8 verdict item: udf_scalar's 0.72 artifact minimum
         predates the openCost trade; with the old min-merge it kept
