@@ -51,6 +51,144 @@ from kafka_cassandra_plugin_spark.session import get_spark  # noqa: E402
 FLOOR_S = 0.5     # sf1 walls under this are job-overhead-dominated
 FLAG_RATIO = 30.0  # >3x super-linear vs the 10x data growth
 
+# Round-over-round self-defense (round-14 verdict #3): growth>30x was
+# the campaign's ONLY rule, so join_star_revenue could move 11.2->43.9 s
+# sf10 between rounds at matched calib with zero flags.  Now every sf10
+# reading is compared against a committed per-row prior
+# (.bench_sf10_priors.json, min-merged across campaigns with the calib
+# it was taken at); a row >PRIOR_FLAG_X its prior at matched calib gets
+# ONE isolated fresh-JVM re-measure before the artifact records it.
+PRIORS_FILE = ".bench_sf10_priors.json"
+PRIOR_FLAG_X = 2.0
+# calib_s observed band on this VM class is 0.216-0.502 (~2.3x); treat
+# runs within CALIB_MATCH_X of the prior's calib as comparable - beyond
+# that the host itself moved and a wall-clock flag is noise
+CALIB_MATCH_X = 1.6
+PRIOR_FLOOR_S = 2.0  # sf10 rows under this are too overhead-noisy to flag
+
+# Written verdicts on rows whose cross-round swings were investigated
+# (round-14 verdict #3 named these two); carried in the artifact so the
+# next reader doesn't re-litigate them.
+ROW_VERDICTS = {
+    "join_star_revenue": (
+        "r14's 43.9 s sf10 (15.2x growth) was a loaded-window artifact, "
+        "not a regression: a round-15 fresh-JVM probe at calib 0.212 "
+        "read 11.19 s (= r13's 11.2), and a deliberately co-tenant "
+        "re-run (concurrent pytest + a second Spark JVM) reproduced "
+        "23.8 s at calib 0.228 - co-tenancy, which the single-JVM calib "
+        "probe cannot see, is the inflation mechanism. Prior committed "
+        "at the 11.19 floor; the 2x rule now catches this class."),
+    "udf_scalar": (
+        "r13's 4.6 s sf10 (1.7x growth) was NOT under-measured - the "
+        "row is Python-worker-warmup-dominated: by the sf10 pass the "
+        "daemon workers are warm from sf1, so sub-linear wall is the "
+        "expected shape (round-15 probe: sf1 4.56 s, sf10 3.65 s quiet "
+        "window / 15.5 s co-tenant). r14's 28.8 s was the same "
+        "co-tenant artifact, not a regression."),
+}
+
+
+def load_priors(repo: str) -> dict:
+    p = os.path.join(repo, PRIORS_FILE)
+    try:
+        with open(p) as f:
+            data = json.load(f)
+        return data if isinstance(data, dict) else {}
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def merge_priors(repo: str, readings: dict, calib_s: float,
+                 section: str = "rows") -> dict:
+    """Min-merge this campaign's sf10 readings into the committed priors
+    (keeping the calib each minimum was taken at) and rewrite the file.
+    Returns the merged table for ``section``."""
+    priors = load_priors(repo)
+    rows = priors.setdefault(section, {})
+    for name, t in readings.items():
+        if t is None:
+            continue
+        cur = rows.get(name)
+        if cur is None or t < cur.get("sf10", float("inf")):
+            rows[name] = {"sf10": t, "calib_s": calib_s}
+    with open(os.path.join(repo, PRIORS_FILE), "w") as f:
+        json.dump(priors, f, indent=1, sort_keys=True)
+    return rows
+
+
+def prior_flags(readings: dict, rows: dict, calib_s: float) -> list[str]:
+    """Names whose sf10 reading exceeds PRIOR_FLAG_X times their prior
+    at matched calib (and above the absolute noise floor)."""
+    flagged = []
+    for name, t in readings.items():
+        cur = rows.get(name)
+        if t is None or cur is None:
+            continue
+        pc = cur.get("calib_s") or calib_s
+        matched = max(calib_s, pc) / max(min(calib_s, pc), 1e-6) \
+            <= CALIB_MATCH_X
+        if matched and t >= PRIOR_FLOOR_S and t > PRIOR_FLAG_X * cur["sf10"]:
+            flagged.append(name)
+    return flagged
+
+
+def isolated_sf10_remeasure(names: list[str], sf10_dir: str,
+                            extras: bool = False) -> dict:
+    """One fresh-JVM re-measure of the flagged rows at sf10 (the bench
+    --isolated pattern); {} on failure so the raw readings stand and the
+    artifact says why."""
+    import subprocess
+    mode = "--isolated-extras" if extras else "--isolated"
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), mode,
+             ",".join(names), "--sf10", sf10_dir],
+            capture_output=True, text=True, timeout=3000,
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return {k: float(v) for k, v in json.loads(line).items()
+                        if v is not None}
+    except (subprocess.TimeoutExpired, OSError, ValueError):
+        pass
+    return {}
+
+
+def _isolated_main(names: list[str], sf10_dir: str, extras: bool) -> None:
+    """`--isolated a,b` / `--isolated-extras a,b`: measure ONLY the named
+    rows at sf10 in this fresh JVM, best-of-2 (sf10 rows are minutes-
+    scale; two runs bound JIT/first-scan noise without doubling a
+    campaign), print one JSON dict."""
+    spark = get_spark(
+        "kcp-sf10-isolated", master="local[32]",
+        overrides={"spark.sql.shuffle.partitions": "64",
+                   "spark.driver.memory": "48g"},
+    )
+    registry = load_all()
+    registry["agg_pricing_summary"].build(spark, sf10_dir).count()  # warmup
+    fns = {}
+    if extras:
+        fns = {**bench._xxhash64_variants(sf10_dir),
+               **bench._depth_ops(sf10_dir)}
+    out = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(2):
+            bench.release_session_state()
+            t0 = time.perf_counter()
+            try:
+                if extras:
+                    bench.materialize(fns[name](spark))
+                else:
+                    bench.materialize(registry[name].build(spark, sf10_dir))
+            except Exception:
+                break
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3) if best != float("inf") else None
+    print(json.dumps(out))
+    spark.stop()
+
 
 def run_set(spark, registry, names, sf_dir, budget_s, start, label):
     times, skipped = {}, []
@@ -112,7 +250,19 @@ def main() -> None:
     ap.add_argument("--skip-declared", action="store_true",
                     help="run only the extras block (declared set "
                          "untouched; artifact goes to the partial path)")
+    ap.add_argument("--isolated", default="",
+                    help="internal: fresh-JVM re-measure of named "
+                         "declared rows at sf10, print JSON, exit")
+    ap.add_argument("--isolated-extras", default="",
+                    help="internal: same for extras rows")
     args = ap.parse_args()
+
+    if args.isolated or args.isolated_extras:
+        _isolated_main(
+            [n for n in (args.isolated or args.isolated_extras).split(",")
+             if n],
+            args.sf10, extras=bool(args.isolated_extras))
+        return
 
     registry = load_all()
     names = sorted(registry)
@@ -174,6 +324,32 @@ def main() -> None:
 
     growth, flagged = growth_table(sf1_times, sf10_times, names)
 
+    # ---- per-row prior defense (round-14 verdict #3): compare every
+    # sf10 reading to its committed cross-round minimum at matched
+    # calib; >2x gets ONE fresh-JVM isolated re-measure, and the
+    # artifact records raw + isolated + prior so a genuine regression
+    # and a loaded-window reading are distinguishable ever after
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prior_rows = load_priors(repo).get("rows", {})
+    pflags = prior_flags(sf10_times, prior_rows, calib_s)
+    prior_retries = {}
+    if pflags:
+        print(f"  [prior-flag] {pflags} exceed 2x committed prior at "
+              f"matched calib - isolated re-measure", flush=True)
+        iso = isolated_sf10_remeasure(pflags, args.sf10)
+        for name in pflags:
+            prior_retries[name] = {
+                "raw": sf10_times.get(name),
+                "isolated": iso.get(name),
+                "prior": prior_rows[name]["sf10"],
+                "prior_calib_s": prior_rows[name].get("calib_s"),
+            }
+            if iso.get(name) is not None:
+                sf10_times[name] = min(sf10_times[name], iso[name])
+        # growth ratios follow the settled readings
+        growth, flagged = growth_table(sf1_times, sf10_times, names)
+    merge_priors(repo, sf10_times, calib_s, section="rows")
+
     # ---- extras block: the at-scale-default paths (adaptive LSH,
     # learned IVF, funnel, governed BM25, learned gates), same budget
     # clock and flag rule as the declared set
@@ -193,12 +369,33 @@ def main() -> None:
         xorder += [n for n in xnames if ex1.get(n) is None]
         ex10, ex10_skip = run_extras(
             spark, x10, xorder, args.budget, start, "extras-sf10")
+        # same per-row prior defense as the declared set
+        ex_prior_rows = load_priors(repo).get("extras", {})
+        ex_pflags = prior_flags(ex10, ex_prior_rows, calib_s)
+        ex_prior_retries = {}
+        if ex_pflags:
+            print(f"  [prior-flag extras] {ex_pflags} - isolated "
+                  f"re-measure", flush=True)
+            iso = isolated_sf10_remeasure(ex_pflags, args.sf10, extras=True)
+            for name in ex_pflags:
+                ex_prior_retries[name] = {
+                    "raw": ex10.get(name),
+                    "isolated": iso.get(name),
+                    "prior": ex_prior_rows[name]["sf10"],
+                    "prior_calib_s": ex_prior_rows[name].get("calib_s"),
+                }
+                if iso.get(name) is not None:
+                    ex10[name] = min(ex10[name], iso[name])
         exg, exf = growth_table(ex1, ex10, xnames)
         extras_out = {
             "extras_sf1": ex1, "extras_sf10": ex10,
             "extras_growth": exg, "extras_flagged": exf,
+            "extras_prior_retries": ex_prior_retries,
             "extras_skipped": {"sf1": ex1_skip, "sf10": ex10_skip},
         }
+        # min-merge is always safe (a loaded reading can never lower a
+        # prior), so partial runs feed the priors too
+        merge_priors(repo, ex10, calib_s, section="extras")
 
     registry_size = len(registry)
     partial = bool(args.only.strip()) or args.skip_declared
@@ -211,7 +408,11 @@ def main() -> None:
         "n_queries": len(names), "registry_size": registry_size,
         "only": sorted(set(names)) if partial else None,
         "sf1": sf1_times, "sf10": sf10_times, "growth": growth,
-        "flagged": flagged,
+        "flagged": flagged, "prior_retries": prior_retries,
+        "prior_flag_x": PRIOR_FLAG_X, "calib_match_x": CALIB_MATCH_X,
+        "row_verdicts": ROW_VERDICTS,
+        "priors": {n: prior_rows.get(n) for n in names
+                   if prior_rows.get(n) is not None},
         "skipped": {"sf1": sf1_skipped, "sf10": sf10_skipped},
         "sf1_total": round(
             sum(t for t in sf1_times.values() if t is not None), 3),
@@ -219,7 +420,6 @@ def main() -> None:
             sum(t for t in sf10_times.values() if t is not None), 3),
         **extras_out,
     }
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     scale_dir = os.path.dirname(os.path.abspath(args.sf10))
     if partial:
         # never clobber the full-campaign artifacts with a subset
