@@ -604,10 +604,24 @@ def curate_annotated(
             .distinct()
             .withColumn("__reason", F.lit("near_dup_corpus"))
         )
+        import uuid
         from concurrent.futures import ThreadPoolExecutor
 
+        # the probe thread tags its jobs with a cancellable group so a
+        # failure on the main path can actually KILL the in-flight
+        # checkpoint job (round-14 advice: shutdown(wait=False) alone
+        # abandoned it running, where it could overlap a streaming
+        # replay of the same batch)
+        probe_group = f"kcp-corpus-probe-{uuid.uuid4().hex[:8]}"
+
+        def _probe():
+            sc = surv.sparkSession.sparkContext
+            sc.setJobGroup(probe_group, "curation corpus probe",
+                           interruptOnCancel=True)
+            return corpus_rej_plan.localCheckpoint()
+
         pool = ThreadPoolExecutor(max_workers=1)
-        corpus_fut = pool.submit(corpus_rej_plan.localCheckpoint)
+        corpus_fut = pool.submit(_probe)
 
     # stage 4: intra-batch near-dup clusters keep their min-id member.
     # Survivor resolution fast path (mirrors survivors_from_pairs):
@@ -630,7 +644,13 @@ def curate_annotated(
         head = pairs.limit(MAX_DRIVER_PAIRS + 1).collect()
     except Exception:
         if pool is not None:
-            pool.shutdown(wait=False)
+            # cancel-then-join so the failed batch leaves no orphaned
+            # probe job behind (round-14 advice): cancel() covers the
+            # not-yet-started case, cancelJobGroup interrupts a running
+            # checkpoint, and shutdown(wait=True) joins the thread
+            corpus_fut.cancel()
+            spark.sparkContext.cancelJobGroup(probe_group)
+            pool.shutdown(wait=True)
         raise
     _t = _mark("pairs_s", _t)
     if len(head) <= MAX_DRIVER_PAIRS:

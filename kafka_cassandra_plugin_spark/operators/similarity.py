@@ -457,17 +457,44 @@ def ivf_topk_portable(corpus: DataFrame, queries: DataFrame, k: int = 10,
     if assigned is None:
         assigned = ivf_portable_assign(corpus, cents, id_col, vec_col)
     elif sample_cap is not None:
-        # consistency check (one small job on this rare combination):
-        # a precomputed cell table built from UNCAPPED cents paired
-        # with a capped probe set would leave over-cap cells
-        # unreachable - wrong top-k with no error
-        top = assigned.agg(F.max("cid").alias("m")).collect()[0]["m"]
-        if top is not None and top >= sample_cap:
+        # consistency check (two small jobs on this rare combination):
+        # a precomputed cell table built from UNCAPPED or differently-
+        # sampled/seeded cents paired with a capped probe set leaves
+        # cells unreachable (or probes cells that don't exist) - wrong
+        # top-k with no error.  max-cid alone was necessary but not
+        # sufficient (round-14 advice): a differently-sampled build
+        # whose max cid lands under the cap still slipped through, so
+        # the DISTINCT-cid set of the cell table is fingerprinted
+        # (count + order-free xxhash64 fold) against the capped
+        # centroid set and any mismatch raises
+        fp = (
+            assigned.select("cid").distinct()
+            .agg(F.count("cid").alias("n"),
+                 F.expr("bit_xor(xxhash64(cid))").alias("h"),
+                 F.max("cid").alias("m"))
+            .collect()[0]
+        )
+        if fp["m"] is not None and fp["m"] >= sample_cap:
             raise ValueError(
-                f"ivf_topk_portable: assigned= contains cell id {top} "
-                f">= sample_cap={sample_cap}; the cell table must be "
-                "built from identically-capped centroids or its cells "
-                "are unreachable by the capped probe set"
+                f"ivf_topk_portable: assigned= contains cell id "
+                f"{fp['m']} >= sample_cap={sample_cap}; the cell table "
+                "must be built from identically-capped centroids or "
+                "its cells are unreachable by the capped probe set"
+            )
+        cfp = (
+            cents.select("cid")
+            .agg(F.count("cid").alias("n"),
+                 F.expr("bit_xor(xxhash64(cid))").alias("h"))
+            .collect()[0]
+        )
+        if (fp["n"], fp["h"]) != (cfp["n"], cfp["h"]):
+            raise ValueError(
+                "ivf_topk_portable: assigned= cell-id set does not "
+                f"match the capped centroid set ({fp['n']} cells vs "
+                f"{cfp['n']} centroids, fingerprint "
+                f"{fp['h']}!={cfp['h']}): the cell table was built "
+                "from differently-sampled or differently-capped "
+                "centroids and would silently return wrong top-k"
             )
     # every score site is the ARROW-BATCHED fold-exact cosine (the
     # rp_lsh_topk_portable precedent: same doubles as the interpreted

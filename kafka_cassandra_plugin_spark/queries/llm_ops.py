@@ -3133,11 +3133,13 @@ DOMAIN_GATE_SQL = r"""
              || '.example/' || CAST(doc_id AS VARCHAR) AS url
       FROM documents),
     h AS (
+      -- trailing-dot strip mirrors url_host (round-14 advice: a
+      -- valid-FQDN 'host.' form must not bypass the blocklist)
       SELECT doc_id,
-             lower(regexp_extract(
+             regexp_replace(lower(regexp_extract(
                url,
                '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)',
-               1)) AS host
+               1)), '\.+$', '') AS host
       FROM u),
     d AS (
       SELECT doc_id, host,

@@ -108,6 +108,34 @@ class TestAnnRecall:
         r = S.recall_at_k(approx, exact, self.K)
         assert r >= 0.85, f"portable IVF recall@{self.K} too low: {r}"
 
+    def test_portable_ivf_assigned_fingerprint_guard(self, emb):
+        """Round-14 advice: max-cid-under-cap was necessary but not
+        sufficient - a cell table built from DIFFERENTLY-SAMPLED
+        centroids whose max cid lands under the cap still silently
+        returned wrong top-k.  The distinct-cid fingerprint now
+        catches it; the identically-built table still passes."""
+        import pytest as _pt
+
+        q = emb.filter(F.col("vec_id") % 10 == 0)
+        cap = 2000
+        good_cents = emb.filter(
+            (F.col("vec_id") % 125 == 0) & (F.col("vec_id") < cap)
+        ).select(F.col("vec_id").alias("cid"),
+                 F.col("embedding").alias("cent_vec"))
+        good = S.ivf_portable_assign(emb, good_cents).localCheckpoint()
+        S.ivf_topk_portable(emb, q, k=5, nprobe=4, sample_mod=125,
+                            assigned=good, sample_cap=cap).count()
+        # different sampling (mod 250): max cid still < cap, but the
+        # cell-id SET differs from the mod-125 capped centroid set
+        bad_cents = emb.filter(
+            (F.col("vec_id") % 250 == 0) & (F.col("vec_id") < cap)
+        ).select(F.col("vec_id").alias("cid"),
+                 F.col("embedding").alias("cent_vec"))
+        bad = S.ivf_portable_assign(emb, bad_cents).localCheckpoint()
+        with _pt.raises(ValueError, match="differently-sampled"):
+            S.ivf_topk_portable(emb, q, k=5, nprobe=4, sample_mod=125,
+                                assigned=bad, sample_cap=cap).count()
+
     def test_portable_lsh_recall(self, emb, exact):
         # the declared hash-matched row (fixed 4x6 geometry, hamming-2
         # probes): measured 0.94 sf0.001 / 0.95 sf0.01 (hamming-1 was
