@@ -83,11 +83,13 @@ EXPLICIT_ANCHORS = {
     # on a calib_s-0.27 host = ~4.8 on the anchor host class; the old
     # 4.17 belonged to the string-key plan.
     "dedup_ngram_jaccard": 4.8,
-    # round-10 row, re-anchored same round with cause (BASELINE.md):
-    # single tagged sketch pass + per-table bucket materialization cut
-    # 5.86 -> 3.50 isolated on this calib_s-0.27 host = ~2.8 on the
-    # anchor host class.
-    "sim_lsh_ann_portable": 2.8,
+    # round-15 re-anchor with cause (round-14 verdict #6): the declared
+    # row's geometry is now corpus-adaptive (act=11 bits at sf0.1 vs the
+    # old fixed 6), trading ~0.7 s of probe-fanout cost at the gated
+    # scale for near-linear growth at sf10 (the fixed geometry measured
+    # 16.09x per 10x); isolated best-of-5 3.506 on a calib-0.21 host.
+    # (History: round-10 anchor 2.8 for the fixed 4x6 form.)
+    "sim_lsh_ann_portable": 3.5,
     # round-10 re-anchor with cause (BASELINE.md): the exact-verify
     # kernel moved from the interpreted HOF fold (single-threaded after
     # AQE coalesces the candidate join) to the bit-identical Arrow fold

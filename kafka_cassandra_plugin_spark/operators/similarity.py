@@ -139,7 +139,16 @@ def adaptive_n_planes(corpus_rows: int, target_bucket: int = 32,
     N_queries x N_corpus — measured 71x wall at a 10x scale-up before
     this rule existed.  ``cap`` bounds the hamming-probe fanout
     (masks ~ C(planes, 2)) so the probe expression stays codegen-able."""
-    planes = math.ceil(math.log2(max(2, corpus_rows) / target_bucket))
+    # integer arithmetic, not ceil(log2(...)) (round-15): the portable
+    # LSH oracle re-derives this width in DuckDB from count(*), and the
+    # smallest-p-with-2^p*target >= N rule is exactly the same integer
+    # on every engine, where a float log2 could disagree by an ulp at
+    # power-of-two boundaries (equivalent to the old formula for every
+    # input)
+    x = max(2, corpus_rows)
+    planes = 0
+    while (1 << planes) * target_bucket < x:
+        planes += 1
     return max(floor, min(cap, planes))
 
 

@@ -694,30 +694,44 @@ def sim_lsh_ann(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
-def _rp_portable_sql(dim: int = 64, n_planes: int = 6, n_tables: int = 4,
+def _rp_portable_sql(dim: int = 64, target_bucket: int = 32,
+                     floor: int = 6, cap: int = 16, n_tables: int = 4,
                      probe_hamming: int = 1, k: int = 10,
                      salt: str = "rp") -> str:
     """DuckDB re-derivation of :func:`S.rp_lsh_topk_portable` - the
-    round-10 "oracle one ANN row" item.  The Rademacher ±1 planes are
-    md5-derived (S.rademacher_planes) and embedded as literal VALUES
-    rows, so the oracle recomputes every sketch bit, every probe key,
-    every candidate pair AND every re-rank score; fold-ordered double
-    math on both sides makes the scores bit-identical (the
-    sim_topk_bruteforce precedent)."""
-    planes = S.rademacher_planes(dim, n_planes, n_tables, salt)
+    round-10 "oracle one ANN row" item, CORPUS-ADAPTIVE since round 15
+    (round-14 verdict #6: the fixed 4x6 geometry was the one remaining
+    >1.5x-per-unit declared row; its sf10 growth measured 16.09x).
+
+    The Rademacher ±1 planes are md5-derived (S.rademacher_planes) and
+    embedded as literal VALUES rows up to the ``cap`` bit-width; the
+    ACTIVE width is derived from ``count(*)`` with the same integer
+    rule as :func:`S.adaptive_n_planes` (smallest p with
+    ``2^p * target_bucket >= max(2, N)``, clamped to [floor, cap]) -
+    exact integer arithmetic on both engines, so Spark and DuckDB pick
+    the identical geometry at ANY corpus size and the hash-match holds
+    at every scale, not just the gated one.  The oracle recomputes
+    every sketch bit, every probe key, every candidate pair AND every
+    re-rank score; fold-ordered double math keeps scores bit-identical
+    (the sim_topk_bruteforce precedent)."""
+    planes = S.rademacher_planes(dim, cap, n_tables, salt)
     rows = ",\n      ".join(
-        "({t}, {w}, [{s}]::DOUBLE[])".format(
-            t=t, w=2 ** p,
+        "({t}, {p}, {w}, [{s}]::DOUBLE[])".format(
+            t=t, p=p, w=2 ** p,
             s=", ".join(str(x) for x in planes[t][p]))
-        for t in range(n_tables) for p in range(n_planes)
+        for t in range(n_tables) for p in range(cap)
     )
-    masks = ", ".join(str(m) for m in range(2 ** n_planes)
-                      if bin(m).count("1") <= probe_hamming)
     return f"""
     WITH planes AS (
       SELECT * FROM (VALUES
       {rows}
-      ) AS pl(t, w, s)
+      ) AS pl(t, p, w, s)
+    ),
+    nn AS (SELECT count(*) AS n FROM embeddings),
+    a AS (
+      SELECT greatest({floor}, least({cap}, min(pp)))::INT AS act
+      FROM (SELECT unnest(range(0, 33)) AS pp), nn
+      WHERE (1::BIGINT << pp) * {target_bucket} >= greatest(2, nn.n)
     ),
     c AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
     q AS (SELECT vec_id AS id, embedding AS v FROM embeddings
@@ -728,7 +742,8 @@ def _rp_portable_sql(dim: int = 64, n_planes: int = 6, n_tables: int = 4,
                           i -> cast(c.v[i] AS double) * pl.s[i]),
                           (a, b) -> a + b) >= 0
                       THEN pl.w ELSE 0 END)::BIGINT AS bucket
-      FROM c CROSS JOIN planes pl GROUP BY c.id, pl.t
+      FROM c CROSS JOIN planes pl, a WHERE pl.p < a.act
+      GROUP BY c.id, pl.t
     ),
     qbuckets AS (
       SELECT q.id, pl.t,
@@ -736,13 +751,21 @@ def _rp_portable_sql(dim: int = 64, n_planes: int = 6, n_tables: int = 4,
                           i -> cast(q.v[i] AS double) * pl.s[i]),
                           (a, b) -> a + b) >= 0
                       THEN pl.w ELSE 0 END)::BIGINT AS bucket
-      FROM q CROSS JOIN planes pl GROUP BY q.id, pl.t
+      FROM q CROSS JOIN planes pl, a WHERE pl.p < a.act
+      GROUP BY q.id, pl.t
     ),
-    ckeys AS (SELECT id AS neighbor_id, t * {2 ** n_planes} + bucket AS tb_key
+    masks AS (
+      SELECT m FROM (SELECT unnest(range(0,
+               (SELECT 1::BIGINT << act FROM a))) AS m)
+      WHERE bit_count(m) <= {probe_hamming}
+    ),
+    ckeys AS (SELECT id AS neighbor_id,
+                     t * (SELECT 1::BIGINT << act FROM a) + bucket AS tb_key
               FROM cbuckets),
     qkeys AS (SELECT id AS query_id,
-                     t * {2 ** n_planes} + xor(bucket, m.m) AS tb_key
-              FROM qbuckets CROSS JOIN (SELECT unnest([{masks}]) AS m) m),
+                     t * (SELECT 1::BIGINT << act FROM a)
+                       + xor(bucket, m.m) AS tb_key
+              FROM qbuckets CROSS JOIN masks m),
     pairs AS (
       SELECT DISTINCT query_id, neighbor_id
       FROM qkeys JOIN ckeys USING (tb_key)
@@ -771,26 +794,31 @@ def _rp_portable_sql(dim: int = 64, n_planes: int = 6, n_tables: int = 4,
     sql=_rp_portable_sql(probe_hamming=2),
     tags=("G61",),
     doc="rp_lsh_topk_portable: the hash-matched ANN row (round-10 "
-    "verdict #5). Fixed-geometry RP-LSH (4 tables x 6 Rademacher "
-    "md5-derived ±1 planes, hamming-2 multi-probe; recall@10 0.94-0.95 "
-    "vs brute force on the uniform corpora) whose sketch bits, "
-    "probe keys, candidate pairs and fold-ordered cosine re-rank are "
-    "all re-derived by the DuckDB oracle - the candidate-enumeration "
-    "and re-rank logic of the ANN family is value-verified, not just "
-    "recall-gated. The corpus-adaptive numpy sim_lsh_ann stays the "
-    "at-scale default.",
+    "verdict #5), CORPUS-ADAPTIVE since round 15 (round-14 verdict "
+    "#6). RP-LSH over 4 tables of Rademacher md5-derived ±1 planes "
+    "with hamming-2 multi-probe; the bit-width follows "
+    "adaptive_n_planes' integer rule (~32 vectors per expected "
+    "bucket, clamped [6,16]), and the DuckDB oracle derives the SAME "
+    "width from count(*) before re-computing every sketch bit, probe "
+    "key, candidate pair and fold-ordered cosine re-rank - so the "
+    "hash-match holds at every scale AND bucket occupancy stays "
+    "constant as the corpus grows (the fixed 4x6 geometry this "
+    "replaces measured 16.09x per 10x at sf10). Recall@10 vs brute "
+    "force stays gated >= 0.85 in tests.",
 )
 def sim_lsh_ann_portable(spark, sf_dir):
-    # same pinned query batch as the brute row (identity at gated
-    # scales): with the fixed 4x6-bit geometry, bucket occupancy grows
-    # ~N/64 per table, so a corpus-proportional query set costs
-    # O(N^2/640) in candidate re-ranks; the pinned batch keeps the
-    # declared row linear in corpus growth (round-13 campaign)
+    # pinned query batch (round-13 convention, identity at gated
+    # scales); the bit-width now grows with the corpus so candidates
+    # per probe stay ~constant - the declared row no longer carries
+    # the fixed-geometry O(N^2/B) growth term the round-14 campaign
+    # measured at 16.09x per 10x
     e = Catalog(spark, sf_dir).embeddings
     queries = e.filter(
         (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 2000))
+    planes = S.adaptive_n_planes(_corpus_rows(spark, sf_dir))
     return S.rp_lsh_topk_portable(
-        e, queries, dim=64, k=10, n_planes=6, n_tables=4, probe_hamming=2
+        e, queries, dim=64, k=10, n_planes=planes, n_tables=4,
+        probe_hamming=2
     ).orderBy("query_id", "rank")
 
 
