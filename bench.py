@@ -208,7 +208,12 @@ def load_anchors(repo_dir: str) -> dict[str, float]:
         if isinstance(t, (int, float)) and name not in meta_keys:
             anchors[name] = min(anchors.get(name, float("inf")), float(t))
 
-    for p in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))):
+    # bench_out.json is the committed FULL payload of the last builder
+    # run - the only place recent rounds' extras readings survive (the
+    # driver tail truncates them away), so extras rows keep an anchor
+    paths = sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")))
+    paths += glob.glob(os.path.join(repo_dir, "bench_out.json"))
+    for p in paths:
         try:
             with open(p) as f:
                 data = json.load(f)
