@@ -112,52 +112,45 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
 def exploded_shingles(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3,
                       hashed: bool = False) -> DataFrame:
-    """DISTINCT (id, shingle) rows via posexplode + window lead: tokenize
-    once, explode once, assemble each n-gram from its ``n-1`` following
-    tokens.  One shuffle by id (the window); zero higher-order-function
-    lambdas, so nothing re-evaluates per element.  This is the shape that
-    scales - and it is ~20x faster than the array-expression form at
-    sf0.1.
+    """DISTINCT (id, shingle) rows via a MAP-ONLY staged-array
+    expression: tokenize once into a staged ``t`` column, assemble each
+    n-gram by direct element indexing (``t[i+j]`` - no nested lambda, so
+    nothing re-evaluates per element), explode, distinct.  Zero
+    Exchange before the distinct.
 
     ``hashed=True`` emits ``xxhash64(sh)`` (same column name, long
-    type) instead of the shingle string, via a MAP-ONLY array
-    expression (tokenize once, hash each n-token slice, explode) — no
-    window, so the per-token shuffle disappears entirely and the
-    distinct + every downstream join/groupBy move 8-byte longs instead
-    of multi-word strings.  Measured at sf0.1: the array form beats
-    the window form 2.15 s vs 2.93 s on the jaccard pipeline with
-    identical pairs out (the historical "array form is 20x slower"
-    note applied to per-hash string reassembly in MinHash, not to a
-    single hash per shingle).  Set identity is preserved up to 64-bit
-    collisions (~n²/2⁶⁵ — negligible against corpus shingle counts);
-    consumers that need the literal string (the seeded MinHash family,
-    contamination n-gram reports) keep the default."""
+    type) instead of the shingle string: the distinct + every
+    downstream join/groupBy move 8-byte longs instead of multi-word
+    strings.  Set identity is preserved up to 64-bit collisions
+    (~n²/2⁶⁵ — negligible against corpus shingle counts); consumers
+    that need the literal string (the seeded MinHash family,
+    contamination n-gram reports) keep the default.
+
+    History: the string path was a posexplode + window-lead formulation
+    through round 14 (one full shuffle + sort of every TOKEN row, by
+    doc id, before the distinct).  Round-15 optimization (guide §2.4
+    "remove shuffles outright"): the staged-``t`` indexing trick the
+    hashed path already used emits the identical (id, sh) string set -
+    verified set-equal at sf0.01 - with the token-row Exchange gone
+    from the plan; at corpus scale the substrate's shuffle term drops
+    from ~token count to zero (the distinct's doc-keyed shuffle
+    remains, on deduplicated shingle rows).  The ROUND-10 warning about
+    the array-expression form applied to ``_shingles_of``'s nested
+    slice/array_join lambda over an inlined token array (re-tokenizing
+    per shingle index), not to indexing a staged column."""
+    toks = F.transform(tokens(text_col), F.lower)
+    gram = "concat_ws(' ', {cols})".format(
+        cols=", ".join(f"t[i+{j}]" for j in range(n)))
     if hashed:
-        toks = F.transform(tokens(text_col), F.lower)
-        sh_arr = F.expr(
-            "transform(sequence(0, size(t) - {n}), "
-            "i -> xxhash64(concat_ws(' ', {cols})))".format(
-                n=n, cols=", ".join(f"t[i+{j}]" for j in range(n)))
-        )
-        return (
-            ensure_min_parallelism(df)
-            .select(F.col(id_col).alias("id"), toks.alias("t"))
-            .filter(F.size("t") >= n)  # sequence() would run BACKWARD
-            .select("id", F.explode(sh_arr).alias("sh"))
-            .distinct()
-        )
-    base = ensure_min_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.transform(tokens(text_col), F.lower)).alias("pos", "tok"),
+        gram = f"xxhash64({gram})"
+    sh_arr = F.expr(
+        f"transform(sequence(0, size(t) - {n}), i -> {gram})"
     )
-    w = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    last = F.lead("tok", n - 1).over(w)
     return (
-        base.select("id", F.concat_ws(" ", *parts).alias("sh"),
-                    last.alias("__last"))
-        .filter(F.col("__last").isNotNull())
-        .select("id", "sh")
+        ensure_min_parallelism(df)
+        .select(F.col(id_col).alias("id"), toks.alias("t"))
+        .filter(F.size("t") >= n)  # sequence() would run BACKWARD
+        .select("id", F.explode(sh_arr).alias("sh"))
         .distinct()
     )
 
@@ -743,8 +736,12 @@ def embedding_cosine_pairs(vectors: DataFrame, threshold: float = 0.99,
         cond = F.col("id_a") < F.col("id_b")
     return (
         a.join(b, cond)
+        # once=True (round-15, guide §4.4): the threshold filter sits
+        # directly on the UDF column, which planned the kernel TWICE
+        # (2 ArrowEvalPython nodes); the marking yields one evaluation
         .withColumn("cos", cosine_foldexact_pandas(F.col("va"),
-                                                   F.col("vb")))
+                                                   F.col("vb"),
+                                                   once=True))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
     )
@@ -809,13 +806,54 @@ def component_labels(nodes: DataFrame, pairs: DataFrame,
     return labels
 
 
-def union_find_drops(edges) -> set:
-    """Driver-side survivor resolution for a SMALL edge list: connected
-    components via union-find, returning the ids to DROP (every
-    component member except its minimum - the keep='min' convention).
-    Pure python, O(E α(E)); the fast path for micro-batch pair sets
-    where the distributed label-propagation loop's per-round job cost
-    (not its row work) dominates.  ``edges``: iterable of (u, v)."""
+def component_labels_auto(nodes: DataFrame, pairs: DataFrame,
+                          id_col: str = "doc_id",
+                          id_a: str = "id_a", id_b: str = "id_b",
+                          max_rounds: int = 20) -> DataFrame:
+    """:func:`component_labels` with the :func:`survivors_from_pairs`
+    driver fast path (round-15 optimization): a capped collect probes
+    the pair list, and when it fits under :data:`MAX_DRIVER_PAIRS` the
+    labels resolve on the driver (:func:`union_find_labels`) and return
+    as ONE broadcast-joined frame - identical (node, label) rows, none
+    of the propagation loop's fixed cost (>= 2 Spark jobs per round:
+    the label checkpoint + the convergence probe; the
+    dedup_ngram_jaccard row measured 44 jobs -> 19 under this change
+    with bit-identical output).  Pair sets above the cap take the
+    distributed loop unchanged, so the operator stays 100 TB-safe.
+
+    ``pairs`` should be materialized (localCheckpoint) by the caller -
+    the capped probe and any fallback replay its lineage otherwise."""
+    from pyspark.sql.types import StructField, StructType
+
+    head = (
+        pairs.select(F.col(id_a), F.col(id_b))
+        .limit(MAX_DRIVER_PAIRS + 1)
+        .collect()
+    )
+    if len(head) > MAX_DRIVER_PAIRS:
+        return component_labels(nodes, pairs, id_col, id_a, id_b,
+                                max_rounds)
+    lab = union_find_labels((r[0], r[1]) for r in head)
+    id_type = pairs.schema[id_a].dataType
+    lab_df = pairs.sparkSession.createDataFrame(
+        sorted(lab.items()),
+        StructType([StructField("node", id_type),
+                    StructField("label", id_type)]),
+    )
+    # isolated nodes (no edge) label themselves, like the loop's round 0
+    return (
+        nodes.select(F.col(id_col).alias("node"))
+        .distinct()
+        .join(F.broadcast(lab_df), "node", "left")
+        .select("node",
+                F.coalesce("label", F.col("node")).alias("label"))
+    )
+
+
+def _union_find_parent(edges) -> dict:
+    """Union-find over an edge iterable, union-by-min: returns the
+    ``parent`` map with every root equal to its component's minimum id.
+    Shared by :func:`union_find_drops` and :func:`union_find_labels`."""
     parent: dict = {}
 
     def find(x):
@@ -836,7 +874,29 @@ def union_find_drops(edges) -> set:
             # union by min so every root IS its component's minimum
             lo, hi = (ru, rv) if ru < rv else (rv, ru)
             parent[hi] = lo
-    return {x for x in parent if find(x) != x}
+    # fully compress so parent[x] IS the component minimum
+    for x in parent:
+        find(x)
+    return parent
+
+
+def union_find_drops(edges) -> set:
+    """Driver-side survivor resolution for a SMALL edge list: connected
+    components via union-find, returning the ids to DROP (every
+    component member except its minimum - the keep='min' convention).
+    Pure python, O(E α(E)); the fast path for micro-batch pair sets
+    where the distributed label-propagation loop's per-round job cost
+    (not its row work) dominates.  ``edges``: iterable of (u, v)."""
+    parent = _union_find_parent(edges)
+    return {x for x, p in parent.items() if p != x}
+
+
+def union_find_labels(edges) -> dict:
+    """Driver-side component LABELS for a SMALL edge list: {node ->
+    component minimum id} for every node touched by an edge - the same
+    answer :func:`component_labels` converges to, without the
+    distributed loop.  ``edges``: iterable of (u, v)."""
+    return _union_find_parent(edges)
 
 
 # Edge-list size under which survivors_from_pairs resolves components
@@ -979,9 +1039,11 @@ def semantic_dedup_pairs(vectors: DataFrame, threshold: float = 0.95,
         # Arrow fold kernel: bit-identical to the interpreted fold and
         # the DuckDB oracle, vectorized over the in-cell candidate
         # stream (the operator's dominant term - see the
-        # embedding_cosine_pairs note)
+        # embedding_cosine_pairs note); once=True per the same
+        # filter-sandwich duplication fix (round-15, guide §4.4)
         .withColumn("cos", cosine_foldexact_pandas(F.col("va"),
-                                                   F.col("vb")))
+                                                   F.col("vb"),
+                                                   once=True))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
     )

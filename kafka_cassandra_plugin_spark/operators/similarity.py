@@ -366,12 +366,22 @@ def fold_dot_pandas(vec_col, consts: np.ndarray) -> Column:
     return _dots(vec_col)
 
 
-def cosine_foldexact_pandas(a, b) -> Column:
+def cosine_foldexact_pandas(a, b, once: bool = False) -> Column:
     """Cosine over Arrow batches with fold-ordered sums: bit-identical
     to the interpreted :func:`cosine` (and the DuckDB oracle's
     list_reduce form) but vectorized across rows.  Use in hash-matched
     paths where :func:`cosine_pandas`'s pairwise/SIMD summation would
-    drift the last ulp."""
+    drift the last ulp.
+
+    ``once=True`` marks the UDF non-deterministic (it IS deterministic;
+    the marking only constrains the optimizer) so a filter placed
+    directly on the output column cannot duplicate the evaluation -
+    guide §4.4: the dedup filter-sandwich sites
+    (``.withColumn("cos", ...).filter(cos >= t)``) planned TWO
+    ArrowEvalPython nodes for one kernel, every row paying the Python
+    boundary once and every survivor twice.  Window-ranked sites
+    (filter on row_number, not on the score column) never duplicate
+    and stay at the default, keeping full optimizer freedom there."""
 
     @F.pandas_udf("double")
     def _cos(xs: pd.Series, ys: pd.Series) -> pd.Series:
@@ -400,6 +410,8 @@ def cosine_foldexact_pandas(a, b) -> Column:
             out = np.where(ok, dots / (sna * snb), 0.0)
         return pd.Series(out)
 
+    if once:
+        _cos = _cos.asNondeterministic()
     return _cos(a, b)
 
 
