@@ -204,6 +204,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         freq_ok = (
             sh.groupBy("sh").count().filter(F.col("count") <= max_shingle_freq)
         )
+        # the groupBy-count + semi-join form (not a count window) is
+        # deliberate: partial aggregation keeps a hot stop-shingle
+        # skew-safe, and join skew is AQE-splittable where window skew
+        # is not (guide §2.5).  Dropping this second checkpoint was
+        # measured break-even at sf0.1 (4.08 s vs 3.95 s, noise-level:
+        # the AQE-reused exchanges cover the re-reads) and kept for its
+        # scale story - one block round trip beats three semi-join
+        # probe replays over the full substrate.
         sh = sh.join(freq_ok.select("sh"), "sh", "left_semi").localCheckpoint()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -809,7 +817,8 @@ def component_labels(nodes: DataFrame, pairs: DataFrame,
 def component_labels_auto(nodes: DataFrame, pairs: DataFrame,
                           id_col: str = "doc_id",
                           id_a: str = "id_a", id_b: str = "id_b",
-                          max_rounds: int = 20) -> DataFrame:
+                          max_rounds: int = 20,
+                          hint_broadcast_result: bool = False) -> DataFrame:
     """:func:`component_labels` with the :func:`survivors_from_pairs`
     driver fast path (round-15 optimization): a capped collect probes
     the pair list, and when it fits under :data:`MAX_DRIVER_PAIRS` the
@@ -822,7 +831,14 @@ def component_labels_auto(nodes: DataFrame, pairs: DataFrame,
     distributed loop unchanged, so the operator stays 100 TB-safe.
 
     ``pairs`` should be materialized (localCheckpoint) by the caller -
-    the capped probe and any fallback replay its lineage otherwise."""
+    the capped probe and any fallback replay its lineage otherwise.
+
+    ``hint_broadcast_result``: set True ONLY when ``nodes`` is derived
+    from ``pairs`` (so the result is pair-bounded).  The hint is applied
+    on the driver fast path alone - there the pair cap bounds the result
+    at <= 2 x MAX_DRIVER_PAIRS rows, small enough that downstream joins
+    against the big pair/doc side should broadcast it.  The distributed
+    fallback never hints: above the cap the label table is unbounded."""
     from pyspark.sql.types import StructField, StructType
 
     head = (
@@ -841,13 +857,15 @@ def component_labels_auto(nodes: DataFrame, pairs: DataFrame,
                     StructField("label", id_type)]),
     )
     # isolated nodes (no edge) label themselves, like the loop's round 0
-    return (
+    out = (
         nodes.select(F.col(id_col).alias("node"))
         .distinct()
         .join(F.broadcast(lab_df), "node", "left")
         .select("node",
                 F.coalesce("label", F.col("node")).alias("label"))
     )
+    # hint only here, where the pair cap proves the bound (docstring)
+    return F.broadcast(out) if hint_broadcast_result else out
 
 
 def _union_find_parent(edges) -> dict:

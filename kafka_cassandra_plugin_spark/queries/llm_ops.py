@@ -359,7 +359,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # round-15: the driver union-find fast path (the survivors_from_pairs
     # cap pattern) - identical labels, 44 -> 19 Spark jobs at sf0.1;
     # pair sets over MAX_DRIVER_PAIRS fall back to the distributed loop
-    labels = D.component_labels_auto(nodes, pairs, id_col="doc_id")
+    # hint_broadcast_result is sound here: nodes is pairs-derived, so on
+    # the driver fast path labels is capped at 2 x MAX_DRIVER_PAIRS rows
+    # and the pairs-side join below should not shuffle; the distributed
+    # fallback (pairs over the cap) stays unhinted inside auto.
+    labels = D.component_labels_auto(nodes, pairs, id_col="doc_id",
+                                     hint_broadcast_result=True)
     return (
         pairs.join(labels, pairs["id_a"] == labels["node"])
         .select("id_a", "id_b", "jaccard", F.col("label").alias("survivor"))
