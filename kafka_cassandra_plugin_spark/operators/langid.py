@@ -247,11 +247,16 @@ class LangIdModel:
             )
         )
         w = Window.partitionBy(id_col)
-        scored = (
-            scores
-            .withColumn("m", F.max("score").over(w))
-            .withColumn("rs", F.round("score", 6))
-            .withColumn("rm", F.max(F.round("score", 6)).over(w))
+        # round-15 (guide §2.4): all three window expressions are written
+        # in ONE select over the same spec so CollapseWindow plans ONE
+        # Window pass - the earlier withColumn chain interposed a plain
+        # projection (rs) between two Window nodes, which blocked the
+        # collapse and sorted every (doc, lang) partition twice.
+        scored = scores.select(
+            "*",
+            F.max("score").over(w).alias("m"),
+            F.round("score", 6).alias("rs"),
+            F.max(F.round("score", 6)).over(w).alias("rm"),
         )
         pred = scored.groupBy(id_col).agg(
             F.min(F.when(F.col("rs") == F.col("rm"), F.col("lang")))

@@ -299,12 +299,19 @@ def agg_forecast_revenue(spark, sf_dir):
     tags=("G53", "G49"),
     doc="Python UDTF (@udtf): text -> (pos, token, token_len) rows; the "
     "lateral-join table-function surface. Hot paths use explode(split) "
-    "instead (fn_explode) - this pins the UDTF API itself.",
+    "instead (fn_explode) - this pins the UDTF API itself. Round-15 "
+    "(guide §4, §6): the doc_id filter moved into a subquery UNDER the "
+    "lateral join - the optimizer does not push filters through a "
+    "Python UDTF, so the WHERE-above form tokenized all docs and threw "
+    "98% away (plan: Filter above BatchEvalPythonUDTF, no "
+    "PushedFilters); and the UDTF opts into Arrow serialization "
+    "(useArrow=True - eval is still per row, §4.1, only the boundary "
+    "encoding changes).",
 )
 def udtf_token_table(spark, sf_dir):
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos int, token string, token_len int")
+    @udtf(returnType="pos int, token string, token_len int", useArrow=True)
     class Tokenize:
         def eval(self, text: str):
             if text is None:
@@ -317,8 +324,8 @@ def udtf_token_table(spark, sf_dir):
     return spark.sql(
         """
         SELECT doc_id, t.pos, t.token, t.token_len
-        FROM documents, LATERAL kcp_tokenize(text) AS t
-        WHERE doc_id % 50 = 0
+        FROM (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0) d,
+             LATERAL kcp_tokenize(text) AS t
         ORDER BY doc_id, t.pos
         """
     )

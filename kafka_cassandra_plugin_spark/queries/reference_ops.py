@@ -106,7 +106,13 @@ def cas_lifecycle(spark, sf_dir):
         F.col("o_orderkey").cast("string").alias("key"),
         F.col("o_orderpriority").alias("value"),
     )
-    s1 = KV.cas_insert(cur, new, ["key"])
+    # round-15 (guide §5): s1 feeds BOTH the cas_update base and the
+    # updates delta, s2 both the cas_delete base and the deletes delta.
+    # Broadcast build sides are never AQE-reused, so without the lineage
+    # cut each stage re-derived its predecessor from the parquet scan
+    # (4 orders scans, 3 window passes at 16 jobs); materializing each
+    # stage once makes the pipeline the 3 key joins the doc promises.
+    s1 = KV.cas_insert(cur, new, ["key"]).localCheckpoint()
     updates = KV.with_upd_marker(
         s1.filter(F.col("key").cast("bigint") % 3 == 0).select(
             "key",
@@ -114,7 +120,7 @@ def cas_lifecycle(spark, sf_dir):
             F.lit("CLOSED").alias("new_value"),
         )
     )
-    s2 = KV.cas_update(s1, updates, ["key"], ["value"])
+    s2 = KV.cas_update(s1, updates, ["key"], ["value"]).localCheckpoint()
     deletes = KV.with_upd_marker(
         s2.filter(F.col("key").cast("bigint") % 5 == 0).select(
             "key", F.lit("F").alias("expected_value")

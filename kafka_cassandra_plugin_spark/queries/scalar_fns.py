@@ -414,7 +414,12 @@ def fn_semistructured(spark, sf_dir):
     "— bit-identical to the SQL formulation) + a plain Python UDF "
     "(threshold classification; thresholds fall between the integral "
     "quantity values so float compare is exact). Bench hot paths never "
-    "use the row-at-a-time tier.",
+    "use the row-at-a-time tier. The plain UDF opts into Arrow "
+    "serialization (useArrow=True, guide §4.3): the body is still "
+    "invoked per row — the G49 surface — but batches cross the "
+    "JVM/Python boundary as Arrow instead of pickled rows; returns "
+    "exactly match the declared string type so the Arrow/pickle "
+    "coercion differences cannot bite.",
 )
 def udf_scalar(spark, sf_dir):
     li = Catalog(spark, sf_dir).lineitem
@@ -423,7 +428,7 @@ def udf_scalar(spark, sf_dir):
     def total_cost(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
         return price * (1 - disc) * (1 + tax)
 
-    @F.udf("string")
+    @F.udf("string", useArrow=True)
     def qty_class(q):
         if q is None:
             return None
