@@ -106,23 +106,31 @@ def cas_lifecycle(spark, sf_dir):
         F.col("o_orderkey").cast("string").alias("key"),
         F.col("o_orderpriority").alias("value"),
     )
-    # round-15 (guide §5): s1 feeds BOTH the cas_update base and the
-    # updates delta, s2 both the cas_delete base and the deletes delta.
-    # Broadcast build sides are never AQE-reused, so without the lineage
-    # cut each stage re-derived its predecessor from the parquet scan
-    # (4 orders scans, 3 window passes at 16 jobs); materializing each
-    # stage once makes the pipeline the 3 key joins the doc promises.
-    s1 = KV.cas_insert(cur, new, ["key"]).localCheckpoint()
+    s1 = KV.cas_insert(cur, new, ["key"])
+    # round-15 (guide §1.1 first-principles): the update/delete DELTAS
+    # only need s1/s2's KEY SETS, and cas_insert/cas_update preserve the
+    # key universe - s1.keys == s2.keys == distinct(cur.keys ∪ new.keys)
+    # (orderkey is unique per side, so the distinct is exact).  Deriving
+    # the deltas from s1/s2 dragged the whole union+window+anti-join
+    # pipeline into each broadcast build side (broadcast builds are
+    # never AQE-reused): ~4 orders scans, 3 WindowGroupLimit passes.
+    # The key-universe form is two column-pruned scans + one distinct
+    # per delta.  Measured: 1.54 -> 1.24 s at sf0.1 AND 2.93 -> 2.49 s
+    # at sf1 (same JVM A/B, results identical).  A localCheckpoint of
+    # s1/s2 was tried first and REVERTED: it won at sf0.1 (2.13 ->
+    # 1.96 s) but lost at sf1 (3.90 -> 4.44 s) - materializing the full
+    # KV table twice is the wrong trade at scale.
+    keys = cur.select("key").unionByName(new.select("key")).distinct()
     updates = KV.with_upd_marker(
-        s1.filter(F.col("key").cast("bigint") % 3 == 0).select(
+        keys.filter(F.col("key").cast("bigint") % 3 == 0).select(
             "key",
             F.lit("O").alias("expected_value"),
             F.lit("CLOSED").alias("new_value"),
         )
     )
-    s2 = KV.cas_update(s1, updates, ["key"], ["value"]).localCheckpoint()
+    s2 = KV.cas_update(s1, updates, ["key"], ["value"])
     deletes = KV.with_upd_marker(
-        s2.filter(F.col("key").cast("bigint") % 5 == 0).select(
+        keys.filter(F.col("key").cast("bigint") % 5 == 0).select(
             "key", F.lit("F").alias("expected_value")
         )
     )
