@@ -111,12 +111,23 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
 
 def exploded_shingles(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3,
-                      hashed: bool = False) -> DataFrame:
+                      hashed: bool = False,
+                      distinct: bool = True) -> DataFrame:
     """DISTINCT (id, shingle) rows via a MAP-ONLY staged-array
     expression: tokenize once into a staged ``t`` column, assemble each
     n-gram by direct element indexing (``t[i+j]`` - no nested lambda, so
     nothing re-evaluates per element), explode, distinct.  Zero
     Exchange before the distinct.
+
+    ``distinct=False`` (round-15 optimization, guide §2.4 "remove
+    shuffles outright") skips the dedup ENTIRELY - a map-only frame of
+    every (id, shingle) OCCURRENCE - for consumers whose aggregates are
+    duplicate-insensitive (``min`` MinHash folds, ``collect_set``,
+    ``array_intersect``/``array_union`` verify math): their results are
+    bit-identical on the multiset, and the substrate's one full
+    token-row Exchange disappears.  Consumers that COUNT rows
+    (jaccard sizes/n_common, contamination reports, the funnel's
+    shared substrate) must keep the default.
 
     ``hashed=True`` emits ``xxhash64(sh)`` (same column name, long
     type) instead of the shingle string: the distinct + every
@@ -146,13 +157,13 @@ def exploded_shingles(df: DataFrame, text_col: str = "text",
     sh_arr = F.expr(
         f"transform(sequence(0, size(t) - {n}), i -> {gram})"
     )
-    return (
+    out = (
         ensure_min_parallelism(df)
         .select(F.col(id_col).alias("id"), toks.alias("t"))
         .filter(F.size("t") >= n)  # sequence() would run BACKWARD
         .select("id", F.explode(sh_arr).alias("sh"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def shingle_arrays(df: DataFrame, text_col: str = "text",
@@ -284,8 +295,13 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     single projection with num_hashes copies of the shingle-building
     expression - recomputes tokenization per hash and is ~100x slower at
     sf0.1; partial aggregation also makes this the formulation that
-    scales (map-side combine leaves one row per doc per partition)."""
-    exploded = exploded_shingles(df, text_col, id_col, n)
+    scales (map-side combine leaves one row per doc per partition).
+
+    The substrate is built ``distinct=False``: ``min`` over shingle
+    OCCURRENCES equals ``min`` over the distinct set, so the dedup
+    shuffle buys nothing here (signatures bit-identical either way,
+    asserted in tests)."""
+    exploded = exploded_shingles(df, text_col, id_col, n, distinct=False)
     return _signatures_from_exploded(exploded, num_hashes, hash_fn)
 
 
@@ -454,9 +470,17 @@ def minhash_lsh_dedup_pairs(df: DataFrame, text_col: str = "text",
     rows_per_band = num_hashes // bands
     # one substrate for BOTH signatures and the exact-jaccard verify:
     # localCheckpoint stops the explode+window lineage replaying per
-    # consumer (same diamond-DAG rationale as ngram_jaccard_pairs)
+    # consumer (same diamond-DAG rationale as ngram_jaccard_pairs).
+    # distinct=False (round-15): every consumer here is duplicate-
+    # insensitive (min folds, collect_set, array_intersect/union), so
+    # the substrate's dedup Exchange is pure cost - results are
+    # bit-identical on occurrence rows, and the checkpoint materializes
+    # a MAP-ONLY plan.  A caller-passed `exploded` frame may be either
+    # form for the same reason.
     if exploded is None:
-        exploded = exploded_shingles(df, text_col, id_col, n).localCheckpoint()
+        exploded = exploded_shingles(
+            df, text_col, id_col, n, distinct=False
+        ).localCheckpoint()
     sigs = _signatures_from_exploded(exploded, num_hashes, hash_fn)
     cands = lsh_candidate_pairs(
         sigs, bands, rows_per_band,

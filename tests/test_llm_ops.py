@@ -51,6 +51,28 @@ class TestMinHashLsh:
         twice = D.exact_dedup(once, "text", "doc_id")
         assert once.count() == twice.count() == docs.count()
 
+    def test_occurrence_substrate_bit_identical(self, docs):
+        # round-15: the minhash pipeline builds its substrate
+        # distinct=False (min / collect_set / array set ops are
+        # duplicate-insensitive).  Signatures AND verified pairs must be
+        # bit-identical to the distinct-substrate form.
+        sub = docs.limit(300)
+        for hash_fn in ("md5", "xxhash64"):
+            ex_d = D.exploded_shingles(sub, "text", "doc_id", 3)
+            ex_o = D.exploded_shingles(sub, "text", "doc_id", 3,
+                                       distinct=False)
+            sig_d = {(r.id, tuple(r.signature)) for r in
+                     D._signatures_from_exploded(ex_d, 64, hash_fn).collect()}
+            sig_o = {(r.id, tuple(r.signature)) for r in
+                     D._signatures_from_exploded(ex_o, 64, hash_fn).collect()}
+            assert sig_d == sig_o
+            pairs_d = {tuple(r) for r in D.minhash_lsh_dedup_pairs(
+                sub, threshold=0.5, hash_fn=hash_fn,
+                exploded=ex_d).collect()}
+            pairs_o = {tuple(r) for r in D.minhash_lsh_dedup_pairs(
+                sub, threshold=0.5, hash_fn=hash_fn).collect()}
+            assert pairs_d == pairs_o
+
 
 class TestSimHash:
     def test_planted_exact_dups_recall(self, docs):
