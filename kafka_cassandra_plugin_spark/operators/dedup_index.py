@@ -98,14 +98,23 @@ class MinHashIndex:
             "n": n, "num_hashes": num_hashes, "bands": bands,
             "hash_fn": hash_fn,
         }
-        exploded = exploded_shingles(corpus, text_col, id_col, n).localCheckpoint()
+        # distinct=False (round-15): both consumers (min-fold signatures,
+        # collect_set stored shingles) are duplicate-insensitive, so the
+        # substrate's dedup Exchange is pure cost - the checkpoint
+        # materializes a map-only plan (same argument as
+        # dedup.minhash_lsh_dedup_pairs, bit-identity pinned in tests)
+        exploded = exploded_shingles(
+            corpus, text_col, id_col, n, distinct=False
+        ).localCheckpoint()
         band_df = cls._band_table(exploded, params)
         sh = exploded.groupBy("id").agg(F.collect_set("sh").alias("sh"))
         return cls(band_df, sh, params)
 
     @staticmethod
     def _band_table(exploded: DataFrame, params: dict) -> DataFrame:
-        """(id, band, bucket) rows from DISTINCT (id, shingle) rows -
+        """(id, band, bucket) rows from (id, shingle) rows (either the
+        distinct or the occurrence substrate form - the min folds are
+        duplicate-insensitive) -
         signatures through :func:`.dedup.banded_buckets` (the ONE
         banding definition, shared with the intra-frame pipeline), with
         the bucket cast to string for a uniform stored schema across
@@ -242,9 +251,9 @@ class MinHashIndex:
         same result, no driver/executor OOM from a giant broadcast.  The
         count is free: the exploded frame is already localCheckpoint'd.
 
-        ``exploded``: a precomputed DISTINCT (id, sh) frame for
-        ``new_docs`` at this index's ``n`` (the
-        :func:`.dedup.exploded_shingles` shape, ideally checkpointed).
+        ``exploded``: a precomputed (id, sh) frame for ``new_docs`` at
+        this index's ``n`` (the :func:`.dedup.exploded_shingles` shape,
+        distinct or occurrence form, ideally checkpointed).
         The curation funnel passes this so the batch is shingled ONCE
         per micro-batch across the intra-batch and corpus stages
         instead of once per consumer - at micro-batch scale the
@@ -269,8 +278,13 @@ class MinHashIndex:
             self.params["bands"], self.params["num_hashes"], threshold
         )
         if exploded is None:
+            # distinct=False: every consumer here (band signatures,
+            # collect_set, the broadcast-fit count) is duplicate-
+            # insensitive or upper-bound-safe - the occurrence count
+            # can only DEMOTE a broadcastable probe to the shuffle
+            # fallback, never the reverse (see exploded_rows note)
             exploded = exploded_shingles(
-                new_docs, text_col, id_col, self.params["n"]
+                new_docs, text_col, id_col, self.params["n"], distinct=False
             ).localCheckpoint()
         batch_fits = (
             exploded.count() if exploded_rows is None else exploded_rows
@@ -371,8 +385,8 @@ class MinHashIndex:
         safe under concurrent writers (a streaming sink always passes
         its own id).
 
-        ``exploded``: precomputed DISTINCT (id, sh) rows for
-        ``accepted`` (see :meth:`match_batch`).  ``reload=False`` is
+        ``exploded``: precomputed (id, sh) rows for ``accepted``
+        (distinct or occurrence form, see :meth:`match_batch`).  ``reload=False`` is
         write-only (returns None): for sink callers that load fresh at
         the next batch anyway, it skips the reload's meta job - the
         Bm25Index/NgramLM ``append_batch`` convention."""
@@ -384,8 +398,10 @@ class MinHashIndex:
         if int(batch_id) < 0:
             raise ValueError(f"batch_id must be >= 0, got {batch_id}")
         if exploded is None:
+            # distinct=False: band signatures + collect_set only (both
+            # duplicate-insensitive; same substrate argument as build)
             exploded = exploded_shingles(
-                accepted, text_col, id_col, self.params["n"]
+                accepted, text_col, id_col, self.params["n"], distinct=False
             ).localCheckpoint()
 
         # the two table writes share the checkpointed exploded frame
