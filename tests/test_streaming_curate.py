@@ -1022,6 +1022,7 @@ class TestIndexExactlyOnce:
         assert tiered_out == ref_out
 
 
+@pytest.mark.perfgate
 class TestFunnelFloor:
     """The batch-200 funnel-floor claim as a MECHANICAL gate (round-14
     verdict #5): p50 8.02/8.18 s met the <=8 s target on hand-picked

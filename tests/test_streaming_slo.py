@@ -53,6 +53,7 @@ def _notification_with_retry(spark, work, **kwargs):
     return res
 
 
+@pytest.mark.perfgate
 class TestChangeNotificationLatency:
     @pytest.fixture(scope="class")
     def result(self, spark, tmp_path_factory):
@@ -73,6 +74,7 @@ class TestChangeNotificationLatency:
         assert result["max_s"] <= 2.0, result
 
 
+@pytest.mark.perfgate
 class TestChangeNotificationLatencyLargeState:
     """Same measurement against a LARGE resident state: 20k keys are
     bulk-streamed into the watcher first, then per-change latency is
@@ -96,6 +98,7 @@ class TestChangeNotificationLatencyLargeState:
         assert result["max_s"] <= 2.0, result
 
 
+@pytest.mark.perfgate
 class TestFunnelCadence:
     """Per-micro-batch wall of the FULL-gate CurationSink (quality +
     LM band + 13-gram decontamination + Bloom seen-filter + exact/near
