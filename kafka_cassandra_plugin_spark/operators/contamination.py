@@ -70,9 +70,10 @@ def contamination_links(corpus: "DataFrame | MinHashIndex",
     benchmark set is small by definition); the corpus is scanned once -
     shingle/band map-side, candidate equi-join on (band, bucket) against
     the broadcast, exact verify against corpus shingle sets semi-join
-    pruned to candidates.  The corpus-wide terms are the shingle-assembly
-    window inside :func:`.dedup.exploded_shingles` (one hash partition
-    by id) and a DISK_ONLY persist of the exploded shingles (consumed by
+    pruned to candidates.  The corpus-wide terms are the shingle dedup
+    inside :func:`.dedup.exploded_shingles` (assembly itself is map-only
+    staged-array indexing since round 15; the distinct is one hash
+    partition) and a DISK_ONLY persist of the exploded shingles (consumed by
     both the band and verify branches; persist - unlike a checkpoint -
     is recomputable from lineage on executor loss and evictable, so no
     corpus-sized state is pinned to non-replicated local storage).

@@ -82,7 +82,7 @@ def shingles(text_col: str = "text", n: int = 3):
     """Distinct word n-gram shingle array (lowercased) as a single column
     expression.  WARNING: the tokenization sits inside the transform
     lambda and re-evaluates per shingle index - operators use
-    :func:`exploded_shingles` (posexplode + window lead, no nested
+    :func:`exploded_shingles` (map-only staged-array indexing, no nested
     lambdas) instead; this form is for small-row interactive use only."""
     toks = F.transform(tokens(text_col), F.lower)
     return _shingles_of(toks, n)
@@ -102,9 +102,10 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
     form).  NOTE: measured ~50 ms/row at sf0.1 - Catalyst re-inlines the
     token array into the per-index lambda despite the staged projection,
     re-tokenizing per shingle.  The operators below use
-    :func:`exploded_shingles` (posexplode + window lead - the same
-    relational formulation the DuckDB oracle runs) which has no nested
-    lambda at all; keep this only for small-row interactive use."""
+    :func:`exploded_shingles` (map-only staged-array indexing - the
+    round-15 formulation; the DuckDB oracle keeps the equivalent
+    window-lead SQL) which has no nested lambda at all; keep this only
+    for small-row interactive use."""
     df = df.withColumn("__toks", F.transform(tokens(text_col), F.lower))
     return df.withColumn(out, _shingles_of(F.col("__toks"), n)).drop("__toks")
 
@@ -305,27 +306,41 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     return _signatures_from_exploded(exploded, num_hashes, hash_fn)
 
 
-def _signatures_from_exploded(exploded: DataFrame, num_hashes: int,
-                              hash_fn: str) -> DataFrame:
+def _staged_min_aggs(exploded: DataFrame, num_hashes: int,
+                     hash_fn: str) -> tuple[DataFrame, list]:
+    """(staged frame, seeded-min aggregate list) for the MinHash family:
+    the md5 path stages the base hash ONCE per row (``__h0``) so the 64
+    aggregate inputs are cheap modular arithmetic over it; xxhash64 is
+    engine-native per seed.  ``sh`` is kept in the staged projection so
+    callers can fold additional per-doc aggregates (the combined
+    signature + shingle-set pass in :func:`minhash_lsh_dedup_pairs`)
+    over the same rows."""
     if hash_fn == "md5":
         h0 = F.pmod(portable_hash52(F.col("sh")), F.lit(_MH_MOD))
-        exploded = exploded.select("id", h0.alias("h0"))
+        staged = exploded.select("id", "sh", h0.alias("__h0"))
         aggs = []
         for i in range(num_hashes):
             a, b = _mh_coeffs(i)
             aggs.append(
                 F.min(
-                    F.pmod(F.lit(a) * F.col("h0") + F.lit(b), F.lit(_MH_P))
+                    F.pmod(F.lit(a) * F.col("__h0") + F.lit(b), F.lit(_MH_P))
                 ).alias(f"h{i}")
             )
     elif hash_fn == "xxhash64":
+        staged = exploded
         aggs = [
             F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    per_doc = exploded.groupBy("id").agg(*aggs)
+    return staged, aggs
+
+
+def _signatures_from_exploded(exploded: DataFrame, num_hashes: int,
+                              hash_fn: str) -> DataFrame:
+    staged, aggs = _staged_min_aggs(exploded, num_hashes, hash_fn)
+    per_doc = staged.groupBy("id").agg(*aggs)
     return per_doc.select(
         "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
     )
@@ -464,29 +479,50 @@ def minhash_lsh_dedup_pairs(df: DataFrame, text_col: str = "text",
     the whole pipeline to the engine-portable hash family (oracle-exact:
     identical candidates, hence identical verified pairs, in any SQL
     engine); xxhash64 stays the at-scale default.  ``exploded``: a
-    precomputed DISTINCT (id, sh) frame for ``df`` at this ``n``
-    (ideally checkpointed) - the curation funnel passes one substrate
-    so the batch is shingled once across its dedup stages."""
+    precomputed (id, sh) frame for ``df`` at this ``n`` - either the
+    distinct or the occurrence form (every consumer here is
+    duplicate-insensitive), ideally checkpointed - the curation funnel
+    passes one substrate so the batch is shingled once across its
+    dedup stages."""
     rows_per_band = num_hashes // bands
-    # one substrate for BOTH signatures and the exact-jaccard verify:
-    # localCheckpoint stops the explode+window lineage replaying per
-    # consumer (same diamond-DAG rationale as ngram_jaccard_pairs).
-    # distinct=False (round-15): every consumer here is duplicate-
-    # insensitive (min folds, collect_set, array_intersect/union), so
-    # the substrate's dedup Exchange is pure cost - results are
-    # bit-identical on occurrence rows, and the checkpoint materializes
-    # a MAP-ONLY plan.  A caller-passed `exploded` frame may be either
-    # form for the same reason.
+    # ONE combined per-doc aggregation for BOTH the signatures and the
+    # exact-jaccard verify sets (round-16, guide §2.4 "two operations
+    # keyed the same way can share one exchange"): the substrate used to
+    # be checkpointed and then aggregated TWICE by the same key - one
+    # groupBy(id) Exchange for the 64 seeded mins, a second
+    # groupBy(id) Exchange for collect_set(sh) - i.e. two full substrate
+    # scans and two shuffles of the same rows.  Folding min+collect_set
+    # into one aggregate halves that: the substrate streams map-only
+    # into a single groupBy(id) (so its own checkpoint is no longer
+    # needed - the aggregate is its only consumer), and the checkpointed
+    # PER-DOC table (id, signature, shingle set - smaller than the
+    # occurrence rows) feeds the banding sides and both verify joins.
+    # Results are bit-identical: same aggregate expressions over the
+    # same rows.  distinct=False (round-15): min folds / collect_set /
+    # array_intersect/union are duplicate-insensitive, so the occurrence
+    # multiset substrate needs no dedup Exchange.  A caller-passed
+    # `exploded` frame may be either form for the same reason.
     if exploded is None:
-        exploded = exploded_shingles(
-            df, text_col, id_col, n, distinct=False
-        ).localCheckpoint()
-    sigs = _signatures_from_exploded(exploded, num_hashes, hash_fn)
+        exploded = exploded_shingles(df, text_col, id_col, n,
+                                     distinct=False)
+    staged, aggs = _staged_min_aggs(exploded, num_hashes, hash_fn)
+    per_doc = (
+        staged.groupBy("id")
+        .agg(*aggs, F.collect_set("sh").alias("sh"))
+        .select(
+            "id",
+            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias(
+                "signature"),
+            "sh",
+        )
+        .localCheckpoint()
+    )
+    sigs = per_doc.select("id", "signature")
     cands = lsh_candidate_pairs(
         sigs, bands, rows_per_band,
         bucket_key="concat" if hash_fn == "md5" else "xxhash64",
     )
-    sh = exploded.groupBy("id").agg(F.collect_set("sh").alias("sh"))
+    sh = per_doc.select("id", "sh")
     verified = (
         cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
@@ -838,6 +874,45 @@ def component_labels(nodes: DataFrame, pairs: DataFrame,
     return labels
 
 
+# Deliberately fat per-pair byte ceiling for the probe short-circuit: an
+# id pair is two longs (UnsafeRow ~24 bytes; checkpointed block
+# accounting adds object overhead), so 512 bytes/pair overestimates any
+# real layout by >10x - a materialized pair table larger than
+# MAX_DRIVER_PAIRS * 512 bytes (~51 MB) PROVABLY holds more rows than
+# the driver cap, and the capped probe collect can be skipped outright.
+_PAIR_BYTES_CEILING = 512
+
+
+def _materialized_plan_bytes(df: DataFrame) -> int | None:
+    """``sizeInBytes`` of ``df``'s optimized plan when - and only when -
+    it is an ACTUAL: every leaf is a materialized scan (LogicalRDD from
+    a checkpoint, or a LocalRelation) and nothing but projections sits
+    above the leaves, so the statistic derives from real block sizes
+    scaled by column widths, never from a join/filter cardinality
+    GUESS (estimates are routinely off by orders of magnitude in both
+    directions and must not steer the probe).  None when the plan does
+    not qualify or introspection fails - callers then keep their
+    default probe behavior."""
+    try:
+        jplan = df._jdf.queryExecution().optimizedPlan()
+        nodes = [jplan]
+        while nodes:
+            node = nodes.pop()
+            name = node.getClass().getSimpleName()
+            n = node.children().size()
+            if n == 0:
+                if name not in ("LogicalRDD", "LocalRelation"):
+                    return None
+                continue
+            if name != "Project":
+                return None
+            for i in range(n):
+                nodes.append(node.children().apply(i))
+        return int(jplan.stats().sizeInBytes())
+    except Exception:
+        return None
+
+
 def component_labels_auto(nodes: DataFrame, pairs: DataFrame,
                           id_col: str = "doc_id",
                           id_a: str = "id_a", id_b: str = "id_b",
@@ -862,14 +937,26 @@ def component_labels_auto(nodes: DataFrame, pairs: DataFrame,
     on the driver fast path alone - there the pair cap bounds the result
     at <= 2 x MAX_DRIVER_PAIRS rows, small enough that downstream joins
     against the big pair/doc side should broadcast it.  The distributed
-    fallback never hints: above the cap the label table is unbounded."""
+    fallback never hints: above the cap the label table is unbounded.
+
+    Probe short-circuit (round-16, guide §5): when the MATERIALIZED
+    pair blocks are already far larger than the cap could ever occupy
+    (:data:`_PAIR_BYTES_CEILING` per pair - a deliberate several-x
+    overestimate of any realistic id-pair row), the capped collect
+    cannot succeed, so the fallback runs directly and the deep-over-cap
+    regime (the 100 TB term) never pays the probe job + up-to-100k-row
+    driver transfer.  Only actuals-backed sizes (checkpointed /
+    local-relation leaves, projections only above them) are trusted;
+    any estimate, odd plan shape, or introspection failure keeps
+    today's probe behavior."""
     from pyspark.sql.types import StructField, StructType
 
-    head = (
-        pairs.select(F.col(id_a), F.col(id_b))
-        .limit(MAX_DRIVER_PAIRS + 1)
-        .collect()
-    )
+    probe = pairs.select(F.col(id_a), F.col(id_b))
+    bound = _materialized_plan_bytes(probe)
+    if bound is not None and bound > MAX_DRIVER_PAIRS * _PAIR_BYTES_CEILING:
+        return component_labels(nodes, pairs, id_col, id_a, id_b,
+                                max_rounds)
+    head = probe.limit(MAX_DRIVER_PAIRS + 1).collect()
     if len(head) > MAX_DRIVER_PAIRS:
         return component_labels(nodes, pairs, id_col, id_a, id_b,
                                 max_rounds)

@@ -66,7 +66,7 @@ def main() -> None:
         results[name] = {"sec": round(best, 3), "jobs": best_jobs}
         rp = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "plans", "r15",
+            "plans", os.environ.get("KCP_PLANS_ROUND", "r16"),
             f"{name}_{os.environ.get('PROFILE_SUFFIX', 'runtime_before')}.txt",
         )
         with open(rp, "w") as f:
