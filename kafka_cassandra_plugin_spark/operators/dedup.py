@@ -874,45 +874,6 @@ def component_labels(nodes: DataFrame, pairs: DataFrame,
     return labels
 
 
-# Deliberately fat per-pair byte ceiling for the probe short-circuit: an
-# id pair is two longs (UnsafeRow ~24 bytes; checkpointed block
-# accounting adds object overhead), so 512 bytes/pair overestimates any
-# real layout by >10x - a materialized pair table larger than
-# MAX_DRIVER_PAIRS * 512 bytes (~51 MB) PROVABLY holds more rows than
-# the driver cap, and the capped probe collect can be skipped outright.
-_PAIR_BYTES_CEILING = 512
-
-
-def _materialized_plan_bytes(df: DataFrame) -> int | None:
-    """``sizeInBytes`` of ``df``'s optimized plan when - and only when -
-    it is an ACTUAL: every leaf is a materialized scan (LogicalRDD from
-    a checkpoint, or a LocalRelation) and nothing but projections sits
-    above the leaves, so the statistic derives from real block sizes
-    scaled by column widths, never from a join/filter cardinality
-    GUESS (estimates are routinely off by orders of magnitude in both
-    directions and must not steer the probe).  None when the plan does
-    not qualify or introspection fails - callers then keep their
-    default probe behavior."""
-    try:
-        jplan = df._jdf.queryExecution().optimizedPlan()
-        nodes = [jplan]
-        while nodes:
-            node = nodes.pop()
-            name = node.getClass().getSimpleName()
-            n = node.children().size()
-            if n == 0:
-                if name not in ("LogicalRDD", "LocalRelation"):
-                    return None
-                continue
-            if name != "Project":
-                return None
-            for i in range(n):
-                nodes.append(node.children().apply(i))
-        return int(jplan.stats().sizeInBytes())
-    except Exception:
-        return None
-
-
 def component_labels_auto(nodes: DataFrame, pairs: DataFrame,
                           id_col: str = "doc_id",
                           id_a: str = "id_a", id_b: str = "id_b",
@@ -939,24 +900,23 @@ def component_labels_auto(nodes: DataFrame, pairs: DataFrame,
     against the big pair/doc side should broadcast it.  The distributed
     fallback never hints: above the cap the label table is unbounded.
 
-    Probe short-circuit (round-16, guide §5): when the MATERIALIZED
-    pair blocks are already far larger than the cap could ever occupy
-    (:data:`_PAIR_BYTES_CEILING` per pair - a deliberate several-x
-    overestimate of any realistic id-pair row), the capped collect
-    cannot succeed, so the fallback runs directly and the deep-over-cap
-    regime (the 100 TB term) never pays the probe job + up-to-100k-row
-    driver transfer.  Only actuals-backed sizes (checkpointed /
-    local-relation leaves, projections only above them) are trusted;
-    any estimate, odd plan shape, or introspection failure keeps
-    today's probe behavior."""
+    A probe SHORT-CIRCUIT from materialized-plan statistics (skip the
+    capped collect when checkpointed pair blocks are "provably" over
+    the cap) was implemented and REVERTED in round 16: localCheckpoint
+    block sizes are SizeEstimator object-graph walks that count shared
+    backing buffers once per row - the 1648-row sf0.1 pair table
+    reported 74.2 GB (45 MB/row) under the self-join lineage and
+    wrongly demoted the declared query to the distributed loop (21 ->
+    44 jobs).  No cheap trustworthy row bound exists for an RDD-backed
+    frame; the probe stays, and at fallback scale its one job +
+    <=100k-row transfer is <5% of the loop it precedes."""
     from pyspark.sql.types import StructField, StructType
 
-    probe = pairs.select(F.col(id_a), F.col(id_b))
-    bound = _materialized_plan_bytes(probe)
-    if bound is not None and bound > MAX_DRIVER_PAIRS * _PAIR_BYTES_CEILING:
-        return component_labels(nodes, pairs, id_col, id_a, id_b,
-                                max_rounds)
-    head = probe.limit(MAX_DRIVER_PAIRS + 1).collect()
+    head = (
+        pairs.select(F.col(id_a), F.col(id_b))
+        .limit(MAX_DRIVER_PAIRS + 1)
+        .collect()
+    )
     if len(head) > MAX_DRIVER_PAIRS:
         return component_labels(nodes, pairs, id_col, id_a, id_b,
                                 max_rounds)

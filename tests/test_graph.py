@@ -153,30 +153,6 @@ class TestComponentLabelsAuto:
             _nodes(spark, 4), _pairs(spark, [(0, 1), (1, 2)])).collect()}
         assert got == {0: 0, 1: 0, 2: 0, 3: 3}
 
-    def test_probe_short_circuit_routes_to_distributed(self, spark,
-                                                       monkeypatch):
-        # round-16: a materialized pair table provably over the cap
-        # (ceiling forced to 0 bytes/pair) skips the capped collect and
-        # goes straight to the distributed labeler - identical labels
-        monkeypatch.setattr(D, "_PAIR_BYTES_CEILING", 0)
-        pairs = _pairs(spark, [(0, 1), (1, 2)]).localCheckpoint()
-        assert D._materialized_plan_bytes(
-            pairs.select("id_a", "id_b")) > 0
-        got = {r.node: r.label for r in D.component_labels_auto(
-            _nodes(spark, 4), pairs).collect()}
-        assert got == {0: 0, 1: 0, 2: 0, 3: 3}
-
-    def test_materialized_plan_bytes_rejects_estimates(self, spark):
-        # a join plan's sizeInBytes is a cardinality guess, not an
-        # actual - the helper must refuse to read it
-        ck = _pairs(spark, [(0, 1)]).localCheckpoint()
-        joined = ck.alias("x").join(ck.alias("y"),
-                                    F.col("x.id_a") == F.col("y.id_a"))
-        assert D._materialized_plan_bytes(joined) is None
-        # ...and a bare parquet-free local relation IS trusted
-        assert D._materialized_plan_bytes(
-            _pairs(spark, [(0, 1)])) is not None
-
     def test_union_find_labels_matches_reference(self):
         rng = random.Random(9)
         n = 80
