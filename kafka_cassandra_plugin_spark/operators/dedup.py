@@ -219,20 +219,51 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         # the groupBy-count + semi-join form (not a count window) is
         # deliberate: partial aggregation keeps a hot stop-shingle
         # skew-safe, and join skew is AQE-splittable where window skew
-        # is not (guide §2.5).  Dropping this second checkpoint was
-        # measured break-even at sf0.1 (4.08 s vs 3.95 s, noise-level:
-        # the AQE-reused exchanges cover the re-reads) and kept for its
-        # scale story - one block round trip beats three semi-join
-        # probe replays over the full substrate.
-        sh = sh.join(freq_ok.select("sh"), "sh", "left_semi").localCheckpoint()
+        # is not (guide §2.5).  No checkpoint after the cap (round-16):
+        # the capped stream now has only two consumers (sizes, pair
+        # groups), both fed by AQE-reused exchanges of the checkpointed
+        # substrate - and a checkpoint here would ERASE the semi-join's
+        # hash-partitioning by sh (RDD scans carry no outputPartitioning),
+        # forcing the pair groupBy(sh) below to re-shuffle the whole
+        # capped substrate.  Lazy, the groupBy rides the semi-join's
+        # partitioning with zero new Exchange.
+        sh = sh.join(freq_ok.select("sh"), "sh", "left_semi")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    if max_shingle_freq is not None:
+        # pair generation from per-shingle doc GROUPS instead of the
+        # self-equi-join (round-16, guide §2.4): one groupBy(sh)
+        # collect_list - SAFE only under the frequency cap, which bounds
+        # every group at max_shingle_freq ids - then all (i < j)
+        # combinations unfold map-side from the sorted array.  Identical
+        # pair multiset to the self-join (for a shingle shared by docs
+        # d1<..<dk both emit exactly the C(k,2) ordered pairs), so
+        # n_common and jaccard are bit-identical; what disappears is the
+        # join: ONE shuffle of the capped substrate instead of two join
+        # sides plus the joined row stream.  The uncapped path (small
+        # exact-math runs) keeps the self-join - an unbounded hot
+        # shingle must never materialize as a single collect_list row.
+        pair_struct = (
+            "flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids)), "
+            "y -> struct(x AS id_a, y AS id_b))))"
+        )
+        common = (
+            sh.groupBy("sh")
+            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+            .filter(F.size("ids") >= 2)
+            .select(F.explode(F.expr(pair_struct)).alias("p"))
+            .groupBy(F.col("p.id_a").alias("id_a"),
+                     F.col("p.id_b").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        common = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     # per-doc sizes scale with #docs, pairs with #shared-shingles; hint
     # the doc-side broadcast so the (much larger) pair table never
     # re-shuffles - AQE would eventually learn this, the hint makes it

@@ -406,6 +406,47 @@ class TestStopShingleCap:
         assert hashed == strings
         assert hashed  # planted near-dups actually surfaced
 
+    def test_capped_pairs_match_python_set_reference(self, spark, docs):
+        """The round-16 capped pair generation (groupBy(sh) collect_list
+        + map-side (i < j) unfold, replacing the self-equi-join) must
+        reproduce exact set math: shingle sets, the frequency cap, and
+        every pairwise jaccard recomputed independently in plain Python
+        over the same corpus."""
+        d = docs.limit(120).select("doc_id", "text")
+        corpus = d.unionByName(
+            d.filter(F.col("doc_id") % 4 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+            )
+        )
+        cap, thr = 20, 0.5
+        sets: dict[int, set] = {}
+        for r in corpus.collect():
+            toks = r.text.strip().lower().split()
+            sets[r.doc_id] = {
+                " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+            }
+        freq: dict[str, int] = {}
+        for s in sets.values():
+            for sh in s:
+                freq[sh] = freq.get(sh, 0) + 1
+        sets = {i: {sh for sh in s if freq[sh] <= cap}
+                for i, s in sets.items()}
+        ids = sorted(sets)
+        expected = set()
+        for x, ia in enumerate(ids):
+            for ib in ids[x + 1:]:
+                inter = len(sets[ia] & sets[ib])
+                union = len(sets[ia] | sets[ib])
+                if union and inter / union >= thr:
+                    expected.add((ia, ib, round(inter / union, 4)))
+        got = {(r.id_a, r.id_b, r.jaccard)
+               for r in D.ngram_jaccard_pairs(
+                   corpus, threshold=thr, max_shingle_freq=cap,
+                   hash_shingles=False).collect()}
+        assert got == expected
+        assert expected  # the perturbed corpus actually yields pairs
+
 
 class TestSkewStress:
     """Planted heavy-hitter stress (round-5 VERDICT #7): the skew shapes
