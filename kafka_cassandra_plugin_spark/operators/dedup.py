@@ -178,6 +178,38 @@ def shingle_arrays(df: DataFrame, text_col: str = "text",
     )
 
 
+def pair_counts_from_capped_groups(df: DataFrame, key_col: str,
+                                   id_col: str,
+                                   count_col: str) -> DataFrame:
+    """(id_a, id_b, count) for every id pair co-occurring under a key:
+    one groupBy(key) collect_list (sorted), then all (i < j)
+    combinations unfold map-side from the array.  The pair multiset is
+    IDENTICAL to the key self-equi-join with ``a.id < b.id`` (a key
+    shared by ids d1 < .. < dk emits exactly its C(k,2) ordered pairs
+    either way), so downstream counts are bit-identical; what
+    disappears is the join - one shuffle of the (key, id) rows instead
+    of two join sides plus the joined row stream (guide §2.4).
+
+    SCALE CONTRACT: callers must bound the per-key group size BEFORE
+    this (stop-shingle / max_fp_docs caps) - a hot key with f ids
+    materializes one f-element array row here, so an uncapped caller
+    must use the self-join instead."""
+    pair_struct = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
+    return (
+        df.groupBy(key_col)
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(F.expr(pair_struct)).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"),
+                 F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias(count_col))
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.8,
@@ -231,31 +263,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_freq is not None:
         # pair generation from per-shingle doc GROUPS instead of the
-        # self-equi-join (round-16, guide §2.4): one groupBy(sh)
-        # collect_list - SAFE only under the frequency cap, which bounds
-        # every group at max_shingle_freq ids - then all (i < j)
-        # combinations unfold map-side from the sorted array.  Identical
-        # pair multiset to the self-join (for a shingle shared by docs
-        # d1<..<dk both emit exactly the C(k,2) ordered pairs), so
-        # n_common and jaccard are bit-identical; what disappears is the
-        # join: ONE shuffle of the capped substrate instead of two join
-        # sides plus the joined row stream.  The uncapped path (small
-        # exact-math runs) keeps the self-join - an unbounded hot
-        # shingle must never materialize as a single collect_list row.
-        pair_struct = (
-            "flatten(transform(ids, (x, i) -> "
-            "transform(slice(ids, i + 2, size(ids)), "
-            "y -> struct(x AS id_a, y AS id_b))))"
-        )
-        common = (
-            sh.groupBy("sh")
-            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-            .filter(F.size("ids") >= 2)
-            .select(F.explode(F.expr(pair_struct)).alias("p"))
-            .groupBy(F.col("p.id_a").alias("id_a"),
-                     F.col("p.id_b").alias("id_b"))
-            .agg(F.count(F.lit(1)).alias("n_common"))
-        )
+        # self-equi-join (round-16, guide §2.4): SAFE only under the
+        # frequency cap, which bounds every group at max_shingle_freq
+        # ids.  The uncapped path (small exact-math runs) keeps the
+        # self-join - an unbounded hot shingle must never materialize
+        # as a single collect_list row.
+        common = pair_counts_from_capped_groups(sh, "sh", "id",
+                                                "n_common")
     else:
         a = sh.alias("a")
         b = sh.alias("b")

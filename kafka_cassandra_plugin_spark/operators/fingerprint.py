@@ -58,7 +58,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import portable_hash52
+from .dedup import pair_counts_from_capped_groups, portable_hash52
 from .text import tokens
 
 __all__ = ["winnow_fingerprints", "fingerprint_overlap",
@@ -156,14 +156,25 @@ def fingerprint_overlap(fps: DataFrame, id_col: str = "doc_id",
         ).filter(F.col("__docs") <= int(max_fp_docs)).select("fp")
         sets = sets.join(rare, "fp", "left_semi")
     sizes = sets.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
-    a = sets.select(F.col(id_col).alias("id_a"), "fp")
-    b = sets.select(F.col(id_col).alias("id_b"), "fp")
-    pairs = (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    if max_fp_docs is not None:
+        # capped pair generation from per-fp doc groups (round-16):
+        # max_fp_docs bounds every group, so the pairs unfold map-side
+        # from one groupBy(fp) instead of the fp self-equi-join -
+        # identical pair multiset (see pair_counts_from_capped_groups),
+        # one less substrate shuffle.  The exact path (None - the
+        # oracle twin) keeps the self-join: a boilerplate fp shared by
+        # unbounded many docs must never become one collect_list row.
+        pairs = pair_counts_from_capped_groups(sets, "fp", id_col,
+                                               "shared")
+    else:
+        a = sets.select(F.col(id_col).alias("id_a"), "fp")
+        b = sets.select(F.col(id_col).alias("id_b"), "fp")
+        pairs = (
+            a.join(b, "fp")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("n_b"))
     return (
