@@ -104,15 +104,17 @@ class TestLoadAnchors:
 
     def test_real_round14_artifact_depollutes(self):
         """Against the committed artifacts: dedup_simhash's anchor must
-        recover its genuine fresh-JVM floor (~2.4-3.0 s band), never the
-        1.28 growth ratio, and no mined anchor may be a dimensionless
-        ratio absorbed from a growth table (spot rows named in the
-        round-14 verdict)."""
+        never be the 1.28 growth ratio absorbed from a growth table, and
+        no mined anchor may be a dimensionless ratio (spot rows named in
+        the round-14 verdict).  The genuine floor moves as faster hosts
+        land artifacts (r15's 8-core driver run measured 1.851), so the
+        bound is 'strictly above the known pollution value', not a host
+        band."""
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         if not os.path.exists(os.path.join(repo, "BENCH_r14.json")):
             return
         a = bench.load_anchors(repo)
-        assert a.get("dedup_simhash", 99.0) > 2.0
+        assert a.get("dedup_simhash", 99.0) > 1.5
         # langid's polluted 'anchor' was its sf10 growth RATIO 5.86; the
         # genuine source is bench_out.json's extra_queries sf0.1 reading
         # (8.965 in the committed r14 payload) - strictly above the ratio
@@ -176,6 +178,10 @@ class TestLoadSf10Campaign:
         assert bench._load_sf10_campaign(str(tmp_path)) is None
 
     def test_committed_fallback_and_shape(self, tmp_path):
+        """Round-15 verdict #8 payload diet: the block is a SUMMARY
+        (totals + top growth rows + a pointer at the committed
+        artifact), never the per-query dicts that blew the driver's
+        parse budget in round 14."""
         camp = {"calib_s": 0.25, "text_mode": "perturb",
                 "sf1": {"q": 1.0}, "sf10": {"q": 9.5},
                 "growth": {"q": 9.5}, "flagged": [],
@@ -184,7 +190,16 @@ class TestLoadSf10Campaign:
         block = bench._load_sf10_campaign(str(tmp_path))
         assert block["recorded"] is True
         assert block["campaign_calib_s"] == 0.25
-        assert block["growth"] == {"q": 9.5}
+        # summary shape, not the raw tables
+        assert "growth" not in block and "sf10" not in block
+        assert block["sf1_total"] == 1.0
+        assert block["sf10_total"] == 9.5
+        assert block["growth_max"] == 9.5
+        assert block["growth_top"] == {"q": 9.5}
+        assert block["detail"] == "SF10_CAMPAIGN.json"
+        # no queries/isolated keys the anchor miner could misread
+        dumped = json.dumps(block)
+        assert '"queries"' not in dumped and '"isolated' not in dumped
 
     def test_scale_copy_preferred(self, tmp_path):
         (tmp_path / ".scale").mkdir()
