@@ -22,15 +22,34 @@ ORACLE_SF = os.environ.get("KCP_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 # `-m perfgate`).
 RUN_PERF_GATES = os.environ.get("KCP_PERF_GATES") == "1"
 
+# Redundant matrix variants (round-16, same opt-in philosophy): the
+# tiered-compaction store matrix and the per-index streaming-maintenance
+# twins all drive ONE shared implementation
+# (fsutil.tiered_compact_tables / staged_fold_swap, the curate
+# maintenance hook) through thin per-store adapters.  The default run
+# keeps one single-table and one multi-table store through the full
+# matrix plus one representative maintenance class; the rest are
+# `exhaustive`-marked so the default suite fits the driver budget on a
+# slow host window.  Run everything with KCP_EXHAUSTIVE=1 (or
+# `-m exhaustive`).
+RUN_EXHAUSTIVE = os.environ.get("KCP_EXHAUSTIVE") == "1"
+
 
 def pytest_collection_modifyitems(config, items):
-    if RUN_PERF_GATES or config.getoption("-m"):
-        return  # explicit opt-in (env) or an explicit -m expression
-    skip = pytest.mark.skip(
-        reason="wall-clock perf gate; opt in with KCP_PERF_GATES=1")
+    if config.getoption("-m"):
+        return  # an explicit -m expression takes full control
+    skips = []
+    if not RUN_PERF_GATES:
+        skips.append(("perfgate", pytest.mark.skip(
+            reason="wall-clock perf gate; opt in with KCP_PERF_GATES=1")))
+    if not RUN_EXHAUSTIVE:
+        skips.append(("exhaustive", pytest.mark.skip(
+            reason="redundant matrix variant; opt in with "
+                   "KCP_EXHAUSTIVE=1")))
     for item in items:
-        if "perfgate" in item.keywords:
-            item.add_marker(skip)
+        for keyword, mark in skips:
+            if keyword in item.keywords:
+                item.add_marker(mark)
 
 
 @pytest.fixture(scope="session")

@@ -430,6 +430,7 @@ class TestSeenBloomMaintenance:
         }
         assert not leaked
 
+    @pytest.mark.exhaustive  # tiered twin below stays default
     def test_replay_after_failed_attempt_with_compaction(
         self, spark, corpus, docs, tmp_path, monkeypatch
     ):
@@ -476,6 +477,8 @@ class TestSeenBloomMaintenance:
         )
         assert got == want
 
+    @pytest.mark.exhaustive  # fold losslessness default-covered by
+    # test_tiered_compact + TestIndexExactlyOnce::test_tiered_mode_folds_index
     def test_tiered_compaction_same_results(self, spark, corpus, docs,
                                             tmp_path):
         """compact_mode='tiered' (round-12: the sink-wired LSM fold)
@@ -784,6 +787,7 @@ class TestBm25Maintenance:
             self._search_set(rebuilt, queries)
 
 
+@pytest.mark.exhaustive  # bm25 class is the default maintenance-hook representative
 class TestFingerprintMaintenance:
     """fingerprint_path=: the sink folds every accepted document's
     winnowed fingerprints into a saved FingerprintIndex, so the
@@ -830,6 +834,7 @@ class TestFingerprintMaintenance:
         assert a == b and a  # prefixes must collide with their sources
 
 
+@pytest.mark.exhaustive  # bm25 class is the default maintenance-hook representative
 class TestBpeHistMaintenance:
     """bpe_hist_path=: the sink folds every accepted document's word
     counts into a saved WordHistogram - the sufficient statistic for
@@ -893,6 +898,7 @@ class TestBpeHistMaintenance:
         assert self._hist_map(WordHistogram.load(spark, hist_path)) == rebuilt
 
 
+@pytest.mark.exhaustive  # bm25 class is the default maintenance-hook representative
 class TestCommonnessMaintenance:
     """commonness_path=: the sink folds every accepted document's
     content-fingerprint counts into a saved CommonnessIndex - the

@@ -154,8 +154,27 @@ STORES = [
 
 IDS = [st.name for st in STORES]
 
+# Default-run representatives for the store matrix: one single-table
+# store (commonness) and the hardest multi-table store (ngram_lm: 3
+# tables, distinct fold per table).  Every store drives the SAME shared
+# fold/swap implementation (fsutil.tiered_compact_tables /
+# staged_fold_swap) through the thin adapters above, so the remaining
+# params re-test the protocol, not new code - they run as `exhaustive`
+# (KCP_EXHAUSTIVE=1).  Each skipped store keeps independent default
+# coverage of its own adapter elsewhere: fingerprint via
+# TestFaultInjectionExhaustive below + test_fingerprint_index, bm25 via
+# test_retrieval's TestBm25Incremental, bloom via test_streaming_curate's
+# seen-bloom suite, word_histogram via test_bpe.
+DEFAULT_STORES = {"commonness", "ngram_lm"}
+STORE_PARAMS = [
+    pytest.param(st, id=st.name,
+                 marks=() if st.name in DEFAULT_STORES
+                 else (pytest.mark.exhaustive,))
+    for st in STORES
+]
 
-@pytest.mark.parametrize("store", STORES, ids=IDS)
+
+@pytest.mark.parametrize("store", STORE_PARAMS)
 class TestTieredLossless:
     def test_fold_levels_stack_lossless(self, spark, store, tmp_path):
         """Two tiered folds: each replaces the young batches with one
@@ -340,7 +359,7 @@ class TestFaultInjectionExhaustive:
             _verify_healed(spark, store, path, expected)
 
 
-@pytest.mark.parametrize("store", STORES, ids=IDS)
+@pytest.mark.parametrize("store", STORE_PARAMS)
 class TestFaultInjectionTargeted:
     """Every store: the two nastiest crash windows - (a) keeps renamed
     into the sibling, commit marker NOT yet written (the round-11
