@@ -278,17 +278,22 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
-    # per-doc sizes scale with #docs, pairs with #shared-shingles; hint
-    # the doc-side broadcast so the (much larger) pair table never
-    # re-shuffles - AQE would eventually learn this, the hint makes it
-    # unconditional
+    # NO broadcast hint on the sizes joins (round-16 scale audit): sizes
+    # is one row PER DOC - unbounded at corpus scale, so a forced
+    # broadcast is exactly the guide §3.1 landmine (8 GB / 512M-row hard
+    # cap, driver+executor copies).  AQE converts these joins to
+    # broadcast at runtime whenever the aggregated sizes side is
+    # actually small (verified in the sf0.1 runtime plan: both joins
+    # come out BroadcastHashJoin with same wall and one fewer job), and
+    # falls back to a shuffle join when it is not - the safe direction
+    # at 100 TB, with nothing paid at bench scale.
     ja = (
         common.join(
-            F.broadcast(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"})),
+            sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}),
             "id_a",
         )
         .join(
-            F.broadcast(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"})),
+            sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}),
             "id_b",
         )
         .withColumn(
