@@ -118,16 +118,24 @@ def merge_priors(repo: str, readings: dict, calib_s: float,
 
 def prior_flags(readings: dict, rows: dict, calib_s: float) -> list[str]:
     """Names whose sf10 reading exceeds PRIOR_FLAG_X times their prior
-    at matched calib (and above the absolute noise floor)."""
+    on a comparable-or-faster host (and above the absolute noise floor).
+
+    Round-16 fix: the old rule suppressed the flag whenever the calib
+    probes differed >CALIB_MATCH_X in EITHER direction, so a 4.5x-over-
+    prior reading on a FASTER host (dedup_ngram_jaccard 138.9 s at calib
+    0.255 vs prior 30.8 at 0.439) sailed through unretried - but a
+    faster CPU probe makes an over-prior wall MORE alarming, not less.
+    Suppress only when this host is SLOWER than the prior's beyond the
+    factor (there a high wall is plausibly just the host)."""
     flagged = []
     for name, t in readings.items():
         cur = rows.get(name)
         if t is None or cur is None:
             continue
         pc = cur.get("calib_s") or calib_s
-        matched = max(calib_s, pc) / max(min(calib_s, pc), 1e-6) \
-            <= CALIB_MATCH_X
-        if matched and t >= PRIOR_FLOOR_S and t > PRIOR_FLAG_X * cur["sf10"]:
+        host_slower = calib_s > CALIB_MATCH_X * pc
+        if (not host_slower) and t >= PRIOR_FLOOR_S \
+                and t > PRIOR_FLAG_X * cur["sf10"]:
             flagged.append(name)
     return flagged
 
@@ -160,10 +168,16 @@ def _isolated_main(names: list[str], sf10_dir: str, extras: bool) -> None:
     rows at sf10 in this fresh JVM, best-of-2 (sf10 rows are minutes-
     scale; two runs bound JIT/first-scan noise without doubling a
     campaign), print one JSON dict."""
+    # SAME session config as the main campaign pass (and bench.py):
+    # the round-16 triage caught the old 48g driver override making the
+    # re-measure a measurement of a DIFFERENT config - the declared
+    # ngram row reads 63 s in a fresh default-memory JVM and 208 s in a
+    # fresh 48g one on the same data (local[32] heap-size GC cliff), so
+    # an "isolated retry" at 48g can only confirm its own pathology,
+    # never the main pass's reading.
     spark = get_spark(
         "kcp-sf10-isolated", master="local[32]",
-        overrides={"spark.sql.shuffle.partitions": "64",
-                   "spark.driver.memory": "48g"},
+        overrides={"spark.sql.shuffle.partitions": "64"},
     )
     registry = load_all()
     registry["agg_pricing_summary"].build(spark, sf10_dir).count()  # warmup

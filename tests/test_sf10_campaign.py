@@ -43,8 +43,20 @@ class TestPriorFlags:
             {"join_star_revenue": 21.0, "udf_scalar": 8.9}, ROWS, 0.28) == []
 
     def test_calib_mismatch_suppresses(self):
-        # host itself moved >CALIB_MATCH_X: wall-clock comparison is noise
+        # host itself moved SLOWER >CALIB_MATCH_X: wall-clock comparison
+        # is noise (a slow host plausibly explains a high wall)
         assert camp.prior_flags({"join_star_revenue": 43.9}, ROWS, 0.55) == []
+
+    def test_faster_host_over_prior_still_flags(self):
+        # round-16 regression shape: dedup_ngram_jaccard read 4.5x its
+        # prior on a host whose CPU probe was FASTER than the prior's
+        # (calib 0.255 vs 0.439) and the old symmetric rule suppressed
+        # the retry - a faster probe makes an over-prior wall MORE
+        # alarming, so the flag must fire in that direction
+        rows = {"dedup_ngram_jaccard": {"sf10": 30.8, "calib_s": 0.44}}
+        assert camp.prior_flags(
+            {"dedup_ngram_jaccard": 138.9}, rows, 0.255
+        ) == ["dedup_ngram_jaccard"]
 
     def test_under_absolute_floor_never_flags(self):
         # sub-2s sf10 rows are overhead-noisy even at 10x their prior
