@@ -94,7 +94,6 @@ def main() -> None:
         print(f"pairs[{mode}]: {dt:.2f}s jobs={jobs} n_pairs={n}", flush=True)
         if mode == "landed":
             landed_pairs = p
-        D.clear_checkpoint_cache = getattr(D, "clear_checkpoint_cache", None)
     if "labels" in variants:
         if landed_pairs is None:
             landed_pairs = pairs_variant(c, "landed").localCheckpoint()
